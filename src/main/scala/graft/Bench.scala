@@ -1,24 +1,48 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times the headline (`bench=true`) queries on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Each query is materialized through the `noop` sink so the full plan
+  * (scan → shuffle → agg → project) actually executes; `count()` would let
+  * Spark answer from partial aggregation without materializing projected
+  * columns. Failures are reported explicitly in an "errors" object rather
+  * than being silently timed.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+    ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val defs = Queries.all.filter(_.bench)
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    defs.foreach { d =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        d.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+        times(d.name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(d.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .take(200).replaceAll("[\"\\\\\n\r\t]", " ")
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = times.values.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,8 +12,8 @@ import org.apache.spark.sql.SparkSession
   * (replicated distribution).
   *
   * Designed for cluster scale: nothing here is local-mode specific except
-  * the default master. On a real cluster the same conf applies; shuffle
-  * partition count is AQE-coalesced from 2× the default parallelism.
+  * the default master. On a real cluster the same conf applies; AQE
+  * coalesces the shuffle partition count down from the configured value.
   */
 object GraftSession {
 
@@ -28,17 +28,27 @@ object GraftSession {
     .config("spark.sql.statistics.histogram.enabled", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
     .config("spark.sql.parquet.filterPushdown", "true")
+    // events.parquet carries TIMESTAMP(NANOS); read as long, converted in
+    // Tables.load (Spark has no native nanos timestamp).
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
+    // Streaming checkpoints for the bounded readStream verification path.
+    .config("spark.sql.streaming.checkpointLocation",
+      "/root/repo/target/checkpoints")
 
-  /** Local session for tests / entry. */
+  /** Local session for tests / entry. Shuffle partitions = cores: at these
+    * scale factors extra partitions only add scheduling overhead, and AQE
+    * coalesces anyway; on a real cluster this conf is overridden by the
+    * submitter.
+    */
   def local(cores: Int = 32): SparkSession = {
     val s = configure(
       SparkSession.builder()
         .master(s"local[$cores]")
         .appName("graft")
         .config("spark.sql.shuffle.partitions", cores.toString)
-        .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,21 @@
+package graft
+
+import graft.queries._
+
+/** The full verifiable query corpus — one QueryDef per implemented
+  * operator from SURVEY.md §2 plus the LLM-data-pipeline operators.
+  * SparkEntry / Verify / Bench all derive from this single list.
+  */
+object Queries {
+  def all: Seq[QueryDef] =
+    TpchQueries.defs ++
+      RelationalQueries.defs ++
+      JoinQueries.defs ++
+      ExprQueries.defs ++
+      WindowQueries.defs
+
+  lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
+
+  require(all.map(_.name).distinct.size == all.size,
+    "duplicate query names in corpus")
+}

@@ -4,24 +4,43 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** One verifiable operator/query: a Spark build function plus (optionally)
   * equivalent ANSI SQL the driver runs through DuckDB on the same parquet
-  * tables. Column names and row order must match between the two — the
-  * driver sorts columns by name and hashes values (see builder contract).
+  * tables. Column names must match between the two — the driver sorts
+  * columns by name and hashes values (see builder contract).
   *
-  * Conventions to keep the hash compare robust across engines:
-  *  - every floating-point output is `round(x, 4)` on BOTH sides;
+  * Conventions that keep the hash compare robust across engines:
+  *  - every computed column is aliased identically on BOTH sides;
+  *  - sums over double columns go through `CAST(x AS DECIMAL(18,4))` then
+  *    back to DOUBLE: decimal addition is exact, so the result is
+  *    order-independent and bit-identical in Spark and DuckDB (a plain
+  *    double sum over 60k rows can drift ~1e-3 between engines);
+  *  - per-row double arithmetic is left unrounded (IEEE ops on identical
+  *    inputs are bit-identical);
   *  - sums of integers are cast to BIGINT in the oracle (DuckDB sums to
   *    HUGEINT, Spark to LONG);
-  *  - every query has a total deterministic ORDER BY (unique key last).
+  *  - no double→int casts (DuckDB rounds, Spark truncates);
+  *  - every LIMIT has a total deterministic ORDER BY (unique key last).
   */
 final case class QueryDef(
     name: String,
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    /** Headline queries are also timed by Bench. */
+    /** Headline queries also timed by Bench. */
     bench: Boolean = false)
 
 object QueryDef {
-  def sql(name: String, spark: SparkSession, dir: String, text: String): DataFrame = {
+  /** Build a QueryDef whose Spark side is SQL text over the registered
+    * testdata views (the oracle may be the same text or a DuckDB dialect
+    * variant).
+    */
+  def sqlDef(name: String, sparkSql: String, oracle: String,
+             bench: Boolean = false): QueryDef =
+    QueryDef(name, (s, dir) => run(s, dir, sparkSql), Some(oracle), bench)
+
+  /** Same SQL on both engines. */
+  def sameSql(name: String, sql: String, bench: Boolean = false): QueryDef =
+    sqlDef(name, sql, sql, bench)
+
+  def run(spark: SparkSession, dir: String, text: String): DataFrame = {
     graft.catalog.Tables.registerAll(spark, dir)
     spark.sql(text)
   }

@@ -19,13 +19,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Small dimension tables a broadcast join should always pick up. */
+  /** Small dimension tables a broadcast join should always pick up.
+    * (Their parquet footprint is far below the 64 MB broadcast threshold,
+    * so Catalyst broadcasts them automatically; plan tests assert it.)
+    */
   val broadcastable: Set[String] = Set("region", "nation")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  // One registration per (session, dir): re-registering re-reads 10 parquet
+  // footers per query, pure overhead in a 50-query verify/bench loop.
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
-  /** Register every table as a temp view (idempotent). */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects natively;
+    // GraftSession sets legacy nanosAsLong so it arrives as LongType nanos,
+    // floor-converted here to the engine's microsecond timestamps (same
+    // truncation DuckDB applies reading the file).
+    if (name == "events")
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** Register every table as a temp view (idempotent, cached per dir). */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    if (registered.add((spark, dir)))
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.sameSql
+import Sql._
+
+/** Join + subquery + CTE corpus.
+  *
+  * Mirrors the reference join machinery (`/root/reference/qpmodel/
+  * PhysicalNode.cs:601-1065` NLJ/hash join; `subquery.cs` mark/single
+  * joins and decorrelation; ~300 subquery SQL cases in
+  * `/root/reference/test/UnitTest.cs:914-1407`). On Spark these compile to
+  * BroadcastHashJoin (dims), ShuffledHashJoin/SortMergeJoin (fact-fact),
+  * BroadcastNestedLoopJoin (theta), and ExistenceJoin (IN/EXISTS under
+  * OR) — all picked by Catalyst, verified by plan-shape tests.
+  */
+object JoinQueries {
+
+  /** §2.3 hash equi-join, inner, with broadcast dim. */
+  val joinInner: QueryDef = sameSql("join_inner",
+    """SELECT n_name, COUNT(*) AS cnt
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin)
+
+  /** §2.3 left outer join with extra ON-clause predicate (unmatched rows
+    * keep NULL counts → count(o) = 0).
+    */
+  val joinLeft: QueryDef = sameSql("join_left",
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_big
+      |FROM customer LEFT JOIN orders
+      |  ON c_custkey = o_custkey AND o_totalprice > 400000
+      |WHERE c_custkey <= 200
+      |GROUP BY c_custkey""".stripMargin)
+
+  /** §2.3 right outer join. */
+  val joinRight: QueryDef = sameSql("join_right",
+    """SELECT n_nationkey, COUNT(s_suppkey) AS n_supp
+      |FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_nationkey""".stripMargin)
+
+  /** §2.3 full outer join (parity-plus: reference parses but rejects). */
+  val joinFull: QueryDef = sameSql("join_full",
+    """SELECT COALESCE(a.k, b.k) AS k, a.cnt AS cust_cnt, b.cnt AS supp_cnt
+      |FROM (SELECT c_nationkey AS k, COUNT(*) AS cnt FROM customer
+      |      WHERE c_acctbal > 9900 GROUP BY c_nationkey) a
+      |FULL JOIN (SELECT s_nationkey AS k, COUNT(*) AS cnt FROM supplier
+      |      GROUP BY s_nationkey) b
+      |ON a.k = b.k""".stripMargin)
+
+  /** §2.3 nested-loop theta join (non-equi predicate). */
+  val joinThetaNl: QueryDef = sameSql("join_theta_nl",
+    """SELECT r1.r_regionkey AS a, r2.r_regionkey AS b
+      |FROM region r1 JOIN region r2 ON r1.r_regionkey < r2.r_regionkey""".stripMargin)
+
+  /** §2.3 cross join (comma-FROM in the reference, Plan.cs:395-449). */
+  val joinCross: QueryDef = sameSql("join_cross",
+    """SELECT r_name, COUNT(*) AS cnt
+      |FROM region CROSS JOIN nation
+      |GROUP BY r_name""".stripMargin)
+
+  /** §2.3 composite + expression equi-keys (reference `FilterHashable`
+    * supports `c1+d1 = a1-b1`, Expr.cs:491-514).
+    */
+  val joinExprKeys: QueryDef = sameSql("join_expr_keys",
+    """SELECT COUNT(*) AS cnt
+      |FROM customer JOIN nation
+      |  ON c_nationkey = n_nationkey AND c_nationkey % 2 = n_nationkey % 2
+      |WHERE c_acctbal > 5000""".stripMargin)
+
+  /** §2.3 semi join via EXISTS. */
+  val joinSemi: QueryDef = sameSql("join_semi",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 450000)""".stripMargin)
+
+  /** §2.3 anti join via NOT EXISTS. */
+  val joinAnti: QueryDef = sameSql("join_anti",
+    """SELECT COUNT(*) AS cnt FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey)""".stripMargin)
+
+  /** §2.8 scalar subquery, non-correlated (cached single evaluation;
+    * reference `isCacheable_` ExprSubquery.cs:111-135).
+    */
+  val subqScalarUncorr: QueryDef = sameSql("subq_scalar_uncorr",
+    s"""SELECT COUNT(*) AS cnt FROM orders
+       |WHERE o_totalprice > (SELECT ${davg("o_totalprice")} FROM orders)""".stripMargin)
+
+  /** §2.8 correlated scalar subquery in the SELECT list. */
+  val subqScalarCorr: QueryDef = sameSql("subq_scalar_corr",
+    """SELECT c_custkey,
+      |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_ord
+      |FROM customer c
+      |WHERE c_custkey <= 100""".stripMargin)
+
+  /** §2.3 single join: correlated scalar agg subquery per outer row
+    * (reference `LogicSingleJoin`, subquery.cs:660-667).
+    */
+  val subqSingleJoin: QueryDef = sameSql("subq_single_join",
+    s"""SELECT o_orderkey, o_totalprice,
+       |  (SELECT ${dsum("l.l_quantity")} FROM lineitem l
+       |   WHERE l.l_orderkey = o.o_orderkey) AS qty
+       |FROM orders o
+       |WHERE o_orderkey <= 500""".stripMargin)
+
+  /** §2.8 IN subquery. */
+  val subqIn: QueryDef = sameSql("subq_in",
+    """SELECT COUNT(*) AS cnt FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'BUILDING')""".stripMargin)
+
+  /** §2.8 null-aware NOT IN: one NULL in the subquery output empties the
+    * result (Postgres semantics the reference replicates,
+    * ExprSubquery.cs:267-296).
+    */
+  val subqNotInNull: QueryDef = sameSql("subq_not_in_null",
+    """SELECT COUNT(*) AS cnt FROM customer
+      |WHERE c_nationkey NOT IN (SELECT NULLIF(s_nationkey, 3) FROM supplier)""".stripMargin)
+
+  /** §2.8 NOT IN without NULLs (anti join path). */
+  val subqNotIn: QueryDef = sameSql("subq_not_in",
+    """SELECT COUNT(*) AS cnt FROM customer
+      |WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier
+      |                          WHERE s_nationkey < 10)""".stripMargin)
+
+  /** §2.3 mark join: IN-subquery under OR forces an existence join
+    * (reference `LogicMarkJoin`, subquery.cs:635-658).
+    */
+  val subqMarkOr: QueryDef = sameSql("subq_mark_or",
+    """SELECT COUNT(*) AS cnt FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders
+      |                    WHERE o_totalprice > 400000)
+      |   OR c_acctbal > 9990""".stripMargin)
+
+  /** §2.8 nested + correlated subqueries (two levels; each correlation
+    * references its immediate outer scope — Spark does not resolve
+    * correlations that skip a level).
+    */
+  val subqNested: QueryDef = sameSql("subq_nested",
+    s"""SELECT n_name,
+       |  (SELECT COUNT(*) FROM customer c
+       |   WHERE c.c_nationkey = n.n_nationkey
+       |     AND c.c_acctbal > (SELECT ${davg("c2.c_acctbal")}
+       |                        FROM customer c2
+       |                        WHERE c2.c_nationkey = c.c_nationkey)) AS n_rich
+       |FROM nation n""".stripMargin)
+
+  /** §2.9 derived table (FROM-subquery flattening, `remove_from_`). */
+  val subqFromDerived: QueryDef = sameSql("subq_from_derived",
+    s"""SELECT seg, ${davg("tot")} AS avg_tot
+       |FROM (SELECT c_mktsegment AS seg, c_custkey,
+       |             ${dsum("o_totalprice")} AS tot
+       |      FROM customer JOIN orders ON c_custkey = o_custkey
+       |      GROUP BY c_mktsegment, c_custkey)
+       |GROUP BY seg""".stripMargin)
+
+  /** §2.9 CTE, single reference. */
+  val cteBasic: QueryDef = sameSql("cte_basic",
+    s"""WITH big_orders AS (
+       |  SELECT o_custkey, COUNT(*) AS n, ${dsum("o_totalprice")} AS tot
+       |  FROM orders WHERE o_totalprice > 300000
+       |  GROUP BY o_custkey)
+       |SELECT c_mktsegment, COUNT(*) AS n_cust, ${dsum("tot")} AS seg_tot
+       |FROM customer JOIN big_orders ON c_custkey = o_custkey
+       |GROUP BY c_mktsegment""".stripMargin)
+
+  /** §2.9 CTE referenced twice (reference shared-producer rules,
+    * RulesTrans.cs:301-336).
+    */
+  val cteMultiRef: QueryDef = sameSql("cte_multi_ref",
+    s"""WITH spend AS (
+       |  SELECT o_custkey, ${dsum("o_totalprice")} AS tot
+       |  FROM orders GROUP BY o_custkey)
+       |SELECT a.o_custkey, a.tot
+       |FROM spend a JOIN (SELECT MAX(tot) AS m FROM spend) b ON a.tot = b.m""".stripMargin)
+
+  /** §2.9 chained CTEs (CTE referencing a prior CTE). */
+  val cteNested: QueryDef = sameSql("cte_nested",
+    s"""WITH by_nation AS (
+       |  SELECT c_nationkey AS k, ${dsum("c_acctbal")} AS bal
+       |  FROM customer GROUP BY c_nationkey),
+       |ranked AS (
+       |  SELECT k, bal FROM by_nation WHERE bal > 0)
+       |SELECT n_name, bal
+       |FROM ranked JOIN nation ON k = n_nationkey
+       |ORDER BY bal DESC, n_name LIMIT 5""".stripMargin)
+
+  val defs: Seq[QueryDef] = Seq(
+    joinInner, joinLeft, joinRight, joinFull, joinThetaNl, joinCross,
+    joinExprKeys, joinSemi, joinAnti,
+    subqScalarUncorr, subqScalarCorr, subqSingleJoin, subqIn,
+    subqNotInNull, subqNotIn, subqMarkOr, subqNested, subqFromDerived,
+    cteBasic, cteMultiRef, cteNested)
+}

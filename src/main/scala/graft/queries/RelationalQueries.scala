@@ -1,0 +1,166 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.{sameSql, sqlDef}
+import Sql._
+
+/** Core relational operator corpus: scans, filters, projections,
+  * aggregation, sort/limit, set operations.
+  *
+  * Mirrors the reference's executor test surface
+  * (`/root/reference/test/UnitTest.cs:2507-2995` Executors;
+  * `/root/reference/qpmodel/PhysicalNode.cs` operators) — each entry is a
+  * named, DuckDB-oracle-checked query exercising one SURVEY §2 row.
+  */
+object RelationalQueries {
+
+  /** §2.1 table scan + §2.2 projection with filter pushed to parquet. */
+  val scanProject: QueryDef = sameSql("scan_project",
+    """SELECT p_partkey, p_name, p_retailprice
+      |FROM part WHERE p_size > 30""".stripMargin)
+
+  /** §2.2 filter: conjunctive/disjunctive predicate with 3VL NULLs. */
+  val filter3vl: QueryDef = sameSql("filter_3vl",
+    """SELECT o_orderkey, o_orderstatus, o_orderpriority
+      |FROM orders
+      |WHERE (o_totalprice > 400000 OR NULLIF(o_orderstatus, 'O') IS NULL)
+      |  AND o_orderpriority <> '5-LOW'
+      |  AND NOT (o_orderkey % 10 = 3)""".stripMargin)
+
+  /** §2.1 Result: constant select with no FROM (OneRowRelation). */
+  val resultConst: QueryDef = sameSql("result_const",
+    """SELECT 1 + 2 AS a, concat('x', 'y') AS b,
+      |  CAST(3.5 AS DOUBLE) * 2 AS c, NOT (1 > 2) AS d""".stripMargin)
+
+  /** §2.5 sort + limit fused to top-k (TakeOrderedAndProject). */
+  val limitTopk: QueryDef = sameSql("limit_topk",
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 25""".stripMargin)
+
+  /** §2.5 sort with mixed ASC/DESC directions. */
+  val sortMixed: QueryDef = sameSql("sort_mixed",
+    """SELECT c_custkey, c_nationkey, c_acctbal
+      |FROM customer
+      |ORDER BY c_nationkey ASC, c_acctbal DESC, c_custkey ASC
+      |LIMIT 50""".stripMargin)
+
+  /** §2.4 hash aggregate: full agg-function battery + HAVING. */
+  val aggBasic: QueryDef = sameSql("agg_basic",
+    s"""SELECT c_nationkey,
+       |  COUNT(*) AS cnt,
+       |  ${dsum("c_acctbal")} AS sum_bal,
+       |  MIN(c_acctbal) AS min_bal,
+       |  MAX(c_acctbal) AS max_bal,
+       |  ${davg("c_acctbal")} AS avg_bal
+       |FROM customer
+       |GROUP BY c_nationkey
+       |HAVING COUNT(*) > 10""".stripMargin)
+
+  /** §2.4 empty-input aggregate: count = 0, other aggs NULL. */
+  val aggEmpty: QueryDef = sameSql("agg_empty",
+    s"""SELECT COUNT(*) AS cnt, COUNT(l_quantity) AS cnt_q,
+       |  ${dsum("l_quantity")} AS s, MIN(l_quantity) AS mn,
+       |  MAX(l_quantity) AS mx
+       |FROM lineitem WHERE l_quantity < 0""".stripMargin)
+
+  /** §2.4 stddev_samp (reference `AggStddevSamp` ExprFunc.cs:711-767). */
+  val aggStddev: QueryDef = sameSql("agg_stddev",
+    """SELECT l_returnflag,
+      |  ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+      |  ROUND(STDDEV_SAMP(l_discount), 6) AS sd_disc
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin)
+
+  /** §2.4 DISTINCT aggregation (parity-plus: reference lacks DISTINCT). */
+  val aggDistinct: QueryDef = sameSql("agg_distinct",
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_suppkey) AS n_supp,
+      |  COUNT(DISTINCT l_partkey) AS n_part,
+      |  COUNT(*) AS cnt
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin)
+
+  /** §2.4 ROLLUP (parity-plus; reference TPC-DS gap). */
+  val aggRollup: QueryDef = sameSql("agg_rollup",
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+       |  ${dsum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)
+
+  /** §2.4 GROUPING SETS (parity-plus). */
+  val aggGroupingSets: QueryDef = sameSql("agg_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+
+  /** §2.4 group-by on a computed expression key. */
+  val aggExprKey: QueryDef = sameSql("agg_expr_key",
+    s"""SELECT YEAR(o_orderdate) AS yr, COUNT(*) AS cnt,
+       |  ${dsum("o_totalprice")} AS total
+       |FROM orders
+       |GROUP BY YEAR(o_orderdate)""".stripMargin)
+
+  /** SELECT DISTINCT (parity-plus; reference grammar lacks it). */
+  val selectDistinct: QueryDef = sameSql("select_distinct",
+    """SELECT DISTINCT c_nationkey, c_mktsegment
+      |FROM customer WHERE c_acctbal > 9000""".stripMargin)
+
+  /** §2.6 UNION ALL (LogicAppend, reference stmt.cs:396-398). */
+  val unionAll: QueryDef = sameSql("setop_union_all",
+    """SELECT k, COUNT(*) AS cnt FROM (
+      |  SELECT c_nationkey AS k FROM customer
+      |  UNION ALL
+      |  SELECT s_nationkey AS k FROM supplier
+      |) GROUP BY k""".stripMargin)
+
+  /** §2.6 UNION with dedup. */
+  val union: QueryDef = sameSql("setop_union",
+    """SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9900
+      |UNION
+      |SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 9000""".stripMargin)
+
+  /** §2.6 EXCEPT (reference: anti-semi join + dedup, stmt.cs:406-419). */
+  val except: QueryDef = sameSql("setop_except",
+    """SELECT n_nationkey AS k FROM nation
+      |EXCEPT
+      |SELECT s_nationkey AS k FROM supplier""".stripMargin)
+
+  /** §2.6 INTERSECT (semi join + dedup). */
+  val intersect: QueryDef = sameSql("setop_intersect",
+    """SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9980
+      |INTERSECT
+      |SELECT s_nationkey AS k FROM supplier""".stripMargin)
+
+  /** §2.6 EXCEPT ALL (parity-plus: reference throws NotImplemented). */
+  val exceptAll: QueryDef = sameSql("setop_except_all",
+    """SELECT p, COUNT(*) AS cnt FROM (
+      |  SELECT o_orderpriority AS p FROM orders WHERE o_totalprice > 400000
+      |  EXCEPT ALL
+      |  SELECT o_orderpriority AS p FROM orders WHERE o_totalprice > 430000
+      |) GROUP BY p""".stripMargin)
+
+  /** §2.1 sample scan, TABLESAMPLE ROW n analog: deterministic count
+    * contract (row content is sampler-dependent, so the oracle checks the
+    * cardinality the reference's `RowCntSampling` guarantees,
+    * PhysicalNode.cs:1838-1851).
+    */
+  val sampleScan: QueryDef = QueryDef("sample_scan",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions.rand
+      val n = 300
+      graft.catalog.Tables.registerAll(spark, dir)
+      val sampled = spark.table("orders").orderBy(rand(42), org.apache.spark.sql.functions.col("o_orderkey")).limit(n)
+      sampled.selectExpr("COUNT(*) AS n_rows",
+        "COUNT(DISTINCT o_orderkey) AS n_distinct")
+    },
+    Some("SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_distinct " +
+      "FROM (SELECT * FROM orders LIMIT 300)"))
+
+  val defs: Seq[QueryDef] = Seq(
+    scanProject, filter3vl, resultConst, limitTopk, sortMixed,
+    aggBasic, aggEmpty, aggStddev, aggDistinct, aggRollup,
+    aggGroupingSets, aggExprKey, selectDistinct,
+    unionAll, union, except, intersect, exceptAll, sampleScan)
+}
