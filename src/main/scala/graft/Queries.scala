@@ -12,7 +12,9 @@ object Queries {
       RelationalQueries.defs ++
       JoinQueries.defs ++
       ExprQueries.defs ++
-      WindowQueries.defs
+      WindowQueries.defs ++
+      PipelineQueries.defs ++
+      SourceSinkQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
 

@@ -1,0 +1,61 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+import graft.catalog.Tables
+
+/** DataFrame-style DSL façade with the reference's surface
+  * (`/root/reference/qpmodel/stmt.cs:957-1049`: `SQLContext.Read`,
+  * `DataSet.filter/join/select/show` over string expressions) — a thin
+  * veneer over Spark's own DataFrame API, which is the real engine; the
+  * strings go through Catalyst's expression parser so every optimization
+  * (pushdown, pruning, join selection) applies unchanged.
+  */
+final class GraftContext(val spark: SparkSession, val dataDir: String) {
+
+  /** `SQLContext.Read(t)` analog. */
+  def read(table: String): DataSet = {
+    Tables.registerAll(spark, dataDir)
+    new DataSet(spark.table(table))
+  }
+
+  /** Scalar UDF registration (`ExternalFunctions.Register`,
+    * `/root/reference/qpmodel/ExprFunc.cs:42-76`; README sqroot example).
+    * Prefer native Catalyst expressions (graft.functions) where codegen
+    * matters — UDFs are the compatibility path.
+    */
+  def register1[A, R](name: String, f: A => R)(
+      implicit i: reflect.runtime.universe.TypeTag[A],
+      o: reflect.runtime.universe.TypeTag[R]): Unit =
+    spark.udf.register(name, f)
+
+  def register2[A, B, R](name: String, f: (A, B) => R)(
+      implicit a: reflect.runtime.universe.TypeTag[A],
+      b: reflect.runtime.universe.TypeTag[B],
+      o: reflect.runtime.universe.TypeTag[R]): Unit =
+    spark.udf.register(name, f)
+
+  def sql(text: String): DataFrame = {
+    Tables.registerAll(spark, dataDir)
+    spark.sql(text)
+  }
+}
+
+/** `DataSet` analog: string-expression relational verbs. */
+final class DataSet(val df: DataFrame) {
+  def filter(cond: String): DataSet = new DataSet(df.filter(expr(cond)))
+  def join(other: DataSet, cond: String): DataSet =
+    new DataSet(df.join(other.df, expr(cond)))
+  def join(other: DataSet, cond: String, joinType: String): DataSet =
+    new DataSet(df.join(other.df, expr(cond), joinType))
+  def select(cols: String*): DataSet = new DataSet(df.selectExpr(cols: _*))
+  def groupBy(keys: String, aggs: String*): DataSet =
+    new DataSet(df.groupBy(keys.split(",").map(_.trim).map(expr): _*)
+      .agg(expr(aggs.head), aggs.tail.map(expr): _*))
+  def orderBy(cols: String*): DataSet =
+    new DataSet(df.orderBy(cols.map(expr): _*))
+  def limit(n: Int): DataSet = new DataSet(df.limit(n))
+  def show(): Unit = df.show()
+  def toDF: DataFrame = df
+}

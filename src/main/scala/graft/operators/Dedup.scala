@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data
+  * pipelines. All variants are banded/bucketed — no all-pairs joins — so
+  * they scale linearly in corpus size: at 100 TB the only shuffles are
+  * hash-partitioned group-bys on content keys / band values, and each
+  * band bucket is tiny (near-dup cluster sized), never the full corpus.
+  *
+  * Hashing is md5-based so results are deterministic and reproducible in
+  * any engine (the DuckDB oracle re-derives identical signatures).
+  */
+object Dedup {
+
+  /** Exact dedup: group on a content hash, keep the minimum id.
+    * One shuffle on md5(text) — the canonical 100 TB dedup shape.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count("*").as("n_copies"))
+
+  /** Word 3-gram shingle sets (order-sensitive, unlike raw word sets —
+    * the testdata vocabulary is small, so word-set similarity saturates).
+    */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .selectExpr("doc_id",
+        """array_distinct(transform(sequence(0, size(ws) - 3),
+          |  i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))) AS s""".stripMargin)
+
+  /** MinHash + LSH near-dup candidate pairs, verified by true shingle
+    * Jaccard. k independent min-hashes, banded `k / bandRows` ways; docs
+    * sharing any band bucket become candidates (shuffle on band value —
+    * never all-pairs), then candidates alone pay the exact-Jaccard
+    * verification join.
+    */
+  def minHashPairs(docs: DataFrame, k: Int = 8, bandRows: Int = 2,
+                   threshold: Double = 0.8): DataFrame = {
+    val sh = shingled(docs).cache()
+    val hashes = (0 until k).map(i =>
+      s"array_min(transform(s, w -> md5(concat('$i:', w)))) AS h$i")
+    val mh = sh.selectExpr("doc_id" +: hashes: _*)
+    val nBands = k / bandRows
+    val bandExprs = (0 until nBands).map { b =>
+      val parts = (0 until bandRows).map(r => s"h${b * bandRows + r}")
+      s"md5(concat(${parts.mkString(", ")}))"
+    }
+    val bands = mh
+      .select(col("doc_id"), posexplode(expr(s"array(${bandExprs.mkString(", ")})")))
+      .toDF("doc_id", "bidx", "bval")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.bidx") === col("b.bidx") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))) /
+          size(array_union(col("sa"), col("sb"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash near-dup clustering: `bits`-dimensional signed fingerprint
+    * over word hashes; identical fingerprints cluster together (single
+    * shuffle on the fingerprint — scale-equivalent to exact dedup).
+    * Bit k is the sign of the sum over words of ±1 by the high bit of
+    * md5(k:word).
+    */
+  def simHashClusters(docs: DataFrame, bits: Int = 16): DataFrame = {
+    val bitExprs = (0 until bits).map(k =>
+      s"""CASE WHEN aggregate(ws, 0, (acc, w) ->
+         |  acc + (CASE WHEN substring(md5(concat('$k:', w)), 1, 1) >= '8'
+         |              THEN 1 ELSE -1 END)) > 0
+         |THEN '1' ELSE '0' END""".stripMargin)
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .selectExpr("doc_id",
+        s"concat(${bitExprs.mkString(", ")}) AS fingerprint")
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("keep_id"), count("*").as("n_docs"))
+      .filter(col("n_docs") > 1)
+  }
+
+  /** Character 4-gram Jaccard over a bounded candidate set (the MinHash
+    * band candidates) — a second, finer similarity measure for the pairs
+    * the LSH sweep surfaced. Candidate-bounded: never all-pairs.
+    */
+  def charNgramJaccard(docs: DataFrame, n: Int = 4): DataFrame = {
+    val cand = minHashPairs(docs, threshold = 0.0)
+      .select("doc_a", "doc_b")
+    val grams = docs.selectExpr("doc_id",
+      s"""array_distinct(transform(sequence(1, length(text) - ${n - 1}),
+         |  i -> substring(text, i, $n))) AS g""".stripMargin)
+    cand
+      .join(grams.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("ga"), col("gb"))) /
+          size(array_union(col("ga"), col("gb")))).as("char_jaccard"))
+  }
+}

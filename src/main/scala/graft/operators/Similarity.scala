@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.vec
+
+/** Similarity search over an `array<float>` embedding column.
+  *
+  * The dot-product inner loop is the native codegen'd `VecDot` Catalyst
+  * expression (graft.functions) — no UDF boxing, stays inside
+  * WholeStageCodegen.
+  *
+  * Scale posture: the query set is broadcast (it is small by definition);
+  * the corpus is never shuffled for brute force, and the IVF/LSH variants
+  * bound the candidate set per query/bucket so the join never goes
+  * all-pairs at 100 TB.
+  */
+object Similarity {
+
+  private def cosine = vec.cosine _
+
+  /** Brute-force cosine top-k: corpus scan × broadcast queries.
+    * The exact baseline every approximate variant is measured against.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb")))
+    val scored = corpus.join(q, col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("nn_id"), col("cos_sim"))
+  }
+
+  /** IVF-style top-k: probe only the query's coarse partition (here the
+    * `label` column stands in for the centroid assignment an upstream
+    * k-means would produce). At scale this is the difference between
+    * scanning 100 TB and scanning one partition per query.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("label").as("q_label")))
+    val scored = corpus.join(q,
+      col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("nn_id"), col("cos_sim"))
+  }
+
+  /** Sign-LSH bucketed near-dup pairs: bucket on the sign pattern of the
+    * first `signBits` dimensions (a fixed random-hyperplane sketch —
+    * deterministic here so the oracle can re-derive it), then pay the
+    * exact cosine only within buckets. Bucketed equi-join — shuffles on
+    * the bucket key, never all-pairs.
+    */
+  def signLshNearDup(corpus: DataFrame, signBits: Int = 8,
+                     threshold: Double = 0.4): DataFrame = {
+    val b = corpus.selectExpr("vec_id", "embedding",
+      s"""concat_ws('', transform(slice(embedding, 1, $signBits),
+         |  x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END)) AS bucket""".stripMargin)
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+      .filter(col("cos_sim") > threshold)
+  }
+}

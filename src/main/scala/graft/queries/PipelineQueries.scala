@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.QueryDef
+import graft.catalog.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline corpus: deduplication (exact, MinHash-LSH,
+  * SimHash, char-n-gram Jaccard, embedding near-dup), similarity search
+  * (brute-force + IVF top-k), text analysis, and multimodal column
+  * plumbing. Spark sides are the graft.operators DataFrame modules; the
+  * DuckDB oracles re-derive the identical md5-based signatures in list
+  * SQL, so every operator is hash-verified, not just row-counted.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Corpus with planted duplicates so exact/simhash dedup has real
+    * collapse work (testdata documents are unique at sf0.01).
+    */
+  private def plantedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(d.filter("doc_id % 5 = 0")
+      .selectExpr("doc_id + 10000 AS doc_id", "text"))
+  }
+  private val plantedCorpusSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
+  // ---------------------------------------------------------------- dedup
+
+  val dedupExact: QueryDef = QueryDef("dedup_exact",
+    (s, dir) => Dedup.exact(plantedCorpus(s, dir)),
+    Some(s"""WITH corpus AS ($plantedCorpusSql)
+            |SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+            |  COUNT(*) AS n_copies
+            |FROM corpus GROUP BY md5(text)""".stripMargin),
+    bench = true)
+
+  /** DuckDB mirror of Dedup.minHashPairs' shingle + signature pipeline. */
+  private def duckShingles: String =
+    """words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct(list_transform(generate_series(1, len(ws) - 2),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      |  FROM words WHERE len(ws) >= 3)""".stripMargin
+
+  private def duckMinhashCand: String = {
+    val hashes = (0 until 8).map(i =>
+      s"  list_min(list_transform(s, w -> md5('$i:' || w))) AS h$i").mkString(",\n")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS bidx, md5(h${2 * b} || h${2 * b + 1}) AS bval FROM mh")
+      .mkString("\n  UNION ALL ")
+    s"""mh AS (SELECT doc_id,
+       |$hashes
+       |FROM sh),
+       |bands AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  val dedupMinhash: QueryDef = QueryDef("dedup_minhash",
+    (s, dir) => Dedup.minHashPairs(docs(s, dir)),
+    Some(s"""WITH $duckShingles,
+            |$duckMinhashCand
+            |SELECT doc_a, doc_b,
+            |  len(list_intersect(a.s, b.s)) /
+            |    len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+            |FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
+            |WHERE len(list_intersect(a.s, b.s)) /
+            |    len(list_distinct(list_concat(a.s, b.s))) >= 0.8""".stripMargin),
+    bench = true)
+
+  val dedupSimhash: QueryDef = QueryDef("dedup_simhash",
+    (s, dir) => Dedup.simHashClusters(plantedCorpus(s, dir)),
+    Some {
+      val bits = (0 until 16).map(k =>
+        s"""CASE WHEN list_sum(list_transform(ws,
+           |  w -> CASE WHEN substr(md5('$k:' || w), 1, 1) >= '8'
+           |       THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END""".stripMargin)
+        .mkString(", ")
+      s"""WITH corpus AS ($plantedCorpusSql),
+         |words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+         |fps AS (SELECT doc_id, concat($bits) AS fingerprint FROM words)
+         |SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+         |FROM fps GROUP BY fingerprint HAVING COUNT(*) > 1""".stripMargin
+    })
+
+  val dedupNgram: QueryDef = QueryDef("dedup_ngram_jaccard",
+    (s, dir) => Dedup.charNgramJaccard(docs(s, dir)),
+    Some(s"""WITH $duckShingles,
+            |$duckMinhashCand,
+            |grams AS (SELECT doc_id,
+            |  list_distinct(list_transform(generate_series(1, length(text) - 3),
+            |    i -> substr(text, i, 4))) AS g
+            |  FROM documents)
+            |SELECT doc_a, doc_b,
+            |  len(list_intersect(ga.g, gb.g)) /
+            |    len(list_distinct(list_concat(ga.g, gb.g))) AS char_jaccard
+            |FROM cand JOIN grams ga ON ga.doc_id = doc_a
+            |          JOIN grams gb ON gb.doc_id = doc_b""".stripMargin))
+
+  private val duckCos =
+    "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
+
+  val dedupEmbedding: QueryDef = QueryDef("dedup_embedding",
+    (s, dir) => Similarity.signLshNearDup(embs(s, dir)),
+    Some {
+      val cos = duckCos.format("a.embedding", "b2.embedding",
+        "a.embedding", "a.embedding", "b2.embedding", "b2.embedding")
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |  array_to_string(list_transform(generate_series(1, 8),
+         |    i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b, $cos AS cos_sim
+         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |WHERE $cos > 0.4""".stripMargin
+    })
+
+  // ----------------------------------------------------------- similarity
+
+  private def annQueries(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir).filter("vec_id < 10")
+
+  val annTopk: QueryDef = QueryDef("ann_brute_topk",
+    (s, dir) => Similarity.bruteForceTopK(embs(s, dir), annQueries(s, dir), 5),
+    Some {
+      val cos = duckCos.format("q_emb", "embedding",
+        "q_emb", "q_emb", "embedding", "embedding")
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |           FROM embeddings WHERE vec_id < 10),
+         |scored AS (SELECT q_id, vec_id, $cos AS cos_sim
+         |           FROM embeddings, q WHERE vec_id <> q_id),
+         |ranked AS (SELECT q_id, vec_id, cos_sim,
+         |  row_number() OVER (PARTITION BY q_id
+         |                     ORDER BY cos_sim DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, rnk, vec_id AS nn_id, cos_sim
+         |FROM ranked WHERE rnk <= 5""".stripMargin
+    },
+    bench = true)
+
+  val annIvf: QueryDef = QueryDef("ann_ivf_topk",
+    (s, dir) => Similarity.ivfTopK(embs(s, dir), annQueries(s, dir), 3),
+    Some {
+      val cos = duckCos.format("q_emb", "e.embedding",
+        "q_emb", "q_emb", "e.embedding", "e.embedding")
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+         |           FROM embeddings WHERE vec_id < 10),
+         |scored AS (SELECT q_id, e.vec_id, $cos AS cos_sim
+         |           FROM embeddings e JOIN q
+         |             ON e.label = q.q_label AND e.vec_id <> q.q_id),
+         |ranked AS (SELECT q_id, vec_id, cos_sim,
+         |  row_number() OVER (PARTITION BY q_id
+         |                     ORDER BY cos_sim DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, rnk, vec_id AS nn_id, cos_sim
+         |FROM ranked WHERE rnk <= 3""".stripMargin
+    })
+
+  // -------------------------------------------------------- text analysis
+
+  private val duckStop = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+
+  val textStats: QueryDef = QueryDef("text_stats",
+    (s, dir) => TextAnalysis.stats(docs(s, dir)),
+    Some(s"""SELECT doc_id,
+            |  length(text) AS char_len,
+            |  len(string_split(text, ' ')) AS n_words,
+            |  len(list_distinct(string_split(text, ' '))) AS n_types,
+            |  len(list_distinct(string_split(text, ' '))) /
+            |    len(string_split(text, ' ')) AS ttr,
+            |  length(replace(text, ' ', '')) /
+            |    len(string_split(text, ' ')) AS avg_word_len,
+            |  len(list_filter(string_split(text, ' '), w -> w IN ($duckStop))) /
+            |    len(string_split(text, ' ')) AS stopword_ratio
+            |FROM documents""".stripMargin),
+    bench = true)
+
+  val textLangid: QueryDef = QueryDef("text_langid",
+    (s, dir) => TextAnalysis.langId(docs(s, dir)),
+    Some(s"""SELECT doc_id, lang,
+            |  len(list_filter(string_split(text, ' '), w -> w IN ($duckStop))) AS s_en,
+            |  CASE WHEN len(list_filter(string_split(text, ' '),
+            |                            w -> w IN ($duckStop))) > 0
+            |       THEN 'en' ELSE 'und' END AS pred_lang
+            |FROM documents""".stripMargin))
+
+  val textTokens: QueryDef = QueryDef("text_tokens",
+    (s, dir) => TextAnalysis.tokens(docs(s, dir)),
+    Some("""SELECT doc_id,
+           |  len(string_split(text, ' ')) AS n_ws_tokens,
+           |  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_re_tokens,
+           |  length(text) / len(regexp_extract_all(text, '[a-z]+|[0-9]+'))
+           |    AS bytes_per_token
+           |FROM documents""".stripMargin))
+
+  val textFingerprint: QueryDef = QueryDef("text_fingerprint",
+    (s, dir) => TextAnalysis.fingerprint(docs(s, dir)),
+    Some("""SELECT doc_id,
+           |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           |    AS vocab_fp,
+           |  md5(substr(text, 1, 32)) AS prefix_fp
+           |FROM documents""".stripMargin))
+
+  // ----------------------------------------------------------- multimodal
+
+  val multimodal: QueryDef = QueryDef("multimodal_decode",
+    (s, dir) => Multimodal.decodeDocuments(s, docs(s, dir)),
+    Some("""SELECT doc_id,
+           |  length(text) AS n_bytes,
+           |  length(text) % 64 AS width,
+           |  (length(text) // 64) % 64 AS height,
+           |  ascii(substr(text, 1, 1)) AS b0,
+           |  CAST(list_sum(list_transform(generate_series(1, 16),
+           |    i -> ascii(substr(text, i, 1)))) AS INT) AS checksum16
+           |FROM documents""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(
+    dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,
+    annTopk, annIvf,
+    textStats, textLangid, textTokens, textFingerprint,
+    multimodal)
+}

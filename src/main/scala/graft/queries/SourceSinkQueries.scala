@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.QueryDef
+import graft.api.GraftContext
+import graft.catalog.Tables
+import Sql._
+
+/** Sources, sinks, DDL, COPY, ANALYZE, DSL façade, UDFs, and the
+  * streaming scan — the SURVEY §2.1/§2.12 surface beyond plain parquet
+  * scans. Each build function performs the side-effecting operation
+  * (write CSV, create table, run the stream) and returns a result the
+  * DuckDB oracle can recompute from the source tables, proving the
+  * round-trip was lossless.
+  */
+object SourceSinkQueries {
+
+  /** Remove a managed table's leftover warehouse directory: each Verify
+    * run gets a fresh in-memory metastore, so DROP TABLE IF EXISTS cannot
+    * see (or clean) the previous run's location.
+    */
+  private def dropTableAndLocation(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = java.nio.file.Paths.get(
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  private val supplierChecksum =
+    s"""SELECT COUNT(*) AS n, ${dsum("s_acctbal")} AS tot,
+       |  MIN(s_name) AS mn, MAX(s_name) AS mx,
+       |  CAST(SUM(s_nationkey) AS BIGINT) AS nk_sum
+       |FROM %s""".stripMargin
+
+  /** COPY round-trip (reference `CopyStmt` stmtDML.cs:245-285 reads
+    * pipe-delimited CSV): write supplier as '|'-CSV, read it back with an
+    * explicit schema, aggregate; oracle aggregates the original parquet —
+    * equal iff the CSV round-trip is lossless.
+    */
+  val copyCsv: QueryDef = QueryDef("copy_csv_roundtrip",
+    (s, dir) => {
+      val out = s"/root/repo/target/copy_csv/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.load(s, dir, "supplier")
+        .coalesce(1).write.mode("overwrite").option("sep", "|").csv(out)
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType), StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType),
+        StructField("s_acctbal", DoubleType)))
+      s.read.schema(schema).option("sep", "|").csv(out)
+        .createOrReplaceTempView("supplier_csv")
+      s.sql(supplierChecksum.format("supplier_csv"))
+    },
+    Some(supplierChecksum.format("supplier")))
+
+  /** DDL + INSERT sink (reference stmtDML.cs:50-115, PhysicInsert
+    * PhysicalNode.cs:1625-1656): CREATE TABLE AS, INSERT INTO … SELECT,
+    * read back through the catalog.
+    */
+  val ddlInsert: QueryDef = QueryDef("ddl_insert_select",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      dropTableAndLocation(s, "graft_nation_copy")
+      s.sql("CREATE TABLE graft_nation_copy USING PARQUET AS SELECT * FROM nation")
+      s.sql("""INSERT INTO graft_nation_copy
+              |SELECT n_nationkey + 1000, n_name, n_regionkey
+              |FROM nation WHERE n_nationkey < 5""".stripMargin)
+      s.sql("""SELECT COUNT(*) AS n,
+              |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+              |  MIN(n_name) AS mn
+              |FROM graft_nation_copy""".stripMargin)
+    },
+    Some("""WITH t AS (SELECT n_nationkey, n_name FROM nation
+           |  UNION ALL
+           |  SELECT n_nationkey + 1000, n_name FROM nation WHERE n_nationkey < 5)
+           |SELECT COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+           |  MIN(n_name) AS mn
+           |FROM t""".stripMargin))
+
+  /** ANALYZE (reference AnalyzeStmt stmtDML.cs:117-162 feeding its CBO):
+    * catalog table + COMPUTE STATISTICS FOR ALL COLUMNS (feeds Spark CBO,
+    * enabled in GraftSession), then a query over the analyzed table.
+    */
+  val analyze: QueryDef = QueryDef("analyze_stats",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      dropTableAndLocation(s, "graft_li_analyzed")
+      s.sql("""CREATE TABLE graft_li_analyzed USING PARQUET AS
+              |SELECT * FROM lineitem WHERE l_orderkey <= 1000""".stripMargin)
+      s.sql("ANALYZE TABLE graft_li_analyzed COMPUTE STATISTICS FOR ALL COLUMNS")
+      s.sql(s"""SELECT l_returnflag, COUNT(*) AS cnt,
+               |  ${dsum("l_quantity")} AS sum_qty
+               |FROM graft_li_analyzed GROUP BY l_returnflag""".stripMargin)
+    },
+    Some(s"""SELECT l_returnflag, COUNT(*) AS cnt, ${dsum("l_quantity")} AS sum_qty
+            |FROM lineitem WHERE l_orderkey <= 1000
+            |GROUP BY l_returnflag""".stripMargin))
+
+  /** DataFrame DSL façade (reference DataSet stmt.cs:957-1034): the same
+    * query built through Read/filter/join/select, verified against plain
+    * SQL.
+    */
+  val dsl: QueryDef = QueryDef("dsl_read_filter_join",
+    (s, dir) => {
+      val ctx = new GraftContext(s, dir)
+      ctx.read("customer")
+        .filter("c_acctbal > 9000")
+        .join(ctx.read("nation"), "c_nationkey = n_nationkey")
+        .select("n_name", "c_custkey", "c_acctbal")
+        .toDF
+    },
+    Some("""SELECT n_name, c_custkey, c_acctbal
+           |FROM customer JOIN nation ON c_nationkey = n_nationkey
+           |WHERE c_acctbal > 9000""".stripMargin))
+
+  /** DSL aggregation path. */
+  val dslAgg: QueryDef = QueryDef("dsl_group_agg",
+    (s, dir) => {
+      val ctx = new GraftContext(s, dir)
+      ctx.read("orders")
+        .filter("o_orderstatus = 'F'")
+        .groupBy("o_orderpriority",
+          "COUNT(*) AS cnt",
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS tot")
+        .toDF
+    },
+    Some(s"""SELECT o_orderpriority, COUNT(*) AS cnt, ${dsum("o_totalprice")} AS tot
+            |FROM orders WHERE o_orderstatus = 'F'
+            |GROUP BY o_orderpriority""".stripMargin))
+
+  /** Scalar UDF registration (reference README sqroot example,
+    * ExprFunc.cs:42-76). sqrt is IEEE-exact, so results match DuckDB's
+    * sqrt bit-for-bit.
+    */
+  val udfSqroot: QueryDef = QueryDef("udf_sqroot",
+    (s, dir) => {
+      val ctx = new GraftContext(s, dir)
+      ctx.register1("sqroot", (x: Double) => math.sqrt(x))
+      ctx.sql("""SELECT c_custkey, sqroot(c_acctbal) AS sr
+                |FROM customer WHERE c_custkey <= 100 AND c_acctbal > 0""".stripMargin)
+    },
+    Some("""SELECT c_custkey, sqrt(c_acctbal) AS sr
+           |FROM customer WHERE c_custkey <= 100 AND c_acctbal > 0""".stripMargin))
+
+  /** Native Catalyst expression through the SQL registry — vec_dot is
+    * injected by GraftExtensions (spark.sql.extensions), exercising the
+    * extension point end-to-end from SQL text.
+    */
+  val udfVecDot: QueryDef = QueryDef("udf_vec_dot",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT vec_id, vec_dot(embedding, embedding) AS sq_norm
+              |FROM embeddings WHERE vec_id <= 50""".stripMargin)
+    },
+    Some("""SELECT vec_id, list_dot_product(embedding, embedding) AS sq_norm
+           |FROM embeddings WHERE vec_id <= 50""".stripMargin))
+
+  /** Unbounded stream scan + tumbling window, run to completion with
+    * Trigger.AvailableNow (reference stream scan is a stub,
+    * Stream.cs:183-194 — this one executes).
+    */
+  val streamTumble: QueryDef = QueryDef("stream_tumble",
+    (s, dir) => graft.streaming.Streams.tumbleAvailableNow(s, dir),
+    Some(s"""SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start,
+            |  COUNT(*) AS cnt, ${dsum("value")} AS sum_v
+            |FROM events GROUP BY 1""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(
+    copyCsv, ddlInsert, analyze, dsl, dslAgg, udfSqroot, udfVecDot,
+    streamTumble)
+}

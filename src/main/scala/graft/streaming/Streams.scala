@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming surface.
+  *
+  * The reference's stream scan is a planning stub
+  * (`/root/reference/qpmodel/Stream.cs:183-194` — `PhysicScanStream.Exec`
+  * does nothing); here the unbounded path actually executes:
+  * `readStream` file source → event-time window aggregate → sink. The
+  * same `window()` expressions serve the bounded corpus queries
+  * (graft.queries.WindowQueries), so batch and streaming semantics are
+  * one code path — the Spark model.
+  *
+  * At scale: the file source is replaced by Kafka with the same plan;
+  * watermarks bound state, and the windowed aggregate state is
+  * hash-partitioned by (key, window) across executors.
+  */
+object Streams {
+
+  /** Unbounded scan over the events table (schema as stored: ts arrives
+    * as nanos-long under the engine's nanosAsLong conf).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // The file stream source wants a directory; glob-filter to the one
+    // table inside the sf dir.
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window aggregate over the stream, with a watermark bounding
+    * state. Runs the bounded corpus to completion (Trigger.AvailableNow)
+    * into a memory sink and returns the result — a genuine streaming
+    * execution verified against the same DuckDB oracle as the batch
+    * tumble query.
+    */
+  def tumbleAvailableNow(spark: SparkSession, dir: String,
+                         queryName: String = "graft_stream_tumble"): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(count("*").as("cnt"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)").as("sum_v"))
+      .select(col("window.start").as("w_start"), col("cnt"), col("sum_v"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_stream_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}
