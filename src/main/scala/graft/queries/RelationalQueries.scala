@@ -141,6 +141,16 @@ object RelationalQueries {
       |  SELECT o_orderpriority AS p FROM orders WHERE o_totalprice > 430000
       |) GROUP BY p""".stripMargin)
 
+  /** §2.2 ProjectSet / set-returning function (reference PhysicProjectSet
+    * PhysicalNode.cs:1755-1819, single-SRF expansion): explode duplicates
+    * the other columns per generated row.
+    */
+  val srfExplode: QueryDef = sqlDef("srf_explode",
+    """SELECT n_nationkey, s
+      |FROM nation LATERAL VIEW explode(sequence(0, n_regionkey)) t AS s""".stripMargin,
+    """SELECT n_nationkey, unnest(generate_series(0, n_regionkey)) AS s
+      |FROM nation""".stripMargin)
+
   /** §2.1 sample scan, TABLESAMPLE ROW n analog: deterministic count
     * contract (row content is sampler-dependent, so the oracle checks the
     * cardinality the reference's `RowCntSampling` guarantees,
@@ -162,5 +172,5 @@ object RelationalQueries {
     scanProject, filter3vl, resultConst, limitTopk, sortMixed,
     aggBasic, aggEmpty, aggStddev, aggDistinct, aggRollup,
     aggGroupingSets, aggExprKey, selectDistinct,
-    unionAll, union, except, intersect, exceptAll, sampleScan)
+    unionAll, union, except, intersect, exceptAll, srfExplode, sampleScan)
 }

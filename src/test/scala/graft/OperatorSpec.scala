@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator suites over the FIXTURES.md micro tables, mirroring the
+  * reference's Executors tests (`/root/reference/test/UnitTest.cs:2507-2995`):
+  * inline SQL with inline expected rows.
+  */
+class OperatorSpec extends AnyFunSuite {
+  import TestSpark._
+
+  registerMicroTables()
+  private def sql(q: String) = rows(spark.sql(q))
+
+  test("scan + project + filter") {
+    assert(sql("SELECT a1, a2 FROM a WHERE a1 > 0") ==
+      Seq(Seq(1, 2), Seq(2, 3)))
+  }
+
+  test("filter 3VL: NULL comparisons drop rows, IS NULL keeps them") {
+    assert(sql("SELECT r1 FROM r WHERE r2 > 1") == Seq(Seq(1), Seq[Any](null)))
+    assert(sql("SELECT r1 FROM r WHERE r2 IS NULL") == Seq(Seq(2)))
+    assert(sql("SELECT r1 FROM r WHERE NOT (r2 > 1)") == Seq(Seq(0)))
+  }
+
+  test("inner join") {
+    assert(sql("SELECT a1, b2 FROM a JOIN b ON a1 = b1") ==
+      Seq(Seq(0, 1), Seq(1, 2), Seq(2, 3)))
+  }
+
+  test("left join keeps unmatched with NULLs") {
+    assert(sql("SELECT a1, b1 FROM a LEFT JOIN b ON a1 = b1 AND b1 > 1") ==
+      Seq(Seq(0, null), Seq(1, null), Seq(2, 2)))
+  }
+
+  test("theta (non-equi) nested-loop join") {
+    assert(sql("SELECT a1, b1 FROM a JOIN b ON a1 > b1") ==
+      Seq(Seq(1, 0), Seq(2, 0), Seq(2, 1)))
+  }
+
+  test("cross join cardinality") {
+    assert(sql("SELECT COUNT(*) AS c FROM a CROSS JOIN b") == Seq(Seq(9L)))
+  }
+
+  test("semi/anti via EXISTS / NOT EXISTS") {
+    assert(sql(
+      "SELECT a1 FROM a WHERE EXISTS (SELECT 1 FROM b WHERE b1 = a1 AND b2 > 2)") ==
+      Seq(Seq(2)))
+    assert(sql(
+      "SELECT a1 FROM a WHERE NOT EXISTS (SELECT 1 FROM b WHERE b1 = a1 AND b2 > 2)") ==
+      Seq(Seq(0), Seq(1)))
+  }
+
+  test("aggregation with expression keys, HAVING") {
+    assert(sql(
+      "SELECT a1 % 2 AS k, SUM(a2) AS s, COUNT(*) AS c FROM a GROUP BY a1 % 2") ==
+      Seq(Seq(0, 4L, 2L), Seq(1, 2L, 1L)))
+    assert(sql(
+      "SELECT a1 % 2 AS k, SUM(a2) AS s FROM a GROUP BY a1 % 2 HAVING COUNT(*) > 1") ==
+      Seq(Seq(0, 4L)))
+  }
+
+  test("empty-input aggregate: one row, count 0, aggs NULL") {
+    assert(sql("SELECT COUNT(*) AS c, SUM(a1) AS s, MIN(a2) AS m FROM a WHERE a1 < 0") ==
+      Seq(Seq(0L, null, null)))
+  }
+
+  test("null-skipping aggregates over r") {
+    assert(sql("SELECT COUNT(r2) AS c, SUM(r2) AS s, AVG(r2) AS a FROM r") ==
+      Seq(Seq(3L, 6L, 2.0)))
+  }
+
+  test("sort: ASC puts NULL first, DESC puts NULL last (Spark default)") {
+    assert(spark.sql("SELECT r1 FROM r ORDER BY r1").collect().toSeq.map(_.toSeq) ==
+      Seq(Seq(null), Seq(0), Seq(1), Seq(2)))
+    assert(spark.sql("SELECT r1 FROM r ORDER BY r1 DESC").collect().toSeq.map(_.toSeq) ==
+      Seq(Seq(2), Seq(1), Seq(0), Seq(null)))
+  }
+
+  test("limit with order (top-k)") {
+    assert(spark.sql("SELECT a1 FROM a ORDER BY a1 DESC LIMIT 2")
+      .collect().toSeq.map(_.toSeq) == Seq(Seq(2), Seq(1)))
+  }
+
+  test("set operations") {
+    assert(sql("SELECT a1 FROM a UNION ALL SELECT b1 FROM b").size == 6)
+    assert(sql("SELECT a1 FROM a UNION SELECT b1 FROM b") ==
+      Seq(Seq(0), Seq(1), Seq(2)))
+    assert(sql("SELECT a1 FROM a WHERE a1 > 0 EXCEPT SELECT b1 FROM b WHERE b1 > 1") ==
+      Seq(Seq(1)))
+    assert(sql("SELECT a1 FROM a INTERSECT SELECT b1 FROM b WHERE b1 > 1") ==
+      Seq(Seq(2)))
+  }
+
+  test("scalar subquery: correlated and uncorrelated") {
+    assert(sql("SELECT a1 FROM a WHERE a2 > (SELECT AVG(b2) FROM b)") ==
+      Seq(Seq(2)))
+    assert(sql(
+      "SELECT a1, (SELECT SUM(b2) FROM b WHERE b1 <= a1) AS s FROM a") ==
+      Seq(Seq(0, 1L), Seq(1, 3L), Seq(2, 6L)))
+  }
+
+  test("IN / NOT IN subquery incl. null-aware NOT IN") {
+    assert(sql("SELECT a1 FROM a WHERE a1 IN (SELECT b1 FROM b WHERE b2 > 1)") ==
+      Seq(Seq(1), Seq(2)))
+    // r3 contains NULL → NOT IN yields no rows (standard null-aware
+    // semantics; reference replicates Postgres here, ExprSubquery.cs:267-296)
+    assert(sql("SELECT a1 FROM a WHERE a1 NOT IN (SELECT r3 FROM r)") == Seq())
+  }
+
+  test("mark-join shape: IN-subquery under OR still answers correctly") {
+    assert(sql(
+      "SELECT a1 FROM a WHERE a1 IN (SELECT b1 FROM b WHERE b2 > 2) OR a2 = 1") ==
+      Seq(Seq(0), Seq(2)))
+  }
+
+  test("CTE: single and multi-reference") {
+    assert(sql("WITH t AS (SELECT a1, a2 FROM a WHERE a1 > 0) " +
+      "SELECT t1.a1 FROM t t1 JOIN t t2 ON t1.a1 = t2.a2 - 1") ==
+      Seq(Seq(1), Seq(2)))
+  }
+
+  test("CASE / CAST / LIKE / BETWEEN / IN-list battery") {
+    assert(sql("SELECT CASE WHEN a1 = 0 THEN 'z' WHEN a1 = 1 THEN 'o' END AS c FROM a") ==
+      Seq(Seq[Any](null), Seq("o"), Seq("z")))
+    assert(sql("SELECT CAST(a1 AS STRING) AS s, CAST('7' AS INT) + a1 AS i FROM a WHERE a1 = 1") ==
+      Seq(Seq("1", 8)))
+    assert(sql("SELECT a1 FROM a WHERE a1 BETWEEN 1 AND 2") == Seq(Seq(1), Seq(2)))
+    assert(sql("SELECT a1 FROM a WHERE a1 IN (0, 2, 5)") == Seq(Seq(0), Seq(2)))
+  }
+
+  test("SRF explode duplicates outer columns per element") {
+    // guard a1 >= 1: Spark's sequence(1, 0) DESCENDS ([1, 0]) rather
+    // than producing an empty array — a real footgun for SRF queries
+    assert(sql(
+      "SELECT a1, s FROM a LATERAL VIEW explode(sequence(1, a1)) t AS s WHERE a1 >= 1") ==
+      Seq(Seq(1, 1), Seq(2, 1), Seq(2, 2)))
+  }
+
+  test("DISTINCT and grouping sets (parity-plus)") {
+    assert(sql("SELECT DISTINCT a1 % 2 AS k FROM a") == Seq(Seq(0), Seq(1)))
+    assert(sql("SELECT a1 % 2 AS k, COUNT(*) AS c FROM a GROUP BY ROLLUP(a1 % 2)").size == 3)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Pipeline operators on synthetic inline fixtures with known answers. */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docsDF = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+      (3L, "completely different content about database engines and queries"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+      (5L, "spark catalyst optimizer rewrites logical plans into physical plans")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup collapses identical texts, keeps min id") {
+    val r = Dedup.exact(docsDF).collect()
+      .map(x => x.getLong(1) -> x.getLong(2)).toMap // keep_id -> n_copies
+    assert(r(1L) == 2L)            // docs 1 and 4
+    assert(r.values.sum == 5L)     // all docs accounted for
+    assert(r.size == 4)            // 4 distinct contents
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minHashPairs(docsDF, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))   // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash clusters identical docs together") {
+    val clusters = Dedup.simHashClusters(docsDF).collect()
+    assert(clusters.exists(r => r.getLong(1) == 1L && r.getLong(2) >= 2L))
+  }
+
+  test("brute-force ANN top-k ranks the nearest vector first") {
+    val s = spark
+    import s.implicits._
+    // vec 0 is nearly parallel to vec 1, orthogonal to vec 2
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.5f, 0.5f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteForceTopK(emb, emb.filter("vec_id = 0"), 3)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    assert(top == Seq(1L, 3L, 2L))
+    val ivf = Similarity.ivfTopK(emb, emb.filter("vec_id = 0"), 3)
+      .collect().map(_.getLong(2)).toSeq
+    assert(ivf == Seq(1L)) // only label-0 partition probed
+  }
+
+  test("text stats compute exact token counts and ratios") {
+    val s = spark
+    import s.implicits._
+    val one = Seq((9L, "the cat and the hat")).toDF("doc_id", "text")
+    val r = TextAnalysis.stats(one).collect().head
+    assert(r.getAs[Int]("n_words") == 5)
+    assert(r.getAs[Int]("n_types") == 4)          // 'the' repeats
+    assert(r.getAs[Double]("stopword_ratio") == 0.6) // the, and, the
+    assert(r.getAs[Int]("char_len") == 19)
+  }
+
+  test("multimodal decode: deterministic stub features from bytes") {
+    val s = spark
+    import s.implicits._
+    val one = Seq((7L, "abcd", "src", "en")).toDF("doc_id", "text", "source", "lang")
+    val r = Multimodal.decodeDocuments(spark, one).collect().head
+    assert(r.getAs[Int]("n_bytes") == 4)
+    assert(r.getAs[Int]("b0") == 'a'.toInt)
+    assert(r.getAs[Int]("checksum16") == "abcd".map(_.toInt).sum)
+  }
+
+  test("fingerprint is order-insensitive over vocabulary") {
+    val s = spark
+    import s.implicits._
+    val two = Seq((1L, "b a c"), (2L, "c b a")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(two).collect().map(_.getString(1)).toSeq
+    assert(fps.distinct.size == 1)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.Tables
+
+/** Plan-shape assertions — the Spark analog of the reference's explain
+  * substring checks (`/root/reference/test/UnitTest.cs:3565-3672`
+  * Distributed tests assert Gather/Redistribute/Broadcast counts; here we
+  * assert on physical node classes of the executed plan: broadcasts for
+  * dims, no cartesian products on equi-joins, pushed filters, partial
+  * aggregation, top-k fusion, exchange counts for repartitioning.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  Tables.registerAll(spark, sfDir)
+
+  test("dim join broadcasts (region/nation under the 64 MB threshold)") {
+    val plan = finalPlan(spark.sql(
+      "SELECT n_name, COUNT(*) AS c FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("tpch_q5 six-way join: no cartesian product anywhere") {
+    val plan = finalPlan(Queries.byName("tpch_q5").build(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("filter and projection push into the parquet scan") {
+    val plan = finalPlan(Queries.byName("scan_project").build(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(p_size), GreaterThan(p_size,30)]"), plan)
+    // pruned read schema: only the 4 referenced columns, not all 6
+    assert(plan.contains("p_retailprice") && !plan.contains("p_brand"), plan)
+  }
+
+  test("aggregation splits partial/final (two HashAggregate stages)") {
+    val plan = finalPlan(spark.sql(
+      "SELECT c_nationkey, SUM(c_acctbal) AS s FROM customer GROUP BY c_nationkey"))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("order+limit fuses to TakeOrderedAndProject (no global sort)") {
+    val plan = finalPlan(Queries.byName("limit_topk").build(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("theta join uses BroadcastNestedLoopJoin, not a blind cartesian") {
+    val plan = finalPlan(Queries.byName("join_theta_nl").build(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("repartition by key adds exactly one shuffle; chained same-key ops reuse it") {
+    import org.apache.spark.sql.functions.col
+    val df = Tables.load(spark, sfDir, "orders")
+      .repartition(col("o_custkey"))
+      .groupBy("o_custkey").count()
+    val plan = finalPlan(df)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges in:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scan->filter->project pipeline") {
+    // codegen'd operators carry the `*(stageId)` marker in the plan string
+    val plan = finalPlan(spark.sql(
+      "SELECT p_partkey, p_retailprice * 2 FROM part WHERE p_size > 10"))
+    assert(plan.contains("*(1) Project") && plan.contains("*(1) Filter"), plan)
+  }
+
+  test("uncorrelated scalar subquery executes once (Subquery reuse node)") {
+    val df = Queries.byName("subq_scalar_uncorr").build(spark, sfDir)
+    val plan = finalPlan(df)
+    assert(plan.contains("Subquery") || plan.contains("scalar-subquery"), plan)
+  }
+
+  test("vec_dot stays inside codegen (no fallback to interpreted eval)") {
+    Tables.registerAll(spark, sfDir)
+    val df = spark.sql("SELECT vec_dot(embedding, embedding) AS d FROM embeddings")
+    // doGenCode path: the vec_dot projection sits inside a codegen stage
+    // (`*(n)` marker) rather than falling back to interpreted eval
+    val plan = finalPlan(df)
+    assert(plan.contains("*(1) Project") && plan.contains("vec_dot"), plan)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.vec
+
+/** Native VecDot expression: interpreted eval vs codegen vs manual. */
+class VecDotSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("dot product matches manual left-to-right double accumulation") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.5f, -0.5f), Array(2.0f, 2.0f))
+    ).toDF("a", "b")
+    val got = df.select(vec.dot($"a", $"b")).collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(32.0, 0.0))
+  }
+
+  test("null inputs propagate to null") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Option(Array(1.0f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+    val r = df.select(vec.dot($"a", $"b")).collect()
+    assert(r.head.isNullAt(0))
+  }
+
+  test("mismatched lengths use the common prefix") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(10.0f))).toDF("a", "b")
+    assert(df.select(vec.dot($"a", $"b")).head().getDouble(0) == 10.0)
+  }
+
+  test("type check rejects non-float arrays") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0))).toDF("a", "b")
+    val e = intercept[Exception](df.select(vec.dot($"a", $"b")).collect())
+    assert(e.getMessage.toLowerCase.contains("vec_dot"))
+  }
+
+  test("cosine of identical vectors is 1.0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    assert(math.abs(df.select(vec.cosine($"a", $"b")).head().getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("SQL registry resolves vec_dot (GraftExtensions injection)") {
+    val r = spark.sql("SELECT vec_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
+      "array(cast(3.0 as float), cast(4.0 as float))) AS d").head().getDouble(0)
+    assert(r == 11.0)
+  }
+}
