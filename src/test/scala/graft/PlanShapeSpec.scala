@@ -69,6 +69,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project") && plan.contains("*(1) Filter"), plan)
   }
 
+  test("sort-based aggregate path exists (reference PhysicStreamAgg analog)") {
+    // Spark picks SortAggregate when the aggregate buffer isn't
+    // hash-aggregable; percentile with ObjectHashAggregate disabled
+    // forces the sorted path — the engine's analog of the reference's
+    // order-requiring stream aggregate (PhysicalNode.cs:1295-1453).
+    spark.conf.set("spark.sql.execution.useObjectHashAggregateExec", "false")
+    try {
+      val plan = finalPlan(spark.sql(
+        "SELECT c_nationkey, percentile(c_acctbal, 0.5) FROM customer GROUP BY c_nationkey"))
+      assert(plan.contains("SortAggregate"), plan)
+    } finally
+      spark.conf.set("spark.sql.execution.useObjectHashAggregateExec", "true")
+  }
+
   test("uncorrelated scalar subquery executes once (Subquery reuse node)") {
     val df = Queries.byName("subq_scalar_uncorr").build(spark, sfDir)
     val plan = finalPlan(df)

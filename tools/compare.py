@@ -22,20 +22,23 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 def canon(cols, rows):
+    from decimal import Decimal
+    def norm(v):
+        # Decimal scale differs between engines (1.5 vs 1.5000): compare as
+        # rounded float. NaN != NaN: map to a sentinel.
+        if isinstance(v, Decimal): v = float(v)
+        if isinstance(v, float):
+            if math.isnan(v): return "NaN"
+            v = round(v, 4)
+            if v == -0.0: v = 0.0
+        if isinstance(v, bytes): v = v.hex()
+        if isinstance(v, list):
+            v = tuple(norm(x) for x in v)
+        return v
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = round(v, 4)
-                if v == -0.0: v = 0.0
-            if isinstance(v, bytes): v = v.hex()
-            if isinstance(v, list):
-                v = tuple(round(x, 4) if isinstance(x, float) else x for x in v)
-            vals.append(v)
-        out.append(tuple(vals))
+        out.append(tuple(norm(r[i]) for i in order))
     key = lambda row: tuple((x is None, str(x)) for x in row)
     return sorted(cols), sorted(out, key=key)
 
