@@ -9,6 +9,8 @@ import graft.queries._
 object Queries {
   def all: Seq[QueryDef] =
     TpchQueries.defs ++
+      Tpch2Queries.defs ++
+      SubqueryBattery.defs ++
       RelationalQueries.defs ++
       JoinQueries.defs ++
       ExprQueries.defs ++

@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.sameSql
+import Sql._
+
+/** Second wave of TPC-H analogs — the remaining queries expressible over
+  * the driver's schema (no partsupp; no shipmode/commitdate/receiptdate/
+  * phone columns — predicates adapted, plan shapes preserved). Mirrors
+  * the reference's 22/22 corpus (`/root/reference/test/regress/expect/
+  * tpch0001/`).
+  *
+  * Determinism notes: l_quantity is integer-valued, so plain AVG over it
+  * is exact in double arithmetic at any parallelism; all other double
+  * sums go through the exact DECIMAL casts (Sql.dsum).
+  */
+object Tpch2Queries {
+
+  /** Q4: order priority checking — EXISTS decorrelated to semi join. */
+  val q4: QueryDef = sameSql("tpch_q4",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1996-01-01'
+      |  AND o_orderdate < DATE '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority""".stripMargin,
+    bench = true)
+
+  /** Q7: volume shipping between two nations (double nation join with
+    * disjunctive pairing).
+    */
+  val q7: QueryDef = sameSql("tpch_q7",
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |  ${dsum("volume", 6)} AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    YEAR(l_shipdate) AS l_year,
+       |    l_extendedprice * (1 - l_discount) AS volume
+       |  FROM supplier
+       |  JOIN lineitem ON s_suppkey = l_suppkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       |) GROUP BY supp_nation, cust_nation, l_year""".stripMargin)
+
+  /** Q8: market share — conditional-sum ratio over a nested join tree. */
+  val q8: QueryDef = sameSql("tpch_q8",
+    s"""SELECT o_year,
+       |  ${dsum("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END", 6)} /
+       |    ${dsum("volume", 6)} AS mkt_share
+       |FROM (
+       |  SELECT YEAR(o_orderdate) AS o_year,
+       |    l_extendedprice * (1 - l_discount) AS volume,
+       |    n1.n_name AS nation
+       |  FROM part
+       |  JOIN lineitem ON p_partkey = l_partkey
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  JOIN region ON n2.n_regionkey = r_regionkey
+       |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+       |    AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+       |) GROUP BY o_year""".stripMargin)
+
+  /** Q13: customer order-count distribution — outer join + double agg. */
+  val q13: QueryDef = sameSql("tpch_q13",
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      |  GROUP BY c_custkey
+      |) GROUP BY c_count""".stripMargin,
+    bench = true)
+
+  /** Q14: promotion effect — conditional-sum percentage. */
+  val q14: QueryDef = sameSql("tpch_q14",
+    s"""SELECT 100.0 *
+       |  ${dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 6)} /
+       |  ${dsum("l_extendedprice * (1 - l_discount)", 6)} AS promo_revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= DATE '1996-09-01'
+       |  AND l_shipdate < DATE '1996-10-01'""".stripMargin)
+
+  /** Q15: top supplier — CTE referenced twice (revenue + its max). */
+  val q15: QueryDef = sameSql("tpch_q15",
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |    ${dsum("l_extendedprice * (1 - l_discount)", 6)} AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""".stripMargin)
+
+  /** Q17: small-quantity-order revenue — correlated scalar AVG subquery
+    * (AVG over integer-valued doubles: exact at any parallelism).
+    */
+  val q17: QueryDef = sameSql("tpch_q17",
+    s"""SELECT ${dsum("l_extendedprice")} / 7.0 AS avg_yearly
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE p_brand = 'Brand#1'
+       |  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+       |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    bench = true)
+
+  /** Q19: disjunctive join predicates (OR of conjunct groups spanning
+    * both tables — the reference keeps these as join filters).
+    */
+  val q19: QueryDef = sameSql("tpch_q19",
+    s"""SELECT ${dsum("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       |       AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       |       AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+
+  /** Q22: global sales opportunity — anti join + uncorrelated scalar
+    * threshold (cntrycode adapted: schema has no phone column).
+    */
+  val q22: QueryDef = sameSql("tpch_q22",
+    s"""SELECT cntrycode, COUNT(*) AS numcust, ${dsum("c_acctbal")} AS totacctbal
+       |FROM (
+       |  SELECT CAST(c_nationkey % 7 AS INT) AS cntrycode, c_acctbal, c_custkey
+       |  FROM customer
+       |  WHERE c_acctbal > (SELECT ${davg("c2.c_acctbal")} FROM customer c2
+       |                     WHERE c2.c_acctbal > 0)
+       |) c
+       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+       |GROUP BY cntrycode""".stripMargin)
+
+  val defs: Seq[QueryDef] = Seq(q4, q7, q8, q13, q14, q15, q17, q19, q22)
+}
