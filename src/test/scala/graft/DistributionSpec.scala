@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.Tables
+
+/** Distribution parity — the Spark mapping of the reference's
+  * `distributed by / replicated / roundrobin` DDL and its exchange-count
+  * plan assertions (`/root/reference/test/UnitTest.cs:3565-3672`,
+  * `Catalog.cs:76-124`):
+  *   distributed by col → repartition(col) / bucketBy,
+  *   replicated         → broadcast,
+  *   roundrobin         → repartition(n).
+  */
+class DistributionSpec extends AnyFunSuite {
+  import TestSpark._
+
+  Tables.registerAll(spark, sfDir)
+
+  test("replicated: explicit broadcast hint forces BroadcastHashJoin") {
+    val n = broadcast(Tables.load(spark, sfDir, "nation"))
+    val c = Tables.load(spark, sfDir, "customer")
+    val plan = finalPlan(c.join(n, col("c_nationkey") === col("n_nationkey")))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("roundrobin: repartition(n) produces a round-robin exchange") {
+    val df = Tables.load(spark, sfDir, "orders").repartition(8)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("REPARTITION_BY_NUM") || plan.contains("RoundRobinPartitioning"), plan)
+  }
+
+  test("distributed-by: co-partitioned bucketed join needs NO exchange") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(wh, t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    Tables.load(spark, sfDir, "orders")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("b_orders")
+    Tables.load(spark, sfDir, "lineitem")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("b_lineitem")
+    val joined = spark.table("b_orders").join(spark.table("b_lineitem"),
+      col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey").agg(sum("l_quantity"))
+    // disable broadcast so the join must pick a partitioned strategy
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = finalPlan(joined)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+  }
+
+  test("exchange count: group-by on the join key reuses the join's shuffle") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val o = Tables.load(spark, sfDir, "orders")
+      val l = Tables.load(spark, sfDir, "lineitem")
+      val df = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey").count()
+      val plan = finalPlan(df)
+      // two scans shuffle once each for the join; the aggregate reuses
+      // that partitioning (no third exchange)
+      val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(n == 2, s"expected 2 exchanges, got $n:\n$plan")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+  }
+}
