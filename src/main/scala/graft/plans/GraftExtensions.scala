@@ -2,7 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, SessionWindow, TimeWindow}
+import org.apache.spark.sql.types.CalendarIntervalType
+import org.apache.spark.unsafe.types.CalendarInterval
 
 import graft.functions.VecDot
 
@@ -20,5 +22,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
+
+    // Reference streaming-window SQL surface (`/root/reference/qpmodel/
+    // Stream.cs:19-165`: tumble(ts, iv), hop(ts, slide, iv),
+    // session(ts, gap) as GROUP BY keys) mapped onto Catalyst's native
+    // window expressions — the TimeWindowing/SessionWindowing analyzer
+    // rules expand them exactly like window()/session_window(), yielding
+    // the grouped `window` / `session_window` struct columns.
+    // Interval literals arrive as DayTimeIntervalType (long micros) or
+    // CalendarIntervalType; TimeWindow's long-based constructor wants
+    // plain microseconds and SessionWindow wants a CalendarInterval gap.
+    def micros(e: Expression): Long = {
+      require(e.foldable, s"window duration must be a literal, got $e")
+      e.eval() match {
+        case l: java.lang.Long => l
+        case i: java.lang.Integer => i.toLong
+        case ci: CalendarInterval =>
+          require(ci.months == 0, "month-based window durations unsupported")
+          ci.days * 86400000000L + ci.microseconds
+        case other =>
+          throw new IllegalArgumentException(s"bad window duration: $other")
+      }
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("tumble"),
+      new ExpressionInfo(classOf[TimeWindow].getName, "tumble"),
+      (c: Seq[Expression]) =>
+        new TimeWindow(c(0), micros(c(1)), micros(c(1)), 0L)))
+    ext.injectFunction((
+      new FunctionIdentifier("hop"),
+      new ExpressionInfo(classOf[TimeWindow].getName, "hop"),
+      (c: Seq[Expression]) =>
+        new TimeWindow(c(0), micros(c(2)), micros(c(1)), 0L)))
+    ext.injectFunction((
+      new FunctionIdentifier("session"),
+      new ExpressionInfo(classOf[SessionWindow].getName, "session"),
+      (c: Seq[Expression]) => new SessionWindow(c(0),
+        Literal(new CalendarInterval(0, 0, micros(c(1))), CalendarIntervalType))))
   }
 }

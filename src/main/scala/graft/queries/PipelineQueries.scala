@@ -204,6 +204,26 @@ object PipelineQueries {
            |    AS bytes_per_token
            |FROM documents""".stripMargin))
 
+  /** Quality filtering — the canonical pre-training corpus gate: keep
+    * docs passing length/diversity/stopword thresholds.
+    */
+  val textQualityFilter: QueryDef = QueryDef("text_quality_filter",
+    (s, dir) => TextAnalysis.stats(docs(s, dir))
+      .filter("n_words >= 20 AND ttr > 0.2 AND stopword_ratio < 0.2")
+      .select("doc_id", "n_words", "ttr", "stopword_ratio"),
+    Some(s"""SELECT doc_id,
+            |  len(string_split(text, ' ')) AS n_words,
+            |  len(list_distinct(string_split(text, ' '))) /
+            |    len(string_split(text, ' ')) AS ttr,
+            |  len(list_filter(string_split(text, ' '), w -> w IN ($duckStop))) /
+            |    len(string_split(text, ' ')) AS stopword_ratio
+            |FROM documents
+            |WHERE len(string_split(text, ' ')) >= 20
+            |  AND len(list_distinct(string_split(text, ' '))) /
+            |    len(string_split(text, ' ')) > 0.2
+            |  AND len(list_filter(string_split(text, ' '), w -> w IN ($duckStop))) /
+            |    len(string_split(text, ' ')) < 0.2""".stripMargin))
+
   val textFingerprint: QueryDef = QueryDef("text_fingerprint",
     (s, dir) => TextAnalysis.fingerprint(docs(s, dir)),
     Some("""SELECT doc_id,
@@ -228,6 +248,6 @@ object PipelineQueries {
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,
     annTopk, annIvf,
-    textStats, textLangid, textTokens, textFingerprint,
+    textStats, textLangid, textTokens, textQualityFilter, textFingerprint,
     multimodal)
 }

@@ -86,5 +86,50 @@ object WindowQueries {
       |  LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_key
       |FROM orders WHERE o_custkey <= 50""".stripMargin)
 
-  val defs: Seq[QueryDef] = Seq(tumble, hop, session, rank, running)
+  /** Reference-dialect window SQL: `tumble(ts, iv)` as the GROUP BY key
+    * (qpmodel Stream.cs:19-40 surface), resolved via GraftExtensions'
+    * injected functions onto Catalyst's TimeWindow.
+    */
+  val tumbleDialect: QueryDef = sqlDef("window_tumble_dialect",
+    """SELECT window.start AS w_start, COUNT(*) AS cnt
+      |FROM events
+      |GROUP BY TUMBLE(ts, INTERVAL '6' HOUR)""".stripMargin,
+    """SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start, COUNT(*) AS cnt
+      |FROM events GROUP BY 1""".stripMargin)
+
+  /** Reference-dialect hop(ts, slide, size). */
+  val hopDialect: QueryDef = sqlDef("window_hop_dialect",
+    """SELECT window.start AS w_start, COUNT(*) AS cnt
+      |FROM events
+      |GROUP BY HOP(ts, INTERVAL '6' HOUR, INTERVAL '12' HOUR)""".stripMargin,
+    """SELECT time_bucket(INTERVAL '6 hours', ts) - k * INTERVAL '6 hours' AS w_start,
+      |  COUNT(*) AS cnt
+      |FROM events, (SELECT unnest([0, 1]) AS k)
+      |GROUP BY 1""".stripMargin)
+
+  /** Reference-dialect session(ts, gap) (parsed-but-unimplemented in the
+    * reference, Stream.cs:152-165 — executable here).
+    */
+  val sessionDialect: QueryDef = sqlDef("window_session_dialect",
+    """SELECT user_id, session_window.start AS s_start, COUNT(*) AS cnt
+      |FROM events
+      |WHERE user_id <= 20
+      |GROUP BY user_id, SESSION(ts, INTERVAL '30' MINUTE)""".stripMargin,
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events WHERE user_id <= 20
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT user_id, MIN(ts) AS s_start, COUNT(*) AS cnt
+      |FROM sessions GROUP BY user_id, sid""".stripMargin)
+
+  val defs: Seq[QueryDef] = Seq(tumble, hop, session, rank, running,
+    tumbleDialect, hopDialect, sessionDialect)
 }
