@@ -40,13 +40,20 @@ object Dedup {
   def minHashPairs(docs: DataFrame, k: Int = 8, bandRows: Int = 2,
                    threshold: Double = 0.8): DataFrame = {
     val sh = shingled(docs).cache()
+    // One md5 per shingle; the k minhash functions are the mins of k
+    // disjoint 16-bit (4 hex char) slices of that digest — 8x fewer hash
+    // computations than k independent salted md5s, same LSH behavior
+    // (k independent-ish uniform hashes).
+    val md = sh.selectExpr("doc_id", "s", "transform(s, w -> md5(w)) AS hs")
     val hashes = (0 until k).map(i =>
-      s"array_min(transform(s, w -> md5(concat('$i:', w)))) AS h$i")
-    val mh = sh.selectExpr("doc_id" +: hashes: _*)
+      s"array_min(transform(hs, h -> substring(h, ${4 * i + 1}, 4))) AS h$i")
+    val mh = md.selectExpr("doc_id" +: hashes: _*)
     val nBands = k / bandRows
+    // A band's bucket key is the concatenation of its minhash slices —
+    // exact equality of the pair IS the LSH test; no re-hash needed.
     val bandExprs = (0 until nBands).map { b =>
       val parts = (0 until bandRows).map(r => s"h${b * bandRows + r}")
-      s"md5(concat(${parts.mkString(", ")}))"
+      s"concat(${parts.mkString(", ")})"
     }
     val bands = mh
       .select(col("doc_id"), posexplode(expr(s"array(${bandExprs.mkString(", ")})")))

@@ -53,13 +53,15 @@ object PipelineQueries {
 
   private def duckMinhashCand: String = {
     val hashes = (0 until 8).map(i =>
-      s"  list_min(list_transform(s, w -> md5('$i:' || w))) AS h$i").mkString(",\n")
+      s"  list_min(list_transform(hs, h -> substr(h, ${4 * i + 1}, 4))) AS h$i")
+      .mkString(",\n")
     val bands = (0 until 4).map(b =>
-      s"SELECT doc_id, $b AS bidx, md5(h${2 * b} || h${2 * b + 1}) AS bval FROM mh")
+      s"SELECT doc_id, $b AS bidx, h${2 * b} || h${2 * b + 1} AS bval FROM mh")
       .mkString("\n  UNION ALL ")
-    s"""mh AS (SELECT doc_id,
+    s"""md AS (SELECT doc_id, list_transform(s, w -> md5(w)) AS hs FROM sh),
+       |mh AS (SELECT doc_id,
        |$hashes
-       |FROM sh),
+       |FROM md),
        |bands AS (
        |  $bands),
        |cand AS (
