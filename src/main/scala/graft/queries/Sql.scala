@@ -11,11 +11,27 @@ package graft.queries
   * step that both engines perform identically on the same IEEE double.
   */
 object Sql {
-  /** Order-independent exact sum of a double expression. */
+  /** Order-independent exact sum of a double expression.
+    *
+    * Two exact encodings, picked by scale:
+    *  - scale <= 4: sum scaled BIGINTs — ROUND(x*10^s) is the same
+    *    nearest-integer (half away from zero) in both engines on the same
+    *    IEEE double, long addition is exact and an order-of-magnitude
+    *    faster than decimal (primitive codegen vs BigDecimal buffer).
+    *    Magnitudes here keep the scaled sum far below 2^53, so the final
+    *    double division is exact too.
+    *  - scale > 4: DECIMAL(18,s) casts (scaled longs would overflow for
+    *    high-scale products at large scale factors; Spark's non-ANSI long
+    *    sum wraps silently where DuckDB widens to int128).
+    */
   def dsum(expr: String, scale: Int = 4): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+    if (scale <= 4) {
+      val f = math.pow(10, scale).toLong
+      s"SUM(CAST(ROUND(($expr) * $f) AS BIGINT)) / $f.0"
+    } else
+      s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
 
   /** Order-independent average (exact sum / count). */
   def davg(expr: String, scale: Int = 4): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE) / COUNT($expr)"
+    s"${dsum(expr, scale)} / COUNT($expr)"
 }

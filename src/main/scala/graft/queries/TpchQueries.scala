@@ -106,7 +106,8 @@ object TpchQueries {
        |WHERE o_orderkey IN (
        |  SELECT l_orderkey FROM lineitem
        |  GROUP BY l_orderkey
-       |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150)
+       |  -- l_quantity is integer-valued: a plain double sum is exact
+       |  HAVING SUM(l_quantity) > 150)
        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
        |ORDER BY o_totalprice DESC, o_orderkey
        |LIMIT 100""".stripMargin,
