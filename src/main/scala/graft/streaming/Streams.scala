@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming surface.
   *
@@ -59,5 +59,36 @@ object Streams {
       .start()
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  /** Custom-state records: per-user running aggregates maintained across
+    * micro-batches.
+    */
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserTotals(user_id: Long, n_events: Long, total: Double)
+
+  /** Arbitrary per-key streaming state via mapGroupsWithState — the
+    * escape hatch beyond declarative windows (the driver brief's custom
+    * state path). State is one small record per key, hash-partitioned by
+    * key across executors and carried from micro-batch to micro-batch; at
+    * 100 TB the state store (RocksDB in production) holds it off-heap
+    * per-executor, so the operator scales with keys, not events.
+    */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](
+        GroupStateTimeout.NoTimeout()) {
+        case (uid, evts, state: GroupState[UserTotals]) =>
+          val (n0, t0) = state.getOption
+            .map(s => (s.n_events, s.total)).getOrElse((0L, 0.0))
+          var n = n0
+          var t = t0
+          evts.foreach { e => n += 1; t += e.value }
+          val updated = UserTotals(uid, n, t)
+          state.update(updated)
+          updated
+      }
   }
 }

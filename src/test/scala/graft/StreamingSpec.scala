@@ -82,6 +82,30 @@ class StreamingSpec extends AnyFunSuite {
       Timestamp.valueOf("2020-05-12 07:22:56") -> 1L))
   }
 
+  test("mapGroupsWithState carries per-key state across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.Streams.{UserEvent, UserTotals, runningUserTotals}
+    val mem = MemoryStream[UserEvent]
+    val q = runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("user_totals")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_test_ckpt").toString)
+      .start()
+    try {
+      mem.addData(UserEvent(1, 2.0), UserEvent(1, 3.0), UserEvent(2, 1.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(1, 5.0)) // second batch: state must survive
+      q.processAllAvailable()
+      val latest = spark.table("user_totals").as[UserTotals].collect()
+        .groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.n_events) }
+      assert(latest(1L).n_events == 3 && latest(1L).total == 10.0)
+      assert(latest(2L).n_events == 1 && latest(2L).total == 1.0)
+    } finally q.stop()
+  }
+
   test("bounded stream scan over events parquet executes end-to-end") {
     val df = graft.streaming.Streams.tumbleAvailableNow(
       spark, sfDir, queryName = "test_stream_tumble")
