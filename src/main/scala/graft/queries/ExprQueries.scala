@@ -160,7 +160,26 @@ object ExprQueries {
     """SELECT DISTINCT l_returnflag AS f, MD5(l_returnflag) AS h
       |FROM lineitem""".stripMargin)
 
+  /** Standard-SQL 3VL truth table — deliberately NOT the reference's
+    * NULL-as-false OR (ExprFunc.cs:1148-1156); the declared contract is
+    * standard SQL (SURVEY §7.4), which DuckDB verifies here.
+    */
+  val threeVL: QueryDef = sameSql("conformance_3vl",
+    """SELECT
+      |  (NULL AND FALSE) AS and_nf,
+      |  (NULL AND TRUE) IS NULL AS and_nt_is_null,
+      |  (NULL OR TRUE) AS or_nt,
+      |  (NULL OR FALSE) IS NULL AS or_nf_is_null,
+      |  (NOT NULL) IS NULL AS not_null_is_null""".stripMargin)
+
+  /** Explicit NULLS LAST ordering made observable through LIMIT. */
+  val sortNullsLast: QueryDef = sameSql("sort_nulls_last",
+    """SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS st
+      |FROM orders
+      |ORDER BY st NULLS LAST, o_orderkey
+      |LIMIT 20""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
     arith, compareBool, nullTests, like, inList, between, caseExpr, cast,
-    stringFuncs, mathFuncs, dateFuncs, hashMd5)
+    stringFuncs, mathFuncs, dateFuncs, hashMd5, threeVL, sortNullsLast)
 }
