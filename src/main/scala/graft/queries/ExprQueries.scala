@@ -179,7 +179,43 @@ object ExprQueries {
       |ORDER BY st NULLS LAST, o_orderkey
       |LIMIT 20""".stripMargin)
 
+  /** Extended string battery: pad/split/array indexing (dialect: Spark
+    * element_at vs DuckDB 1-based subscript; split is regex in Spark,
+    * literal in string_split).
+    */
+  val stringFuncs2: QueryDef = sqlDef("expr_string2",
+    """SELECT p_partkey,
+      |  LPAD(p_brand, 12, '*') AS lp,
+      |  RPAD(p_brand, 12, '-') AS rp,
+      |  ELEMENT_AT(SPLIT(p_brand, '#'), 1) AS brand_word,
+      |  ELEMENT_AT(SPLIT(p_brand, '#'), 2) AS brand_num,
+      |  REVERSE(p_type) AS rev,
+      |  INSTR(p_name, 'a') AS pos_a
+      |FROM part WHERE p_partkey <= 100""".stripMargin,
+    """SELECT p_partkey,
+      |  LPAD(p_brand, 12, '*') AS lp,
+      |  RPAD(p_brand, 12, '-') AS rp,
+      |  string_split(p_brand, '#')[1] AS brand_word,
+      |  string_split(p_brand, '#')[2] AS brand_num,
+      |  REVERSE(p_type) AS rev,
+      |  INSTR(p_name, 'a') AS pos_a
+      |FROM part WHERE p_partkey <= 100""".stripMargin)
+
+  /** Extended math battery: ln/exp/log10/sign/greatest/least (libm
+    * differences are sub-ulp, far under the 4-decimal canon).
+    */
+  val mathFuncs2: QueryDef = sameSql("expr_math2",
+    """SELECT l_orderkey, l_linenumber,
+      |  LN(l_extendedprice) AS lnp,
+      |  LOG10(l_extendedprice) AS lg,
+      |  EXP(l_discount) AS ex,
+      |  SIGN(l_quantity - 25) AS sg,
+      |  GREATEST(l_quantity, l_discount * 100, 10.0) AS gr,
+      |  LEAST(l_quantity, l_tax * 100) AS ls
+      |FROM lineitem WHERE l_orderkey <= 60""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
     arith, compareBool, nullTests, like, inList, between, caseExpr, cast,
-    stringFuncs, mathFuncs, dateFuncs, hashMd5, threeVL, sortNullsLast)
+    stringFuncs, mathFuncs, dateFuncs, hashMd5, threeVL, sortNullsLast,
+    stringFuncs2, mathFuncs2)
 }
