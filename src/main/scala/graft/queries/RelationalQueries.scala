@@ -141,6 +141,22 @@ object RelationalQueries {
       |  SELECT o_orderpriority AS p FROM orders WHERE o_totalprice > 430000
       |) GROUP BY p""".stripMargin)
 
+  /** Inline VALUES relation (parity-plus; reference builds constant
+    * relations only via no-FROM selects).
+    */
+  val valuesList: QueryDef = sameSql("values_list",
+    """SELECT t.x, t.y, n_name
+      |FROM (VALUES (0, 'alpha'), (1, 'beta'), (2, 'gamma')) AS t(x, y)
+      |JOIN nation ON n_nationkey = t.x""".stripMargin)
+
+  /** GROUPING() indicator distinguishing rollup NULLs from data NULLs. */
+  val aggGroupingFn: QueryDef = sameSql("agg_grouping_fn",
+    """SELECT l_returnflag, l_linestatus,
+      |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+      |  COUNT(*) AS cnt
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)
+
   /** §2.2 ProjectSet / set-returning function (reference PhysicProjectSet
     * PhysicalNode.cs:1755-1819, single-SRF expansion): explode duplicates
     * the other columns per generated row.
@@ -172,5 +188,6 @@ object RelationalQueries {
     scanProject, filter3vl, resultConst, limitTopk, sortMixed,
     aggBasic, aggEmpty, aggStddev, aggDistinct, aggRollup,
     aggGroupingSets, aggExprKey, selectDistinct,
-    unionAll, union, except, intersect, exceptAll, srfExplode, sampleScan)
+    unionAll, union, except, intersect, exceptAll, srfExplode, sampleScan,
+    valuesList, aggGroupingFn)
 }

@@ -83,6 +83,49 @@ class PlanShapeSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.execution.useObjectHashAggregateExec", "true")
   }
 
+  test("outer-join simplification: null-rejecting WHERE turns LOJ inner " +
+    "(reference trySimplifyOuterJoin, subquery.cs:511-541)") {
+    val df = spark.sql(
+      """SELECT c_custkey, o_orderkey FROM customer
+        |LEFT JOIN orders ON c_custkey = o_custkey
+        |WHERE o_totalprice > 0""".stripMargin)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.contains("Join Inner") && !logical.contains("LeftOuter"), logical)
+  }
+
+  test("always-false filter prunes to an empty relation " +
+    "(reference NormalizeClause/FALSE pushdown, stmt.cs:733-761)") {
+    val df = spark.sql("SELECT c_custkey FROM customer WHERE 1 = 0")
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.contains("LocalRelation") && !logical.contains("Filter"), logical)
+    assert(df.count() == 0)
+  }
+
+  test("constant folding evaluates literal arithmetic at plan time " +
+    "(reference Normalizer.cs:116-151)") {
+    val df = spark.sql(
+      "SELECT c_custkey FROM customer WHERE c_custkey < 10 + 20 * 2")
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.contains("50") && !logical.contains("20 * 2"), logical)
+  }
+
+  test("ANALYZE feeds row-count statistics into the optimizer " +
+    "(reference ANALYZE -> CE, Statis.cs)") {
+    spark.sql("DROP TABLE IF EXISTS stats_probe")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(wh, "stats_probe")
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    spark.sql("CREATE TABLE stats_probe USING PARQUET AS SELECT * FROM nation")
+    spark.sql("ANALYZE TABLE stats_probe COMPUTE STATISTICS FOR ALL COLUMNS")
+    val stats = spark.table("stats_probe").queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(25)), stats)
+    assert(stats.attributeStats.nonEmpty, "expected column-level stats")
+  }
+
   test("uncorrelated scalar subquery executes once (Subquery reuse node)") {
     val df = Queries.byName("subq_scalar_uncorr").build(spark, sfDir)
     val plan = finalPlan(df)
