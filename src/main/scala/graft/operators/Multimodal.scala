@@ -19,9 +19,12 @@ object Multimodal {
   final case class Payload(doc_id: Long, payload: Array[Byte],
                            source: String, lang: String)
 
-  /** Output of the (stub) decoder: deterministic pseudo-features. */
+  /** Output of the (stub) decoder: deterministic pseudo-features plus a
+    * frame sample (every 64th byte, ≤4 frames — the video frame-sampling
+    * shape: payload → bounded per-frame features).
+    */
   final case class Meta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
-                        b0: Int, checksum16: Int)
+                        b0: Int, checksum16: Int, frame_bytes: Seq[Int])
 
   /** STUB decoder: stands in for image decode / resize / frame-sample.
     * Deterministic byte arithmetic so the DuckDB oracle can re-derive the
@@ -35,7 +38,9 @@ object Multimodal {
       width = n % 64,
       height = (n / 64) % 64,
       b0 = if (n > 0) p.payload(0) & 0xff else -1,
-      checksum16 = p.payload.take(16).map(_ & 0xff).sum)
+      checksum16 = p.payload.take(16).map(_ & 0xff).sum,
+      frame_bytes = (0 until math.min(4, (n + 63) / 64))
+        .map(k => p.payload(k * 64) & 0xff))
   }
 
   /** Build binary payloads from the documents table (utf-8 bytes stand in

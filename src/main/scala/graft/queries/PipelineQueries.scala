@@ -244,7 +244,9 @@ object PipelineQueries {
            |  (length(text) // 64) % 64 AS height,
            |  ascii(substr(text, 1, 1)) AS b0,
            |  CAST(list_sum(list_transform(generate_series(1, 16),
-           |    i -> ascii(substr(text, i, 1)))) AS INT) AS checksum16
+           |    i -> ascii(substr(text, i, 1)))) AS INT) AS checksum16,
+           |  list_transform(generate_series(0, least(3, (length(text) - 1) // 64)),
+           |    k -> ascii(substr(text, k * 64 + 1, 1))) AS frame_bytes
            |FROM documents""".stripMargin))
 
   val defs: Seq[QueryDef] = Seq(

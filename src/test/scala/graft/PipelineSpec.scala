@@ -74,11 +74,19 @@ class PipelineSpec extends AnyFunSuite {
   test("multimodal decode: deterministic stub features from bytes") {
     val s = spark
     import s.implicits._
-    val one = Seq((7L, "abcd", "src", "en")).toDF("doc_id", "text", "source", "lang")
-    val r = Multimodal.decodeDocuments(spark, one).collect().head
+    val long = "x" * 130 // spans 3 frame offsets (0, 64, 128)
+    val one = Seq((7L, "abcd", "src", "en"), (8L, long, "src", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val rows = Multimodal.decodeDocuments(spark, one).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r = rows(7L)
     assert(r.getAs[Int]("n_bytes") == 4)
     assert(r.getAs[Int]("b0") == 'a'.toInt)
     assert(r.getAs[Int]("checksum16") == "abcd".map(_.toInt).sum)
+    def frames(id: Long): Seq[Int] =
+      rows(id).getAs[scala.collection.Seq[Int]]("frame_bytes").toSeq
+    assert(frames(7L) == Seq('a'.toInt))
+    assert(frames(8L) == Seq('x'.toInt, 'x'.toInt, 'x'.toInt))
   }
 
   test("fingerprint is order-insensitive over vocabulary") {
