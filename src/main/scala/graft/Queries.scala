@@ -15,6 +15,7 @@ object Queries {
       JoinQueries.defs ++
       ExprQueries.defs ++
       WindowQueries.defs ++
+      EventQueries.defs ++
       PipelineQueries.defs ++
       SourceSinkQueries.defs
 

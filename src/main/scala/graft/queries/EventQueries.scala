@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.{sameSql, sqlDef}
+import Sql._
+
+/** Event-stream analytics over `events` + statistical aggregates —
+  * the semi-structured (JSON props) and sequence-analysis surface a
+  * telemetry pipeline needs.
+  */
+object EventQueries {
+
+  /** JSON extraction from the string `props` column (Spark
+    * get_json_object vs DuckDB json_extract_string).
+    */
+  val json: QueryDef = sqlDef("expr_json",
+    """SELECT event_id,
+      |  CAST(GET_JSON_OBJECT(props, '$.k') AS INT) AS k_val
+      |FROM events WHERE event_id <= 200""".stripMargin,
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+      |FROM events WHERE event_id <= 200""".stripMargin)
+
+  /** Funnel step detection: view → click transitions per user via
+    * lead() sequencing (deterministic total order: ts then event_id).
+    */
+  val funnel: QueryDef = sameSql("event_funnel",
+    """SELECT COUNT(*) AS view_to_click
+      |FROM (
+      |  SELECT event_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS next_type
+      |  FROM events)
+      |WHERE event_type = 'view' AND next_type = 'click'""".stripMargin)
+
+  /** Per-type event rollup with decimal-exact value sums. */
+  val byType: QueryDef = sameSql("event_by_type",
+    s"""SELECT event_type, COUNT(*) AS cnt,
+       |  ${dsum("value")} AS total_value,
+       |  COUNT(DISTINCT user_id) AS n_users
+       |FROM events GROUP BY event_type""".stripMargin)
+
+  /** Exact interpolated percentiles (Spark percentile ≡ DuckDB
+    * quantile_cont on the same sorted values).
+    */
+  val percentile: QueryDef = sqlDef("agg_percentile",
+    """SELECT l_returnflag,
+      |  PERCENTILE(l_quantity, 0.5) AS med,
+      |  PERCENTILE(l_quantity, 0.9) AS p90
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS med,
+      |  quantile_cont(l_quantity, 0.9) AS p90
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+
+  /** Correlation / covariance aggregates (rounded: both engines stream
+    * in different orders; 6 dp is far above the drift).
+    */
+  val corr: QueryDef = sameSql("agg_corr",
+    """SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS c_qp,
+      |  ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS cv_qd
+      |FROM lineitem""".stripMargin)
+
+  /** Approximate distinct (HLL) sanity gate: the sketch must land within
+    * 5% of the exact count. The approx value itself is engine-specific,
+    * so the verified output is the bound check, not the estimate.
+    */
+  val approxDistinct: QueryDef = QueryDef("approx_distinct_sanity",
+    (s, dir) => {
+      graft.catalog.Tables.registerAll(s, dir)
+      s.sql("""SELECT
+              |  (ABS(APPROX_COUNT_DISTINCT(user_id) -
+              |       COUNT(DISTINCT user_id)) <=
+              |   0.05 * COUNT(DISTINCT user_id)) AS within_5pct
+              |FROM events""".stripMargin)
+    },
+    Some("SELECT TRUE AS within_5pct"))
+
+  val defs: Seq[QueryDef] = Seq(
+    json, funnel, byType, percentile, corr, approxDistinct)
+}
