@@ -94,6 +94,41 @@ object Dedup {
       .filter(col("n_docs") > 1)
   }
 
+  /** SimHash near-pair search with Hamming tolerance: split the `bits`-bit
+    * fingerprint into `chunks` equal slices — any pair within Hamming
+    * distance < chunks shares at least one identical slice (pigeonhole),
+    * so a bucket-join on (slice idx, slice value) finds all such pairs
+    * without comparing the corpus pairwise; the exact Hamming distance is
+    * then verified per candidate.
+    */
+  def simHashNearPairs(docs: DataFrame, bits: Int = 32, chunks: Int = 4,
+                       maxHamming: Int = 1): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    val bitExprs = (0 until bits).map(k =>
+      s"""CASE WHEN aggregate(ws, 0, (acc, w) ->
+         |  acc + (CASE WHEN substring(md5(concat('$k:', w)), 1, 1) >= '8'
+         |              THEN 1 ELSE -1 END)) > 0
+         |THEN '1' ELSE '0' END""".stripMargin)
+    val fps = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .selectExpr("doc_id", s"concat(${bitExprs.mkString(", ")}) AS fp")
+      .cache()
+    val w = bits / chunks
+    val chunked = fps.select(col("doc_id"), col("fp"),
+        posexplode(expr(
+          s"transform(sequence(0, ${chunks - 1}), c -> substring(fp, c * $w + 1, $w))")))
+      .toDF("doc_id", "fp", "cidx", "cval")
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.cidx") === col("b.cidx") && col("a.cval") === col("b.cval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr(s"""size(filter(sequence(1, $bits),
+                |  i -> substring(a.fp, i, 1) != substring(b.fp, i, 1)))""".stripMargin)
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Character 4-gram Jaccard over a bounded candidate set (the MinHash
     * band candidates) — a second, finer similarity measure for the pairs
     * the LSH sweep surfaced. Candidate-bounded: never all-pairs.

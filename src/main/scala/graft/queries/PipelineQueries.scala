@@ -97,6 +97,32 @@ object PipelineQueries {
          |FROM fps GROUP BY fingerprint HAVING COUNT(*) > 1""".stripMargin
     })
 
+  val dedupSimhashPairs: QueryDef = QueryDef("dedup_simhash_pairs",
+    (s, dir) => Dedup.simHashNearPairs(docs(s, dir)),
+    Some {
+      val bits = (0 until 32).map(k =>
+        s"""CASE WHEN list_sum(list_transform(ws,
+           |  w -> CASE WHEN substr(md5('$k:' || w), 1, 1) >= '8'
+           |       THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END""".stripMargin)
+        .mkString(", ")
+      s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |fps AS (SELECT doc_id, concat($bits) AS fp FROM words),
+         |chunked AS (
+         |  SELECT doc_id, fp, c AS cidx, substr(fp, c * 8 + 1, 8) AS cval
+         |  FROM fps, (SELECT unnest(generate_series(0, 3)) AS c)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.fp AS fa, b.fp AS fb
+         |  FROM chunked a JOIN chunked b
+         |    ON a.cidx = b.cidx AND a.cval = b.cval AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  len(list_filter(generate_series(1, 32),
+         |      i -> substr(fa, i, 1) != substr(fb, i, 1))) AS hamming
+         |FROM cand
+         |WHERE len(list_filter(generate_series(1, 32),
+         |      i -> substr(fa, i, 1) != substr(fb, i, 1))) <= 1""".stripMargin
+    })
+
   val dedupNgram: QueryDef = QueryDef("dedup_ngram_jaccard",
     (s, dir) => Dedup.charNgramJaccard(docs(s, dir)),
     Some(s"""WITH $duckShingles,
@@ -250,7 +276,8 @@ object PipelineQueries {
            |FROM documents""".stripMargin))
 
   val defs: Seq[QueryDef] = Seq(
-    dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,
+    dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs, dedupNgram,
+    dedupEmbedding,
     annTopk, annIvf,
     textStats, textLangid, textTokens, textQualityFilter, textFingerprint,
     multimodal)
