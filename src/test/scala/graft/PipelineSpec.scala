@@ -42,6 +42,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(clusters.exists(r => r.getLong(1) == 1L && r.getLong(2) >= 2L))
   }
 
+  test("simhash hamming-LSH finds exact dups at distance 0") {
+    val pairs = Dedup.simHashNearPairs(docsDF).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 4L)).contains(0)) // identical text -> hamming 0
+  }
+
   test("brute-force ANN top-k ranks the nearest vector first") {
     val s = spark
     import s.implicits._
