@@ -18,6 +18,9 @@ import graft.functions.VecDot
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Replicated-table distribution parity (see ReplicatedTableHints).
+    ext.injectOptimizerRule(_ => new ReplicatedTableHints)
+
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

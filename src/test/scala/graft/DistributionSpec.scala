@@ -26,6 +26,17 @@ class DistributionSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"), plan)
   }
 
+  test("replicated-table rule broadcasts dims even with threshold off") {
+    // no explicit broadcast() call; ReplicatedTableHints must add the hint
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = finalPlan(spark.sql(
+        "SELECT n_name, COUNT(*) AS c FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"))
+      assert(plan.contains("BroadcastHashJoin"), plan)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+  }
+
   test("roundrobin: repartition(n) produces a round-robin exchange") {
     val df = Tables.load(spark, sfDir, "orders").repartition(8)
     df.write.format("noop").mode("overwrite").save()
