@@ -170,7 +170,26 @@ object SourceSinkQueries {
             |  COUNT(*) AS cnt, ${dsum("value")} AS sum_v
             |FROM events GROUP BY 1""".stripMargin))
 
+  /** CREATE TEMPORARY VIEW DDL surface + query-through-view. */
+  val ddlTempView: QueryDef = QueryDef("ddl_temp_view",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW big_cust AS
+              |SELECT c_custkey, c_nationkey, c_acctbal
+              |FROM customer WHERE c_acctbal > 8000""".stripMargin)
+      s.sql(s"""SELECT c_nationkey, COUNT(*) AS cnt, ${dsum("c_acctbal")} AS bal
+               |FROM big_cust GROUP BY c_nationkey""".stripMargin)
+    },
+    Some(s"""SELECT c_nationkey, COUNT(*) AS cnt, ${dsum("c_acctbal")} AS bal
+            |FROM customer WHERE c_acctbal > 8000
+            |GROUP BY c_nationkey""".stripMargin))
+
+  /** HAVING on a global aggregate (no GROUP BY) — NIST-style edge. */
+  val havingNoGroupBy: QueryDef = QueryDef.sameSql("having_no_groupby",
+    """SELECT COUNT(*) AS c, MIN(o_orderkey) AS mn FROM orders
+      |HAVING COUNT(*) > 10 AND MAX(o_totalprice) > 0""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
     copyCsv, ddlInsert, analyze, dsl, dslAgg, udfSqroot, udfVecDot,
-    streamTumble)
+    streamTumble, ddlTempView, havingNoGroupBy)
 }
