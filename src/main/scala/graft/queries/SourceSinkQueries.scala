@@ -170,6 +170,24 @@ object SourceSinkQueries {
             |  COUNT(*) AS cnt, ${dsum("value")} AS sum_v
             |FROM events GROUP BY 1""".stripMargin))
 
+  /** Partitioned-table write + partition-pruned read: the storage layout
+    * that makes selective scans at 100 TB touch one directory instead of
+    * the table. PlanShapeSpec asserts the pruning.
+    */
+  val ddlPartitioned: QueryDef = QueryDef("ddl_partitioned_prune",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      dropTableAndLocation(s, "orders_part")
+      s.sql("""CREATE TABLE orders_part USING PARQUET
+              |PARTITIONED BY (o_orderstatus)
+              |AS SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+              |FROM orders""".stripMargin)
+      s.sql(s"""SELECT COUNT(*) AS cnt, ${dsum("o_totalprice")} AS tot
+               |FROM orders_part WHERE o_orderstatus = 'F'""".stripMargin)
+    },
+    Some(s"""SELECT COUNT(*) AS cnt, ${dsum("o_totalprice")} AS tot
+            |FROM orders WHERE o_orderstatus = 'F'""".stripMargin))
+
   /** CREATE TEMPORARY VIEW DDL surface + query-through-view. */
   val ddlTempView: QueryDef = QueryDef("ddl_temp_view",
     (s, dir) => {
@@ -191,5 +209,5 @@ object SourceSinkQueries {
 
   val defs: Seq[QueryDef] = Seq(
     copyCsv, ddlInsert, analyze, dsl, dslAgg, udfSqroot, udfVecDot,
-    streamTumble, ddlTempView, havingNoGroupBy)
+    streamTumble, ddlPartitioned, ddlTempView, havingNoGroupBy)
 }

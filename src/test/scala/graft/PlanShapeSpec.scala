@@ -126,6 +126,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(stats.attributeStats.nonEmpty, "expected column-level stats")
   }
 
+  test("partitioned table scan prunes to the filtered partition") {
+    Queries.byName("ddl_partitioned_prune").build(spark, sfDir).collect()
+    val df = spark.sql(
+      "SELECT COUNT(*) FROM orders_part WHERE o_orderstatus = 'F'")
+    val plan = finalPlan(df)
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"), plan)
+    // the status filter is satisfied by pruning, not row-level filtering
+    assert(!plan.contains("PushedFilters: [IsNotNull(o_orderstatus)"), plan)
+  }
+
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    Queries.byName("ddl_partitioned_prune").build(spark, sfDir).collect()
+    // non-foldable dim filter (on a different column than the join key)
+    // so static constant propagation can't pre-prune; stats-based
+    // skipping disabled because the test tables are tiny
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10.0")
+    try {
+      val df = spark.sql(
+        """SELECT COUNT(*) FROM orders_part
+          |JOIN (SELECT DISTINCT o_orderstatus AS st FROM orders
+          |      WHERE o_totalprice > 400000) dim
+          |ON orders_part.o_orderstatus = dim.st""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"), plan)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    }
+  }
+
   test("uncorrelated scalar subquery executes once (Subquery reuse node)") {
     val df = Queries.byName("subq_scalar_uncorr").build(spark, sfDir)
     val plan = finalPlan(df)
