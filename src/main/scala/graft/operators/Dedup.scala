@@ -42,12 +42,15 @@ object Dedup {
     val sh = shingled(docs).cache()
     // One md5 per shingle; the k minhash functions are the mins of k
     // disjoint 16-bit (4 hex char) slices of that digest — 8x fewer hash
-    // computations than k independent salted md5s, same LSH behavior
-    // (k independent-ish uniform hashes).
-    val md = sh.selectExpr("doc_id", "s", "transform(s, w -> md5(w)) AS hs")
-    val hashes = (0 until k).map(i =>
-      s"array_min(transform(hs, h -> substring(h, ${4 * i + 1}, 4))) AS h$i")
-    val mh = md.selectExpr("doc_id" +: hashes: _*)
+    // computations than k independent salted md5s, same LSH behavior.
+    // Computed by the native fused MinHashSignature expression (one
+    // codegen'd pass; the composable transform/array_min HOF form is
+    // interpreted and ~2x slower — see that class's scaladoc).
+    val mh = sh
+      .select(col("doc_id"),
+        graft.functions.MinHashSignature(col("s"), k, 4).as("sig"))
+      .selectExpr("doc_id" +:
+        (0 until k).map(i => s"element_at(sig, ${i + 1}) AS h$i"): _*)
     val nBands = k / bandRows
     // A band's bucket key is the concatenation of its minhash slices —
     // exact equality of the pair IS the LSH test; no re-hash needed.

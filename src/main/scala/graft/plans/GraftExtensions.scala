@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.CalendarIntervalType
 import org.apache.spark.unsafe.types.CalendarInterval
 
-import graft.functions.VecDot
+import graft.functions.{MinHashSignature, VecDot}
 
 /** Engine extension point, loaded via `spark.sql.extensions`.
   *
@@ -32,6 +32,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // window expressions — the TimeWindowing/SessionWindowing analyzer
     // rules expand them exactly like window()/session_window(), yielding
     // the grouped `window` / `session_window` struct columns.
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (c: Seq[Expression]) => MinHashSignature(c(0),
+        c(1).eval().asInstanceOf[Int], c(2).eval().asInstanceOf[Int])))
+
     // Interval literals arrive as DayTimeIntervalType (long micros) or
     // CalendarIntervalType; TimeWindow's long-based constructor wants
     // plain microseconds and SessionWindow wants a CalendarInterval gap.

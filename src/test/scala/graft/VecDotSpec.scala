@@ -55,4 +55,25 @@ class VecDotSpec extends AnyFunSuite {
       "array(cast(3.0 as float), cast(4.0 as float))) AS d").head().getDouble(0)
     assert(r == 11.0)
   }
+
+  test("minhash_sig equals the composable transform/array_min form") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Tuple1(Seq("alpha", "beta", "gamma", "delta"))).toDF("s")
+    val native = df.select(
+        graft.functions.MinHashSignature($"s", 8, 4).as("sig"))
+      .selectExpr((0 until 8).map(i => s"element_at(sig, ${i + 1})"): _*)
+      .head().toSeq
+    val composed = df
+      .selectExpr("transform(s, w -> md5(w)) AS hs")
+      .selectExpr((0 until 8).map(i =>
+        s"array_min(transform(hs, h -> substring(h, ${4 * i + 1}, 4)))"): _*)
+      .head().toSeq
+    assert(native == composed)
+    // and through the SQL registry
+    val viaSql = spark.sql(
+      "SELECT element_at(minhash_sig(array('alpha','beta'), 8, 4), 1) AS h")
+      .head().getString(0)
+    assert(viaSql.length == 4)
+  }
 }
