@@ -80,18 +80,13 @@ object Dedup {
   /** SimHash near-dup clustering: `bits`-dimensional signed fingerprint
     * over word hashes; identical fingerprints cluster together (single
     * shuffle on the fingerprint — scale-equivalent to exact dedup).
-    * Bit k is the sign of the sum over words of ±1 by the high bit of
-    * md5(k:word).
+    * Bit k is the sign of the sum over words of ±1 by digest bit k
+    * (native fused SimHashFingerprint: one md5 per word, one pass).
     */
   def simHashClusters(docs: DataFrame, bits: Int = 16): DataFrame = {
-    val bitExprs = (0 until bits).map(k =>
-      s"""CASE WHEN aggregate(ws, 0, (acc, w) ->
-         |  acc + (CASE WHEN substring(md5(concat('$k:', w)), 1, 1) >= '8'
-         |              THEN 1 ELSE -1 END)) > 0
-         |THEN '1' ELSE '0' END""".stripMargin)
     docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .selectExpr("doc_id",
-        s"concat(${bitExprs.mkString(", ")}) AS fingerprint")
+      .select(col("doc_id"),
+        graft.functions.SimHashFingerprint(col("ws"), bits).as("fingerprint"))
       .groupBy("fingerprint")
       .agg(min("doc_id").as("keep_id"), count("*").as("n_docs"))
       .filter(col("n_docs") > 1)
@@ -107,13 +102,9 @@ object Dedup {
   def simHashNearPairs(docs: DataFrame, bits: Int = 32, chunks: Int = 4,
                        maxHamming: Int = 1): DataFrame = {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
-    val bitExprs = (0 until bits).map(k =>
-      s"""CASE WHEN aggregate(ws, 0, (acc, w) ->
-         |  acc + (CASE WHEN substring(md5(concat('$k:', w)), 1, 1) >= '8'
-         |              THEN 1 ELSE -1 END)) > 0
-         |THEN '1' ELSE '0' END""".stripMargin)
     val fps = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .selectExpr("doc_id", s"concat(${bitExprs.mkString(", ")}) AS fp")
+      .select(col("doc_id"),
+        graft.functions.SimHashFingerprint(col("ws"), bits).as("fp"))
       .cache()
     val w = bits / chunks
     val chunked = fps.select(col("doc_id"), col("fp"),

@@ -82,31 +82,33 @@ object PipelineQueries {
             |    len(list_distinct(list_concat(a.s, b.s))) >= 0.8""".stripMargin),
     bench = true)
 
+  /** DuckDB mirror of the native SimHashFingerprint bit k: md5 digest
+    * bit k = bit (3 - k%4) of hex nibble k/4.
+    */
+  private def duckSimhashBit(k: Int): String =
+    s"""CASE WHEN ((instr('0123456789abcdef',
+       |  substr(md5(w), ${k / 4 + 1}, 1)) - 1) >> ${3 - k % 4}) & 1 = 1
+       |THEN 1 ELSE -1 END""".stripMargin
+
+  private def duckSimhashFp(bits: Int): String =
+    (0 until bits).map(k =>
+      s"""CASE WHEN list_sum(list_transform(ws, w -> ${duckSimhashBit(k)}))
+         |  > 0 THEN '1' ELSE '0' END""".stripMargin).mkString(", ")
+
   val dedupSimhash: QueryDef = QueryDef("dedup_simhash",
     (s, dir) => Dedup.simHashClusters(plantedCorpus(s, dir)),
-    Some {
-      val bits = (0 until 16).map(k =>
-        s"""CASE WHEN list_sum(list_transform(ws,
-           |  w -> CASE WHEN substr(md5('$k:' || w), 1, 1) >= '8'
-           |       THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END""".stripMargin)
-        .mkString(", ")
-      s"""WITH corpus AS ($plantedCorpusSql),
-         |words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
-         |fps AS (SELECT doc_id, concat($bits) AS fingerprint FROM words)
-         |SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
-         |FROM fps GROUP BY fingerprint HAVING COUNT(*) > 1""".stripMargin
-    })
+    Some(s"""WITH corpus AS ($plantedCorpusSql),
+            |words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+            |fps AS (SELECT doc_id, concat(${duckSimhashFp(16)}) AS fingerprint
+            |        FROM words)
+            |SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+            |FROM fps GROUP BY fingerprint HAVING COUNT(*) > 1""".stripMargin))
 
   val dedupSimhashPairs: QueryDef = QueryDef("dedup_simhash_pairs",
     (s, dir) => Dedup.simHashNearPairs(docs(s, dir)),
     Some {
-      val bits = (0 until 32).map(k =>
-        s"""CASE WHEN list_sum(list_transform(ws,
-           |  w -> CASE WHEN substr(md5('$k:' || w), 1, 1) >= '8'
-           |       THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END""".stripMargin)
-        .mkString(", ")
       s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |fps AS (SELECT doc_id, concat($bits) AS fp FROM words),
+         |fps AS (SELECT doc_id, concat(${duckSimhashFp(32)}) AS fp FROM words),
          |chunked AS (
          |  SELECT doc_id, fp, c AS cidx, substr(fp, c * 8 + 1, 8) AS cval
          |  FROM fps, (SELECT unnest(generate_series(0, 3)) AS c)),
