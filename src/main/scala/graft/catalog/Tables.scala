@@ -31,12 +31,17 @@ object Tables {
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects natively;
-    // GraftSession sets legacy nanosAsLong so it arrives as LongType nanos,
-    // floor-converted here to the engine's microsecond timestamps (same
-    // truncation DuckDB applies reading the file).
+    // nanosAsLong makes it arrive as LongType nanos, floor-converted here
+    // to the engine's microsecond timestamps (same truncation DuckDB
+    // applies). Set defensively per call — GraftSession configures it,
+    // but the driver's smoke may hand us an unconfigured session, and the
+    // conf must be live BEFORE the footer read below.
     if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" &&
+        raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts",
         org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else raw

@@ -18,6 +18,14 @@ class DistributionSpec extends AnyFunSuite {
 
   Tables.registerAll(spark, sfDir)
 
+  test("events table loads in an unconfigured session (driver-smoke shape)") {
+    val bare = spark.newSession()
+    bare.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val df = Tables.load(bare, sfDir, "events")
+    assert(df.schema("ts").dataType.typeName == "timestamp")
+    assert(df.count() > 0)
+  }
+
   test("replicated: explicit broadcast hint forces BroadcastHashJoin") {
     val n = broadcast(Tables.load(spark, sfDir, "nation"))
     val c = Tables.load(spark, sfDir, "customer")
