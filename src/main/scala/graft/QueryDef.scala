@@ -9,10 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Conventions that keep the hash compare robust across engines:
   *  - every computed column is aliased identically on BOTH sides;
-  *  - sums over double columns go through `CAST(x AS DECIMAL(18,4))` then
-  *    back to DOUBLE: decimal addition is exact, so the result is
-  *    order-independent and bit-identical in Spark and DuckDB (a plain
-  *    double sum over 60k rows can drift ~1e-3 between engines);
+  *  - sums over double columns use the exact encodings in
+  *    `graft.queries.Sql` (scaled-BIGINT or DECIMAL casts): addition is
+  *    exact, so the result is order-independent and bit-identical in
+  *    Spark and DuckDB (a plain double sum over 60k rows can drift
+  *    ~1e-3 between engines);
   *  - per-row double arithmetic is left unrounded (IEEE ops on identical
   *    inputs are bit-identical);
   *  - sums of integers are cast to BIGINT in the oracle (DuckDB sums to

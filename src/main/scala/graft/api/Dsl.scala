@@ -54,7 +54,15 @@ final class DataSet(val df: DataFrame) {
     new DataSet(df.groupBy(keys.split(",").map(_.trim).map(expr): _*)
       .agg(expr(aggs.head), aggs.tail.map(expr): _*))
   def orderBy(cols: String*): DataSet =
-    new DataSet(df.orderBy(cols.map(expr): _*))
+    // expr("c DESC") would parse DESC as a column alias, silently sorting
+    // ascending — strip the direction suffix and apply it as a SortOrder
+    new DataSet(df.orderBy(cols.map { c =>
+      val t = c.trim
+      val upper = t.toUpperCase
+      if (upper.endsWith(" DESC")) expr(t.dropRight(5)).desc
+      else if (upper.endsWith(" ASC")) expr(t.dropRight(4)).asc
+      else expr(t)
+    }: _*))
   def limit(n: Int): DataSet = new DataSet(df.limit(n))
   def show(): Unit = df.show()
   def toDF: DataFrame = df

@@ -133,6 +133,34 @@ object SourceSinkQueries {
             |FROM orders WHERE o_orderstatus = 'F'
             |GROUP BY o_orderpriority""".stripMargin))
 
+  /** DSL ordering + limit verbs (deterministic: unique-key tiebreak). */
+  val dslTopk: QueryDef = QueryDef("dsl_topk",
+    (s, dir) => {
+      val ctx = new GraftContext(s, dir)
+      ctx.read("supplier")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_acctbal DESC", "s_suppkey")
+        .limit(10)
+        .toDF
+    },
+    Some("""SELECT s_suppkey, s_name, s_acctbal FROM supplier
+           |ORDER BY s_acctbal DESC, s_suppkey LIMIT 10""".stripMargin))
+
+  /** Two-argument UDF registration (reference Register<T1,T2,R>,
+    * ExprFunc.cs:42-76).
+    */
+  val udfTwoArg: QueryDef = QueryDef("udf_two_arg",
+    (s, dir) => {
+      val ctx = new GraftContext(s, dir)
+      ctx.register2("addmul", (a: Double, b: Double) => a * b + 1.0)
+      ctx.sql("""SELECT l_orderkey, l_linenumber,
+                |  addmul(l_quantity, l_discount) AS am
+                |FROM lineitem WHERE l_orderkey <= 100""".stripMargin)
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  l_quantity * l_discount + 1.0 AS am
+           |FROM lineitem WHERE l_orderkey <= 100""".stripMargin))
+
   /** Scalar UDF registration (reference README sqroot example,
     * ExprFunc.cs:42-76). sqrt is IEEE-exact, so results match DuckDB's
     * sqrt bit-for-bit.
@@ -208,6 +236,7 @@ object SourceSinkQueries {
       |HAVING COUNT(*) > 10 AND MAX(o_totalprice) > 0""".stripMargin)
 
   val defs: Seq[QueryDef] = Seq(
-    copyCsv, ddlInsert, analyze, dsl, dslAgg, udfSqroot, udfVecDot,
-    streamTumble, ddlPartitioned, ddlTempView, havingNoGroupBy)
+    copyCsv, ddlInsert, analyze, dsl, dslAgg, dslTopk, udfSqroot,
+    udfTwoArg, udfVecDot, streamTumble, ddlPartitioned, ddlTempView,
+    havingNoGroupBy)
 }
