@@ -141,6 +141,34 @@ object RelationalQueries {
       |  SELECT o_orderpriority AS p FROM orders WHERE o_totalprice > 430000
       |) GROUP BY p""".stripMargin)
 
+  /** PIVOT: categories to columns (Spark PIVOT syntax; oracle via
+    * conditional aggregation — the equivalent relational algebra).
+    */
+  val aggPivot: QueryDef = sqlDef("agg_pivot",
+    """SELECT * FROM (
+      |  SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders)
+      |PIVOT (
+      |  COUNT(o_totalprice) AS cnt
+      |  FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))""".stripMargin,
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (o_orderstatus = 'F') AS f,
+      |  COUNT(*) FILTER (o_orderstatus = 'O') AS o,
+      |  COUNT(*) FILTER (o_orderstatus = 'P') AS p
+      |FROM orders GROUP BY o_orderpriority""".stripMargin)
+
+  /** Array aggregation: collect distinct values into a sorted array
+    * (deterministic across partitionings).
+    */
+  val aggCollect: QueryDef = sqlDef("agg_collect",
+    """SELECT c_nationkey,
+      |  ARRAY_SORT(COLLECT_SET(c_mktsegment)) AS segs,
+      |  SIZE(COLLECT_SET(c_mktsegment)) AS n_segs
+      |FROM customer GROUP BY c_nationkey""".stripMargin,
+    """SELECT c_nationkey,
+      |  list_sort(list(DISTINCT c_mktsegment)) AS segs,
+      |  len(list(DISTINCT c_mktsegment)) AS n_segs
+      |FROM customer GROUP BY c_nationkey""".stripMargin)
+
   /** Inline VALUES relation (parity-plus; reference builds constant
     * relations only via no-FROM selects).
     */
@@ -189,5 +217,5 @@ object RelationalQueries {
     aggBasic, aggEmpty, aggStddev, aggDistinct, aggRollup,
     aggGroupingSets, aggExprKey, selectDistinct,
     unionAll, union, except, intersect, exceptAll, srfExplode, sampleScan,
-    valuesList, aggGroupingFn)
+    valuesList, aggGroupingFn, aggPivot, aggCollect)
 }
