@@ -169,6 +169,34 @@ object RelationalQueries {
       |  len(list(DISTINCT c_mktsegment)) AS n_segs
       |FROM customer GROUP BY c_nationkey""".stripMargin)
 
+  /** UNPIVOT: columns back to rows (oracle via UNION ALL — the
+    * equivalent relational algebra).
+    */
+  val aggUnpivot: QueryDef = sqlDef("agg_unpivot",
+    """SELECT o_orderpriority, metric, val FROM (
+      |  SELECT o_orderpriority,
+      |    COUNT(*) AS n_orders,
+      |    COUNT(DISTINCT o_custkey) AS n_custs
+      |  FROM orders GROUP BY o_orderpriority)
+      |UNPIVOT (val FOR metric IN (n_orders, n_custs))""".stripMargin,
+    """WITH agg AS (
+      |  SELECT o_orderpriority,
+      |    COUNT(*) AS n_orders,
+      |    COUNT(DISTINCT o_custkey) AS n_custs
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS val FROM agg
+      |UNION ALL
+      |SELECT o_orderpriority, 'n_custs' AS metric, n_custs AS val FROM agg""".stripMargin)
+
+  /** LATERAL correlated derived table: top-1 order per customer. */
+  val joinLateral: QueryDef = sameSql("join_lateral",
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+      |WHERE c.c_custkey <= 100""".stripMargin)
+
   /** Inline VALUES relation (parity-plus; reference builds constant
     * relations only via no-FROM selects).
     */
@@ -217,5 +245,6 @@ object RelationalQueries {
     aggBasic, aggEmpty, aggStddev, aggDistinct, aggRollup,
     aggGroupingSets, aggExprKey, selectDistinct,
     unionAll, union, except, intersect, exceptAll, srfExplode, sampleScan,
-    valuesList, aggGroupingFn, aggPivot, aggCollect)
+    valuesList, aggGroupingFn, aggPivot, aggCollect, aggUnpivot,
+    joinLateral)
 }
