@@ -214,8 +214,24 @@ object ExprQueries {
       |  LEAST(l_quantity, l_tax * 100) AS ls
       |FROM lineitem WHERE l_orderkey <= 60""".stripMargin)
 
+  /** Second date battery: day arithmetic, month add, month boundaries
+    * (dialect: Spark DATEDIFF(end, start) vs DuckDB date_diff('day', ...);
+    * ADD_MONTHS vs + INTERVAL).
+    */
+  val dateFuncs2: QueryDef = sqlDef("expr_date2",
+    """SELECT o_orderkey,
+      |  DATEDIFF(DATE '2000-01-01', o_orderdate) AS days_to_y2k,
+      |  CAST(ADD_MONTHS(o_orderdate, 3) AS TIMESTAMP) AS plus3m,
+      |  CAST(LAST_DAY(o_orderdate) AS DATE) AS month_end
+      |FROM orders WHERE o_orderkey <= 150""".stripMargin,
+    """SELECT o_orderkey,
+      |  date_diff('day', o_orderdate, DATE '2000-01-01') AS days_to_y2k,
+      |  o_orderdate + INTERVAL '3' MONTH AS plus3m,
+      |  CAST(last_day(o_orderdate) AS DATE) AS month_end
+      |FROM orders WHERE o_orderkey <= 150""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
     arith, compareBool, nullTests, like, inList, between, caseExpr, cast,
-    stringFuncs, mathFuncs, dateFuncs, hashMd5, threeVL, sortNullsLast,
-    stringFuncs2, mathFuncs2)
+    stringFuncs, mathFuncs, dateFuncs, dateFuncs2, hashMd5, threeVL,
+    sortNullsLast, stringFuncs2, mathFuncs2)
 }

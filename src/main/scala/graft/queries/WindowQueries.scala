@@ -130,6 +130,23 @@ object WindowQueries {
       |SELECT user_id, MIN(ts) AS s_start, COUNT(*) AS cnt
       |FROM sessions GROUP BY user_id, sid""".stripMargin)
 
+  /** Frame-based analytics: dense_rank, ntile, first/last value over
+    * explicit ROWS frames (all with total tiebreak orderings).
+    */
+  val frames: QueryDef = sameSql("winfunc_frames",
+    """SELECT o_custkey, o_orderkey,
+      |  DENSE_RANK() OVER w AS drnk,
+      |  NTILE(4) OVER w AS quartile,
+      |  FIRST_VALUE(o_orderkey) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best_key,
+      |  COUNT(*) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderkey
+      |     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS neighborhood
+      |FROM orders
+      |WHERE o_custkey <= 30
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(tumble, hop, session, rank, running,
-    tumbleDialect, hopDialect, sessionDialect)
+    tumbleDialect, hopDialect, sessionDialect, frames)
 }
