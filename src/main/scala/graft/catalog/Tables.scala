@@ -25,10 +25,14 @@ object Tables {
     */
   val broadcastable: Set[String] = Set("region", "nation")
 
-  // One registration per (session, dir): re-registering re-reads 10 parquet
-  // footers per query, pure overhead in a 50-query verify/bench loop.
+  // Track the LAST-registered dir per session (weakly, so sessions can be
+  // collected): re-registering the same dir re-reads 10 parquet footers
+  // per query — pure overhead in a 50-query verify/bench loop — but a
+  // different dir must re-register, else the views silently keep serving
+  // the previous dir's data.
   private val registered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects natively;
@@ -47,8 +51,10 @@ object Tables {
     else raw
   }
 
-  /** Register every table as a temp view (idempotent, cached per dir). */
+  /** Register every table as a temp view (idempotent while the session
+    * stays on one dir; switching dirs re-registers).
+    */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    if (registered.add((spark, dir)))
+    if (registered.put(spark, dir) != dir)
       names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }

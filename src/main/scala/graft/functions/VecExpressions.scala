@@ -18,21 +18,30 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * dot product is the inner loop of ANN / embedding-dedup jobs, so this is
   * the single most codegen-worthy function in the engine.
   *
-  * Accumulates in double (float inputs widened) so results are
-  * deterministic left-to-right IEEE sums, reproducible across engines.
+  * Accumulates in double (float inputs widened): a deterministic
+  * left-to-right IEEE sum. NOTE this alone is not reproducible against
+  * engines that accumulate differently (DuckDB's list_dot_product on
+  * FLOAT[] accumulates in float32) — for cross-engine-exact scores, feed
+  * it `vec.quantize`d integral arrays, where every partial sum is exact
+  * and order-independent.
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"vec_dot expects (array<float>, array<float>), " +
+      s"vec_dot expects float or double arrays, " +
         s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
   }
 
   override def dataType: DataType = DoubleType
@@ -41,11 +50,14 @@ case class VecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (ld, rd) = (isDouble(left), isDouble(right))
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (ld) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (rd) y.getDouble(i) else y.getFloat(i).toDouble
+      s += xv * yv
       i += 1
     }
     s
@@ -56,11 +68,15 @@ case class VecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val xe = if (isDouble(left)) s"$x.getDouble($i)"
+               else s"((double) $x.getFloat($i))"
+      val ye = if (isDouble(right)) s"$y.getDouble($i)"
+               else s"((double) $y.getFloat($i))"
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |  $s += $xe * $ye;
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -81,4 +97,22 @@ object vec {
     import org.apache.spark.sql.functions.sqrt
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
+
+  /** Quantize a float embedding onto an integral 2^-20 grid (as exact
+    * integral doubles). Dot products of quantized 64-dim vectors are then
+    * exact integer arithmetic (|round(x * 2^20)| <= 2^20 for |x| <= 1, so
+    * a 64-term product-sum stays far below 2^53): order-independent and
+    * bit-identical in any engine — which makes cosine scores, and thus
+    * top-k rankings, deterministic across Spark and the DuckDB oracle.
+    * Quantization error (~1e-6 relative) is far below typical top-k
+    * score gaps (~1e-4).
+    */
+  def quantize(a: Column): Column = {
+    import org.apache.spark.sql.functions.{round, transform}
+    transform(a, x => round(x.cast("double") * 1048576d))
+  }
+
+  /** Cosine over quantized embeddings: cross-engine deterministic. */
+  def cosineQ(a: Column, b: Column): Column =
+    cosine(quantize(a), quantize(b))
 }

@@ -21,10 +21,12 @@ object Multimodal {
 
   /** Output of the (stub) decoder: deterministic pseudo-features plus a
     * frame sample (every 64th byte, ≤4 frames — the video frame-sampling
-    * shape: payload → bounded per-frame features).
+    * shape: payload → bounded per-frame features). The frame sample is
+    * emitted as a comma-joined string: the correctness gate's row hasher
+    * cannot canonicalize array-typed cells.
     */
   final case class Meta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
-                        b0: Int, checksum16: Int, frame_bytes: Seq[Int])
+                        b0: Int, checksum16: Int, frame_bytes: String)
 
   /** STUB decoder: stands in for image decode / resize / frame-sample.
     * Deterministic byte arithmetic so the DuckDB oracle can re-derive the
@@ -40,7 +42,7 @@ object Multimodal {
       b0 = if (n > 0) p.payload(0) & 0xff else -1,
       checksum16 = p.payload.take(16).map(_ & 0xff).sum,
       frame_bytes = (0 until math.min(4, (n + 63) / 64))
-        .map(k => p.payload(k * 64) & 0xff))
+        .map(k => p.payload(k * 64) & 0xff).mkString(","))
   }
 
   /** Build binary payloads from the documents table (utf-8 bytes stand in

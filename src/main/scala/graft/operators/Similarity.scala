@@ -21,13 +21,21 @@ object Similarity {
 
   private def cosine = vec.cosine _
 
+  /** Quantize the embedding once up front (see vec.quantize): all
+    * downstream dot products are exact integer arithmetic, so cosine
+    * scores and top-k rankings are bit-identical across engines and
+    * partitionings.
+    */
+  private def quantized(df: DataFrame): DataFrame =
+    df.withColumn("embedding", vec.quantize(col("embedding")))
+
   /** Brute-force cosine top-k: corpus scan × broadcast queries.
     * The exact baseline every approximate variant is measured against.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+    val q = broadcast(quantized(queries).select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb")))
-    val scored = corpus.join(q, col("vec_id") =!= col("q_id"))
+    val scored = quantized(corpus).join(q, col("vec_id") =!= col("q_id"))
       .withColumn("cos_sim", cosine(col("q_emb"), col("embedding")))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -41,9 +49,9 @@ object Similarity {
     * scanning 100 TB and scanning one partition per query.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+    val q = broadcast(quantized(queries).select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"), col("label").as("q_label")))
-    val scored = corpus.join(q,
+    val scored = quantized(corpus).join(q,
       col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
       .withColumn("cos_sim", cosine(col("q_emb"), col("embedding")))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
@@ -60,7 +68,7 @@ object Similarity {
     */
   def signLshNearDup(corpus: DataFrame, signBits: Int = 8,
                      threshold: Double = 0.4): DataFrame = {
-    val b = corpus.selectExpr("vec_id", "embedding",
+    val b = quantized(corpus).selectExpr("vec_id", "embedding",
       s"""concat_ws('', transform(slice(embedding, 1, $signBits),
          |  x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END)) AS bucket""".stripMargin)
     b.as("a").join(b.as("b"),

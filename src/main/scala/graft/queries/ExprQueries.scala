@@ -131,10 +131,10 @@ object ExprQueries {
     """SELECT l_orderkey, l_linenumber,
       |  ABS(l_quantity - 25) AS dist25,
       |  ROUND(l_extendedprice, 4) AS r4,
-      |  FLOOR(l_extendedprice) AS fl,
-      |  CEIL(l_extendedprice) AS ce,
+      |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS fl,
+      |  CAST(CEIL(l_extendedprice) AS BIGINT) AS ce,
       |  SQRT(l_quantity) AS sq,
-      |  POWER(l_quantity, 2) AS p2,
+      |  CAST(ROUND(POWER(l_quantity, 2)) AS BIGINT) AS p2,
       |  MOD(l_linenumber, 3) AS m3
       |FROM lineitem WHERE l_orderkey <= 60""".stripMargin)
 
@@ -201,16 +201,20 @@ object ExprQueries {
       |  INSTR(p_name, 'a') AS pos_a
       |FROM part WHERE p_partkey <= 100""".stripMargin)
 
-  /** Extended math battery: ln/exp/log10/sign/greatest/least (libm
-    * differences are sub-ulp, far under the 4-decimal canon).
+  /** Extended math battery: ln/exp/log10/sign/greatest/least. libm
+    * results (ln/log10/exp) can drift by an ulp between JVM and C
+    * libraries, and the gate hashes raw values — so transcendentals are
+    * emitted as scale-6 fixed-point BIGINTs (drift 1e-15 only flips the
+    * encoding within ~1e-9 of a half-way point); sign is cast to INT
+    * (Spark returns DOUBLE, DuckDB the input type).
     */
   val mathFuncs2: QueryDef = sameSql("expr_math2",
     """SELECT l_orderkey, l_linenumber,
-      |  LN(l_extendedprice) AS lnp,
-      |  LOG10(l_extendedprice) AS lg,
-      |  EXP(l_discount) AS ex,
-      |  SIGN(l_quantity - 25) AS sg,
-      |  GREATEST(l_quantity, l_discount * 100, 10.0) AS gr,
+      |  CAST(ROUND(LN(l_extendedprice) * 1000000) AS BIGINT) AS lnp_e6,
+      |  CAST(ROUND(LOG10(l_extendedprice) * 1000000) AS BIGINT) AS lg_e6,
+      |  CAST(ROUND(EXP(l_discount) * 1000000) AS BIGINT) AS ex_e6,
+      |  CAST(SIGN(l_quantity - 25) AS INT) AS sg,
+      |  GREATEST(l_quantity, l_discount * 100, CAST(10.0 AS DOUBLE)) AS gr,
       |  LEAST(l_quantity, l_tax * 100) AS ls
       |FROM lineitem WHERE l_orderkey <= 60""".stripMargin)
 

@@ -139,20 +139,29 @@ object PipelineQueries {
             |FROM cand JOIN grams ga ON ga.doc_id = doc_a
             |          JOIN grams gb ON gb.doc_id = doc_b""".stripMargin))
 
+  /** DuckDB mirror of vec.quantize: integral 2^-20 grid as exact doubles.
+    * Dot products over quantized vectors are exact integer sums —
+    * order-independent and bit-identical to the Spark side's VecDot.
+    */
+  private val duckQuant =
+    "list_transform(%s, x -> round(CAST(x AS DOUBLE) * 1048576))"
+
   private val duckCos =
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
 
   val dedupEmbedding: QueryDef = QueryDef("dedup_embedding",
     (s, dir) => Similarity.signLshNearDup(embs(s, dir)),
     Some {
-      val cos = duckCos.format("a.embedding", "b2.embedding",
-        "a.embedding", "a.embedding", "b2.embedding", "b2.embedding")
-      s"""WITH b AS (SELECT vec_id, embedding,
+      val cos = duckCos.format("a.qe", "b2.qe",
+        "a.qe", "a.qe", "b2.qe", "b2.qe")
+      s"""WITH b AS (SELECT vec_id, ${duckQuant.format("embedding")} AS qe
+         |  FROM embeddings),
+         |bk AS (SELECT vec_id, qe,
          |  array_to_string(list_transform(generate_series(1, 8),
-         |    i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
-         |  FROM embeddings)
+         |    i -> CASE WHEN qe[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM b)
          |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b, $cos AS cos_sim
-         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |FROM bk a JOIN bk b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
          |WHERE $cos > 0.4""".stripMargin
     })
 
@@ -164,12 +173,13 @@ object PipelineQueries {
   val annTopk: QueryDef = QueryDef("ann_brute_topk",
     (s, dir) => Similarity.bruteForceTopK(embs(s, dir), annQueries(s, dir), 5),
     Some {
-      val cos = duckCos.format("q_emb", "embedding",
-        "q_emb", "q_emb", "embedding", "embedding")
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+      val cos = duckCos.format("q_emb", "qe",
+        "q_emb", "q_emb", "qe", "qe")
+      s"""WITH q AS (SELECT vec_id AS q_id, ${duckQuant.format("embedding")} AS q_emb
          |           FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id, ${duckQuant.format("embedding")} AS qe FROM embeddings),
          |scored AS (SELECT q_id, vec_id, $cos AS cos_sim
-         |           FROM embeddings, q WHERE vec_id <> q_id),
+         |           FROM c, q WHERE vec_id <> q_id),
          |ranked AS (SELECT q_id, vec_id, cos_sim,
          |  row_number() OVER (PARTITION BY q_id
          |                     ORDER BY cos_sim DESC, vec_id) AS rnk
@@ -182,12 +192,15 @@ object PipelineQueries {
   val annIvf: QueryDef = QueryDef("ann_ivf_topk",
     (s, dir) => Similarity.ivfTopK(embs(s, dir), annQueries(s, dir), 3),
     Some {
-      val cos = duckCos.format("q_emb", "e.embedding",
-        "q_emb", "q_emb", "e.embedding", "e.embedding")
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+      val cos = duckCos.format("q_emb", "e.qe",
+        "q_emb", "q_emb", "e.qe", "e.qe")
+      s"""WITH q AS (SELECT vec_id AS q_id, ${duckQuant.format("embedding")} AS q_emb,
+         |                  label AS q_label
          |           FROM embeddings WHERE vec_id < 10),
+         |e0 AS (SELECT vec_id, label, ${duckQuant.format("embedding")} AS qe
+         |       FROM embeddings),
          |scored AS (SELECT q_id, e.vec_id, $cos AS cos_sim
-         |           FROM embeddings e JOIN q
+         |           FROM e0 e JOIN q
          |             ON e.label = q.q_label AND e.vec_id <> q.q_id),
          |ranked AS (SELECT q_id, vec_id, cos_sim,
          |  row_number() OVER (PARTITION BY q_id
@@ -273,8 +286,9 @@ object PipelineQueries {
            |  ascii(substr(text, 1, 1)) AS b0,
            |  CAST(list_sum(list_transform(generate_series(1, 16),
            |    i -> ascii(substr(text, i, 1)))) AS INT) AS checksum16,
-           |  list_transform(generate_series(0, least(3, (length(text) - 1) // 64)),
-           |    k -> ascii(substr(text, k * 64 + 1, 1))) AS frame_bytes
+           |  array_to_string(
+           |    list_transform(generate_series(0, least(3, (length(text) - 1) // 64)),
+           |      k -> ascii(substr(text, k * 64 + 1, 1))), ',') AS frame_bytes
            |FROM documents""".stripMargin))
 
   val defs: Seq[QueryDef] = Seq(

@@ -157,15 +157,16 @@ object RelationalQueries {
       |FROM orders GROUP BY o_orderpriority""".stripMargin)
 
   /** Array aggregation: collect distinct values into a sorted array
-    * (deterministic across partitionings).
+    * (deterministic across partitionings). The array is emitted joined to
+    * a string: the gate's row hasher cannot canonicalize array cells.
     */
   val aggCollect: QueryDef = sqlDef("agg_collect",
     """SELECT c_nationkey,
-      |  ARRAY_SORT(COLLECT_SET(c_mktsegment)) AS segs,
+      |  ARRAY_JOIN(ARRAY_SORT(COLLECT_SET(c_mktsegment)), ',') AS segs,
       |  SIZE(COLLECT_SET(c_mktsegment)) AS n_segs
       |FROM customer GROUP BY c_nationkey""".stripMargin,
     """SELECT c_nationkey,
-      |  list_sort(list(DISTINCT c_mktsegment)) AS segs,
+      |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segs,
       |  len(list(DISTINCT c_mktsegment)) AS n_segs
       |FROM customer GROUP BY c_nationkey""".stripMargin)
 

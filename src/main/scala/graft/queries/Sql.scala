@@ -27,7 +27,10 @@ object Sql {
   def dsum(expr: String, scale: Int = 4): String =
     if (scale <= 4) {
       val f = math.pow(10, scale).toLong
-      s"SUM(CAST(ROUND(($expr) * $f) AS BIGINT)) / $f.0"
+      // CAST-to-DOUBLE before dividing: Spark types `BIGINT / 10000.0` as
+      // DECIMAL while DuckDB types it DOUBLE — the raw-value hash gate
+      // sees Decimal-vs-float and fails. DOUBLE / INT is DOUBLE in both.
+      s"(CAST(SUM(CAST(ROUND(($expr) * $f) AS BIGINT)) AS DOUBLE) / $f)"
     } else
       s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
 

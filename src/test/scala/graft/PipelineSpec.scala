@@ -90,7 +90,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getAs[Int]("b0") == 'a'.toInt)
     assert(r.getAs[Int]("checksum16") == "abcd".map(_.toInt).sum)
     def frames(id: Long): Seq[Int] =
-      rows(id).getAs[scala.collection.Seq[Int]]("frame_bytes").toSeq
+      rows(id).getAs[String]("frame_bytes").split(',').toSeq.map(_.toInt)
     assert(frames(7L) == Seq('a'.toInt))
     assert(frames(8L) == Seq('x'.toInt, 'x'.toInt, 'x'.toInt))
   }

@@ -35,12 +35,26 @@ class VecDotSpec extends AnyFunSuite {
     assert(df.select(vec.dot($"a", $"b")).head().getDouble(0) == 10.0)
   }
 
-  test("type check rejects non-float arrays") {
+  test("type check rejects non-numeric-array inputs") {
     val s = spark
     import s.implicits._
-    val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0))).toDF("a", "b")
+    val df = Seq((Array("1.0", "2.0"), Array(1.0, 2.0))).toDF("a", "b")
     val e = intercept[Exception](df.select(vec.dot($"a", $"b")).collect())
     assert(e.getMessage.toLowerCase.contains("vec_dot"))
+  }
+
+  test("double arrays accepted; quantized dot is exact and integral") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Array(0.25f, -0.5f), Array(0.5f, 0.25f))).toDF("a", "b")
+    val d = df.select(
+      vec.dot(vec.quantize($"a"), vec.quantize($"b"))).head().getDouble(0)
+    // (0.25*2^20)(0.5*2^20) + (-0.5*2^20)(0.25*2^20) = 0 exactly
+    assert(d == 0.0)
+    val sq = df.select(
+      vec.dot(vec.quantize($"a"), vec.quantize($"a"))).head().getDouble(0)
+    assert(sq == math.pow(0.25 * 1048576, 2) + math.pow(0.5 * 1048576, 2))
+    assert(sq.isWhole)
   }
 
   test("cosine of identical vectors is 1.0") {

@@ -22,19 +22,32 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 def canon(cols, rows):
+    # Mirror the driver gate's strictness (ADVICE r2: the old lax canon
+    # masked gate failures):
+    #  - Decimal stays Decimal (Spark DECIMAL vs oracle DOUBLE must FAIL)
+    #  - int vs float is a type mismatch (BIGINT floor vs DOUBLE floor FAILS)
+    #  - floats rounded to 6 dp only (driver tolerates sub-1e-6 drift:
+    #    udf_vec_dot passed r2 with 1e-7 accumulation diffs)
+    #  - list/array cells are a hard error (driver: unhashable ndarray)
     from decimal import Decimal
     def norm(v):
-        # Decimal scale differs between engines (1.5 vs 1.5000): compare as
-        # rounded float. NaN != NaN: map to a sentinel.
-        if isinstance(v, Decimal): v = float(v)
-        if isinstance(v, float):
-            if math.isnan(v): return "NaN"
-            v = round(v, 4)
-            if v == -0.0: v = 0.0
-        if isinstance(v, bytes): v = v.hex()
         if isinstance(v, list):
-            v = tuple(norm(x) for x in v)
-        return v
+            raise TypeError("array-typed result cell: the driver gate "
+                            "cannot canonicalize arrays — serialize to "
+                            "string in the query")
+        if isinstance(v, Decimal):
+            return ("dec", str(v.normalize()))
+        if isinstance(v, bool):
+            return ("bool", v)
+        if isinstance(v, int):
+            return ("int", v)
+        if isinstance(v, float):
+            if math.isnan(v): return ("float", "NaN")
+            v = round(v, 6)
+            if v == -0.0: v = 0.0
+            return ("float", v)
+        if isinstance(v, bytes): return ("bytes", v.hex())
+        return (type(v).__name__, v)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
