@@ -29,7 +29,10 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         d.build(spark, sfDir).write.format("noop").mode("overwrite").save()
-        if (record) times(d.name) = (System.nanoTime() - t0) / 1e9
+        if (record) {
+          val t = (System.nanoTime() - t0) / 1e9
+          times(d.name) = times.get(d.name).fold(t)(math.min(_, t))
+        }
       } catch {
         case e: Throwable =>
           if (record)
@@ -40,10 +43,14 @@ object Bench {
     // Warmup pass: JIT + whole-stage-codegen compilation + parquet footer
     // cache dominate a cold first query (~8s vs ~1s steady-state); the
     // engine's throughput is the warm number. Cold total is reported too.
+    // Recorded time = min over 3 warm passes: single-shot times on a
+    // shared machine carry multi-second GC/scheduler spikes (observed
+    // 1.3s vs 10.5s for the same plan); the min is the reproducible
+    // steady-state cost of the plan.
     val c0 = System.nanoTime()
     once(record = false)
     val coldTotal = (System.nanoTime() - c0) / 1e9
-    once(record = true)
+    (1 to 3).foreach(_ => once(record = true))
     val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }

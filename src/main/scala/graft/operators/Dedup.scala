@@ -25,7 +25,7 @@ object Dedup {
     * the testdata vocabulary is small, so word-set similarity saturates).
     */
   private def shingled(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    Par.spread(docs).select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .selectExpr("doc_id",
         """array_distinct(transform(sequence(0, size(ws) - 3),
@@ -84,7 +84,7 @@ object Dedup {
     * (native fused SimHashFingerprint: one md5 per word, one pass).
     */
   def simHashClusters(docs: DataFrame, bits: Int = 16): DataFrame = {
-    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    Par.spread(docs).select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         graft.functions.SimHashFingerprint(col("ws"), bits).as("fingerprint"))
       .groupBy("fingerprint")
@@ -102,7 +102,7 @@ object Dedup {
   def simHashNearPairs(docs: DataFrame, bits: Int = 32, chunks: Int = 4,
                        maxHamming: Int = 1): DataFrame = {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
-    val fps = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val fps = Par.spread(docs).select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         graft.functions.SimHashFingerprint(col("ws"), bits).as("fp"))
       .cache()

@@ -4,9 +4,11 @@ import org.apache.spark.sql.DataFrame
 
 /** Text-analysis operators over the `documents` table: quality stats,
   * language ID, token counting, fingerprinting. All pure narrow
-  * projections (no shuffle at all) built from codegen'd builtins — the
-  * ideal 100 TB shape: one pass over the corpus, column-pruned to
-  * (doc_id, text).
+  * projections built from codegen'd builtins — the ideal 100 TB shape:
+  * one pass over the corpus, column-pruned to (doc_id, text). The
+  * CPU-heavy ones go through Par.spread (a no-op when the scan is
+  * already parallel) so per-word hashing isn't pinned to a few scan
+  * tasks on low-split sources.
   */
 object TextAnalysis {
 
@@ -18,7 +20,7 @@ object TextAnalysis {
     * average word length, stopword ratio.
     */
   def stats(docs: DataFrame): DataFrame =
-    docs.selectExpr("doc_id", "split(text, ' ') AS ws", "text")
+    Par.spread(docs).selectExpr("doc_id", "split(text, ' ') AS ws", "text")
       .selectExpr(
         "doc_id",
         "length(text) AS char_len",
@@ -55,7 +57,7 @@ object TextAnalysis {
     * (md5 of the sorted distinct vocabulary) and a prefix fingerprint.
     */
   def fingerprint(docs: DataFrame): DataFrame =
-    docs.selectExpr(
+    Par.spread(docs).selectExpr(
       "doc_id",
       "md5(array_join(array_sort(array_distinct(split(text, ' '))), ' ')) AS vocab_fp",
       "md5(substring(text, 1, 32)) AS prefix_fp")
