@@ -10,6 +10,8 @@ object Queries {
   def all: Seq[QueryDef] =
     TpchQueries.defs ++
       Tpch2Queries.defs ++
+      Tpch3Queries.defs ++
+      TemporalQueries.defs ++
       SubqueryBattery.defs ++
       RelationalQueries.defs ++
       JoinQueries.defs ++

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks as built-ins: as-of join and
+  * interval(point-in-range) join. Both are composed from existing
+  * shuffle/window primitives — preference (a) of the build plan — with
+  * plan shapes that hold at 100 TB (single hash shuffle per input; no
+  * per-row subqueries, no cross joins).
+  */
+object Temporal {
+
+  /** As-of join: for each left row, the latest right row with the same
+    * key and right time <= left time (inclusive). The canonical
+    * trade/quote, click/attribution, feature/label alignment operator.
+    *
+    * Implementation: union both sides tagged, one window pass per key in
+    * time order carrying the last-seen right payload forward — exactly
+    * one shuffle of each input on the key, state bounded by one payload
+    * per row. (The naive alternatives — per-left-row scalar subquery or
+    * a range cross-join — are quadratic in hot keys and do not survive
+    * 100 TB.)
+    *
+    * The right side must be unique per (key, time) — pre-aggregate
+    * upstream if not — so the "latest" row is well-defined and the
+    * result is deterministic in any engine.
+    *
+    * Output: all left columns plus the right side's non-key columns
+    * (null where no right row precedes the left row — LEFT as-of).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String): DataFrame = {
+    val lcols = left.columns.filterNot(_ == key).toSeq
+    val rcols = right.columns.filterNot(_ == key).toSeq
+    val lType = org.apache.spark.sql.types.StructType(
+      left.schema.filterNot(_.name == key))
+    val rType = org.apache.spark.sql.types.StructType(
+      right.schema.filterNot(_.name == key))
+    // Tag sorts right (0) before left (1) at equal time → inclusive <=.
+    val r = right.select(col(key), col(rightTime).as("__t"),
+      lit(0).as("__tag"), lit(null).cast(lType).as("__l"),
+      struct(rcols.map(col): _*).as("__r"))
+    val l = left.select(col(key), col(leftTime).as("__t"),
+      lit(1).as("__tag"), struct(lcols.map(col): _*).as("__l"),
+      lit(null).cast(rType).as("__r"))
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cols: Seq[Column] = col(key) +:
+      (lcols.map(c => col("__l")(c).as(c)) ++
+        rcols.map(c => col("__m")(c).as(c)))
+    l.unionByName(r)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(cols: _*)
+  }
+
+  /** Interval-point join WITHOUT an equi key, binned: each interval is
+    * exploded onto fixed-width time bins, each point maps to exactly one
+    * bin, and the join becomes a hash equi-join on the bin plus an exact
+    * range filter. No duplicate results (a point has one bin) and no
+    * cross join: cost is |points| + |intervals| * (width / bin), versus
+    * the quadratic range cross-join. Pick binSeconds near the typical
+    * interval width.
+    */
+  def binnedIntervalJoin(points: DataFrame, pointTime: String,
+                         intervals: DataFrame, lo: String, hi: String,
+                         binSeconds: Long): DataFrame = {
+    val binned = intervals.withColumn("__bin", explode(expr(
+      s"sequence(floor(unix_timestamp($lo) / $binSeconds), " +
+        s"floor(unix_timestamp($hi) / $binSeconds))")))
+    points
+      .withColumn("__bin",
+        expr(s"floor(unix_timestamp($pointTime) / $binSeconds)"))
+      .join(binned, "__bin")
+      .filter(col(pointTime) >= col(lo) && col(pointTime) < col(hi))
+      .drop("__bin")
+  }
+}

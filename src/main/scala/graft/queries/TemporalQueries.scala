@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.catalog.Tables
+import graft.operators.{Skew, Temporal}
+import Sql._
+
+/** Temporal joins, explicit skew handling, and the second wave of
+  * streaming executions — operators beyond the reference's surface that
+  * a production pipeline needs, each DuckDB-oracle-verified.
+  */
+object TemporalQueries {
+
+  /** As-of join: every click attributed to the user's most recent view
+    * at-or-before it (trade/quote alignment shape). The DuckDB oracle is
+    * the native ASOF LEFT JOIN — verifying our union+window rewrite
+    * against a first-class implementation of the semantics.
+    */
+  val joinAsof: QueryDef = QueryDef("join_asof",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter("event_type = 'click'")
+        .select("event_id", "user_id", "ts")
+      // Unique per (user, time): the as-of "latest" must be well-defined.
+      val views = ev.filter("event_type = 'view'")
+        .groupBy(col("user_id"), col("ts").as("view_ts"))
+        .agg(max("event_id").as("view_event_id"))
+      Temporal.asofJoin(clicks, views, "user_id", "ts", "view_ts")
+    },
+    Some("""WITH clicks AS (
+           |  SELECT event_id, user_id, ts FROM events
+           |  WHERE event_type = 'click'),
+           |views AS (
+           |  SELECT user_id, ts AS view_ts, MAX(event_id) AS view_event_id
+           |  FROM events WHERE event_type = 'view'
+           |  GROUP BY user_id, ts)
+           |SELECT c.event_id, c.user_id, c.ts, v.view_ts, v.view_event_id
+           |FROM clicks c
+           |ASOF LEFT JOIN views v
+           |  ON c.user_id = v.user_id AND c.ts >= v.view_ts""".stripMargin))
+
+  /** Binned interval join (no equi key): events falling inside the
+    * 30-minute window before each purchase. The oracle is the plain
+    * range-predicate join DuckDB can afford at sf0.01; the Spark side is
+    * the binned plan that survives 100 TB.
+    */
+  val joinRangeBinned: QueryDef = QueryDef("join_range_binned",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val windows = ev.filter("event_type = 'purchase' AND user_id < 3")
+        .select(col("event_id").as("purchase_id"),
+          expr("ts - INTERVAL '30' MINUTE").as("lo"), col("ts").as("hi"))
+      Temporal.binnedIntervalJoin(ev.select("event_id", "user_id", "ts"),
+          "ts", windows, "lo", "hi", binSeconds = 600)
+        .groupBy("purchase_id")
+        .agg(count("*").as("n_events"),
+          countDistinct("user_id").as("n_users"))
+    },
+    Some("""WITH w AS (
+           |  SELECT event_id AS purchase_id,
+           |    ts - INTERVAL '30' MINUTE AS lo, ts AS hi
+           |  FROM events WHERE event_type = 'purchase' AND user_id < 3)
+           |SELECT purchase_id, COUNT(*) AS n_events,
+           |  COUNT(DISTINCT user_id) AS n_users
+           |FROM events e JOIN w ON e.ts >= w.lo AND e.ts < w.hi
+           |GROUP BY purchase_id""".stripMargin))
+
+  /** Salted skew join, result-verified: the salted (key, salt) rewrite
+    * must produce exactly the plain join's aggregate (the oracle runs the
+    * unsalted join).
+    */
+  val skewSalted: QueryDef = QueryDef("skew_salted_join",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      Skew.saltedJoin(s.table("lineitem"), s.table("orders"),
+          "l_orderkey", "o_orderkey", factor = 8)
+        .groupBy("o_orderpriority")
+        .agg(count("*").as("n"),
+          expr(dsum("l_extendedprice")).as("sum_price"))
+    },
+    Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+            |  ${dsum("l_extendedprice")} AS sum_price
+            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            |GROUP BY o_orderpriority""".stripMargin))
+
+  /** Streaming session windows run to completion — same oracle as the
+    * bounded window_session query (gaps-and-islands SQL).
+    */
+  val streamSession: QueryDef = QueryDef("stream_session",
+    (s, dir) => graft.streaming.Streams.sessionAvailableNow(s, dir),
+    Some("""WITH marked AS (
+           |  SELECT user_id, ts,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+           |         THEN 1 ELSE 0 END AS brk
+           |  FROM events WHERE user_id <= 20
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           |sessions AS (
+           |  SELECT user_id, ts,
+           |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+           |                   ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM marked)
+           |SELECT user_id, MIN(ts) AS s_start, COUNT(*) AS cnt
+           |FROM sessions GROUP BY user_id, sid""".stripMargin))
+
+  /** Streaming exact deduplication (dropDuplicates state across the
+    * stream), verified via the distinct-pair count per type.
+    */
+  val streamDedup: QueryDef = QueryDef("stream_dedup",
+    (s, dir) => graft.streaming.Streams.dedupAvailableNow(s, dir),
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+           |FROM events GROUP BY event_type""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(
+    joinAsof, joinRangeBinned, skewSalted, streamSession, streamDedup)
+}

@@ -42,13 +42,20 @@ object Streams {
     * tumble query.
     */
   def tumbleAvailableNow(spark: SparkSession, dir: String,
-                         queryName: String = "graft_stream_tumble"): DataFrame = {
-    val agg = eventsStream(spark, dir)
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "6 hours"))
-      .agg(count("*").as("cnt"),
-        expr("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)").as("sum_v"))
-      .select(col("window.start").as("w_start"), col("cnt"), col("sum_v"))
+                         queryName: String = "graft_stream_tumble"): DataFrame =
+    runComplete(
+      eventsStream(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"))
+        .agg(count("*").as("cnt"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)").as("sum_v"))
+        .select(col("window.start").as("w_start"), col("cnt"), col("sum_v")),
+      queryName)
+
+  /** Shared runner: execute a streaming aggregate to completion into a
+    * memory sink (complete mode) and return the result table.
+    */
+  private def runComplete(agg: DataFrame, queryName: String): DataFrame = {
     val q = agg.writeStream
       .format("memory")
       .queryName(queryName)
@@ -58,7 +65,50 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    agg.sparkSession.table(queryName)
+  }
+
+  /** Per-user session windows over the unbounded scan (30-minute
+    * inactivity gap), run to completion — the streaming twin of the
+    * bounded `window_session` corpus query, sharing its DuckDB oracle.
+    * Streaming session windows require a grouping key alongside the
+    * window; state is one open session per (user, window), merged as
+    * events arrive and bounded by the watermark.
+    */
+  def sessionAvailableNow(spark: SparkSession, dir: String,
+                          queryName: String = "graft_stream_session"): DataFrame =
+    runComplete(
+      eventsStream(spark, dir)
+        .filter(col("user_id") <= 20)
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count("*").as("cnt"))
+        .select(col("user_id"), col("session_window.start").as("s_start"),
+          col("cnt")),
+      queryName)
+
+  /** Streaming deduplication: dropDuplicates on (user_id, event_type)
+    * across the whole stream — the streaming form of exact dedup, state
+    * one key per distinct pair — then an aggregate that the DuckDB
+    * oracle can recompute (COUNT(DISTINCT user_id) per type).
+    */
+  def dedupAvailableNow(spark: SparkSession, dir: String,
+                        queryName: String = "graft_stream_dedup"): DataFrame = {
+    val q = eventsStream(spark, dir)
+      .select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_stream_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     spark.table(queryName)
+      .groupBy("event_type")
+      .agg(count("*").as("n_users"))
   }
 
   /** Custom-state records: per-user running aggregates maintained across
