@@ -113,6 +113,51 @@ object TemporalQueries {
     Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users
            |FROM events GROUP BY event_type""".stripMargin))
 
+  /** Streaming hopping windows — same oracle as the bounded window_hop
+    * (every event lands in exactly two 12h/6h windows).
+    */
+  val streamHop: QueryDef = QueryDef("stream_hop",
+    (s, dir) => graft.streaming.Streams.hopAvailableNow(s, dir),
+    Some("""SELECT time_bucket(INTERVAL '6 hours', ts)
+           |         - k * INTERVAL '6 hours' AS w_start,
+           |  COUNT(*) AS cnt
+           |FROM events, (SELECT unnest([0, 1]) AS k)
+           |GROUP BY 1""".stripMargin))
+
+  /** Stream-stream inner join with an event-time range condition
+    * (clicks × same-user views in the trailing 30 minutes), verified
+    * against the equivalent batch join.
+    */
+  val streamStreamJoin: QueryDef = QueryDef("stream_stream_join",
+    (s, dir) => graft.streaming.Streams.clickViewJoinAvailableNow(s, dir),
+    Some("""SELECT c.user_id, COUNT(*) AS n_pairs
+           |FROM (SELECT user_id, ts AS click_ts FROM events
+           |      WHERE event_type = 'click' AND user_id < 20) c
+           |JOIN (SELECT user_id, ts AS view_ts FROM events
+           |      WHERE event_type = 'view' AND user_id < 20) v
+           |  ON c.user_id = v.user_id
+           | AND v.view_ts >= c.click_ts - INTERVAL '30' MINUTE
+           | AND v.view_ts < c.click_ts
+           |GROUP BY c.user_id""".stripMargin))
+
+  /** Typed UDAF (Aggregator) registered and called from SQL: weighted
+    * mean with explicit zero/reduce/merge — partial/final split like a
+    * builtin. Inputs are integer-valued doubles, so the sums are exact
+    * and the result matches the oracle's closed form bit-for-bit.
+    */
+  val udafWavg: QueryDef = QueryDef("udaf_wavg",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.udf.register("wavg",
+        org.apache.spark.sql.functions.udaf(graft.functions.Udafs.WeightedAvg))
+      s.sql("""SELECT l_returnflag, wavg(l_quantity, l_linenumber) AS wq
+              |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    },
+    Some("""SELECT l_returnflag,
+           |  SUM(l_linenumber * l_quantity) / SUM(CAST(l_linenumber AS DOUBLE)) AS wq
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
-    joinAsof, joinRangeBinned, skewSalted, streamSession, streamDedup)
+    joinAsof, joinRangeBinned, skewSalted, streamSession, streamDedup,
+    streamHop, streamStreamJoin, udafWavg)
 }

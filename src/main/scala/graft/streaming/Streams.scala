@@ -87,6 +87,54 @@ object Streams {
           col("cnt")),
       queryName)
 
+  /** Hopping windows over the unbounded scan (12h window, 6h slide) —
+    * streaming twin of the bounded window_hop query, same oracle.
+    */
+  def hopAvailableNow(spark: SparkSession, dir: String,
+                      queryName: String = "graft_stream_hop"): DataFrame =
+    runComplete(
+      eventsStream(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "12 hours", "6 hours"))
+        .agg(count("*").as("cnt"))
+        .select(col("window.start").as("w_start"), col("cnt")),
+      queryName)
+
+  /** Stream-stream inner join with an event-time range condition: each
+    * click joined to the same user's views in the preceding 30 minutes.
+    * Both sides are watermarked so join state is bounded (Spark drops
+    * view state older than the watermark + range). Run to completion,
+    * then aggregated so the oracle output is compact.
+    */
+  def clickViewJoinAvailableNow(spark: SparkSession, dir: String,
+                                queryName: String = "graft_stream_ssjoin"): DataFrame = {
+    val clicks = eventsStream(spark, dir)
+      .filter("event_type = 'click' AND user_id < 20")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val views = eventsStream(spark, dir)
+      .filter("event_type = 'view' AND user_id < 20")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val joined = clicks.join(views, expr(
+      """user_id = v_user AND
+        |view_ts >= click_ts - INTERVAL 30 MINUTES AND
+        |view_ts < click_ts""".stripMargin))
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_stream_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .groupBy("user_id")
+      .agg(count("*").as("n_pairs"))
+  }
+
   /** Streaming deduplication: dropDuplicates on (user_id, event_type)
     * across the whole stream — the streaming form of exact dedup, state
     * one key per distinct pair — then an aggregate that the DuckDB
