@@ -19,7 +19,8 @@ object Queries {
       WindowQueries.defs ++
       EventQueries.defs ++
       PipelineQueries.defs ++
-      SourceSinkQueries.defs
+      SourceSinkQueries.defs ++
+      ExtraQueries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
 
