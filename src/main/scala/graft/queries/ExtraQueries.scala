@@ -138,6 +138,24 @@ object ExtraQueries {
     },
     Some("SELECT TRUE AS frac_sane, TRUE AS no_dups"))
 
+  /** Approximate percentile (t-digest-style sketch) sanity gate: the
+    * estimate must land within 2% of the exact interpolated percentile
+    * (rank error 1/1000 at this accuracy). Like approx_distinct_sanity,
+    * the verified output is the bound check — the sketch value itself is
+    * engine-specific.
+    */
+  val approxPercentile: QueryDef = QueryDef("approx_percentile_sanity",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT
+              |  ABS(APPROX_PERCENTILE(l_extendedprice, 0.5, 1000) -
+              |      PERCENTILE(l_extendedprice, 0.5)) <=
+              |    0.02 * PERCENTILE(l_extendedprice, 0.5) AS within_2pct
+              |FROM lineitem""".stripMargin)
+    },
+    Some("SELECT TRUE AS within_2pct"))
+
   val defs: Seq[QueryDef] = Seq(
-    hof, regex, arrays, nullSafeEq, recursiveCte, bucketed, sampleBernoulli)
+    hof, regex, arrays, nullSafeEq, recursiveCte, bucketed,
+    sampleBernoulli, approxPercentile)
 }

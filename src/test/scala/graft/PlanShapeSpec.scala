@@ -163,6 +163,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("Subquery") || plan.contains("scalar-subquery"), plan)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // At 100 TB the runtime row-level bloom filter (built from the
+    // filtered dim side, applied inside the fact scan) is a major
+    // shuffle reducer; thresholds are sized for clusters, so lower the
+    // application-side floor to demonstrate the rewrite locally.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val df = spark.sql(
+        """SELECT COUNT(*) FROM lineitem
+          |JOIN part ON l_partkey = p_partkey
+          |WHERE p_brand = 'Brand#1'""".stripMargin)
+      val plan = finalPlan(df)
+      assert(plan.contains("might_contain"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (64L << 20).toString)
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("vec_dot stays inside codegen (no fallback to interpreted eval)") {
     Tables.registerAll(spark, sfDir)
     val df = spark.sql("SELECT vec_dot(embedding, embedding) AS d FROM embeddings")

@@ -89,4 +89,16 @@ class TemporalSpec extends AnyFunSuite {
     val plan = finalPlan(Queries.byName("tpch_q2").build(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("tpch_q9 five-way join: nation broadcasts, no cartesian") {
+    val plan = finalPlan(Queries.byName("tpch_q9").build(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("tpch_q20 nested IN over grouped HAVING decorrelates cleanly") {
+    val plan = finalPlan(Queries.byName("tpch_q20").build(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("LeftSemi") || plan.contains("SemiJoin"), plan)
+  }
 }
