@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.Tables
+import graft.functions.vec
+
+/** The engine's core reproducibility claim, tested directly: results are
+  * BIT-identical at any parallelism. Plain double sums give this up the
+  * moment partitioning changes; the exact encodings (Sql.dsum,
+  * vec.quantize, Udafs) do not.
+  */
+class DeterminismSpec extends AnyFunSuite {
+  import TestSpark._
+
+  Tables.registerAll(spark, sfDir)
+
+  private def bits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
+
+  test("dsum is bit-identical across partition counts (1 vs 7 vs 32)") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    def total(parts: Int): Map[String, Long] = {
+      li.repartition(parts)
+        .groupBy("l_returnflag")
+        .agg(org.apache.spark.sql.functions.expr(
+          graft.queries.Sql.dsum("l_extendedprice * (1 - l_discount)", 6))
+          .as("s"))
+        .collect()
+        .map(r => r.getString(0) -> bits(r.getDouble(1))).toMap
+    }
+    val p1 = total(1)
+    assert(total(7) == p1)
+    assert(total(32) == p1)
+  }
+
+  test("plain double sum is NOT partition-stable here (motivating dsum)") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    def total(parts: Int): Long = bits(
+      li.repartition(parts)
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.expr(
+            "l_extendedprice * (1 - l_discount)")))
+        .head().getDouble(0))
+    // Not asserted unequal (could coincide), but when the bits DO match
+    // across two layouts it's luck, not a guarantee; record the common
+    // case for documentation value: at least one of the alternate
+    // layouts usually drifts from single-partition.
+    val p1 = total(1)
+    val drifted = Seq(7, 13, 32).map(total).exists(_ != p1)
+    info(s"plain-double drift observed across layouts: $drifted")
+  }
+
+  test("quantized cosine is bit-identical across partition counts") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    import org.apache.spark.sql.functions._
+    def scores(parts: Int): Map[Long, Long] = {
+      val q = e.repartition(parts)
+        .withColumn("qe", vec.quantize(col("embedding")))
+      q.select(col("vec_id"),
+          vec.cosine(col("qe"), col("qe")).as("c"))
+        .collect().map(r => r.getLong(0) -> bits(r.getDouble(1))).toMap
+    }
+    assert(scores(1) == scores(32))
+  }
+
+  test("wavg UDAF merge order does not change the result (1 vs 32 parts)") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    import org.apache.spark.sql.functions._
+    val wavg = udaf(graft.functions.Udafs.WeightedAvg)
+    def res(parts: Int): Map[String, Long] =
+      li.repartition(parts)
+        .groupBy("l_returnflag")
+        .agg(wavg(col("l_quantity"), col("l_linenumber")).as("w"))
+        .collect().map(r => r.getString(0) -> bits(r.getDouble(1))).toMap
+    assert(res(1) == res(32))
+  }
+
+  test("asofJoin result is stable under input repartitioning") {
+    val ev = Tables.load(spark, sfDir, "events")
+    import org.apache.spark.sql.functions._
+    val clicks = ev.filter("event_type = 'click' AND user_id < 10")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter("event_type = 'view'")
+      .groupBy(col("user_id"), col("ts").as("view_ts"))
+      .agg(max("event_id").as("view_event_id"))
+    def run(parts: Int): Set[(Long, Any)] =
+      graft.operators.Temporal
+        .asofJoin(clicks.repartition(parts), views.repartition(parts),
+          "user_id", "ts", "view_ts")
+        .collect()
+        .map(r => (r.getAs[Long]("event_id"),
+          r.getAs[Any]("view_event_id"))).toSet
+    assert(run(1) == run(32))
+  }
+}
