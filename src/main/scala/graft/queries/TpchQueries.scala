@@ -27,7 +27,7 @@ object TpchQueries {
        |  ${dsum("l_quantity")} AS sum_qty,
        |  ${dsum("l_extendedprice")} AS sum_base_price,
        |  ${dsum("l_extendedprice * (1 - l_discount)", 6)} AS sum_disc_price,
-       |  ${dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 8)} AS sum_charge,
+       |  ${dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
        |  ${davg("l_quantity")} AS avg_qty,
        |  ${davg("l_extendedprice")} AS avg_price,
        |  ${davg("l_discount")} AS avg_disc,
