@@ -87,6 +87,82 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused quantized cosine: one codegen'd pass computing all three dot
+  * accumulators (a·b, a·a, b·b) over embeddings quantized inline onto
+  * the integral 2^-20 grid — no intermediate quantized arrays, no
+  * interpreted higher-order functions, 3× fewer array traversals than
+  * composing three VecDots. Bit-identical to
+  * cosine(quantize(a), quantize(b)): the accumulators are sums of exact
+  * integers (order-independent), and the final
+  * dot / (sqrt(aa) * sqrt(bb)) is the same IEEE arithmetic.
+  */
+case class VecCosineQ(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_cosine_q expects (array<float>, array<float>), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_cosine_q"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val qx = VecCosineQ.roundHalfAway(x.getFloat(i) * 1048576.0)
+      val qy = VecCosineQ.roundHalfAway(y.getFloat(i) * 1048576.0)
+      ab += qx * qy; aa += qx * qx; bb += qy * qy
+      i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val ab = ctx.freshName("ab")
+      val aa = ctx.freshName("aa")
+      val bb = ctx.freshName("bb")
+      val qx = ctx.freshName("qx")
+      val qy = ctx.freshName("qy")
+      val helper = classOf[VecCosineQ].getName
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $qx = $helper.roundHalfAway($x.getFloat($i) * 1048576.0);
+         |  double $qy = $helper.roundHalfAway($y.getFloat($i) * 1048576.0);
+         |  $ab += $qx * $qy; $aa += $qx * $qx; $bb += $qy * $qy;
+         |}
+         |${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecCosineQ =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecCosineQ {
+  /** SQL ROUND semantics (half away from zero), matching both engines'
+    * ROUND on the same IEEE double.
+    */
+  def roundHalfAway(v: Double): Double =
+    if (v >= 0) Math.floor(v + 0.5) else Math.ceil(v - 0.5)
+}
+
 /** Column-API entry points for the native vector expressions. */
 object vec {
   def dot(a: Column, b: Column): Column =
@@ -112,7 +188,10 @@ object vec {
     transform(a, x => round(x.cast("double") * 1048576d))
   }
 
-  /** Cosine over quantized embeddings: cross-engine deterministic. */
+  /** Cosine over quantized embeddings: cross-engine deterministic.
+    * Fused single-pass native expression (see VecCosineQ) —
+    * bit-identical to cosine(quantize(a), quantize(b)).
+    */
   def cosineQ(a: Column, b: Column): Column =
-    cosine(quantize(a), quantize(b))
+    column(VecCosineQ(expression(a), expression(b)))
 }

@@ -19,23 +19,20 @@ import graft.functions.vec
   */
 object Similarity {
 
-  private def cosine = vec.cosine _
-
-  /** Quantize the embedding once up front (see vec.quantize): all
-    * downstream dot products are exact integer arithmetic, so cosine
-    * scores and top-k rankings are bit-identical across engines and
-    * partitionings.
+  /** Quantized cosine (vec.cosineQ): fused single-pass codegen'd
+    * expression over the raw float embeddings; scores are exact integer
+    * arithmetic internally, so results and top-k rankings are
+    * bit-identical across engines and partitionings.
     */
-  private def quantized(df: DataFrame): DataFrame =
-    df.withColumn("embedding", vec.quantize(col("embedding")))
+  private def cosine = vec.cosineQ _
 
   /** Brute-force cosine top-k: corpus scan × broadcast queries.
     * The exact baseline every approximate variant is measured against.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(quantized(queries).select(col("vec_id").as("q_id"),
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb")))
-    val scored = quantized(corpus).join(q, col("vec_id") =!= col("q_id"))
+    val scored = corpus.join(q, col("vec_id") =!= col("q_id"))
       .withColumn("cos_sim", cosine(col("q_emb"), col("embedding")))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -49,9 +46,9 @@ object Similarity {
     * scanning 100 TB and scanning one partition per query.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(quantized(queries).select(col("vec_id").as("q_id"),
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"), col("label").as("q_label")))
-    val scored = quantized(corpus).join(q,
+    val scored = corpus.join(q,
       col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
       .withColumn("cos_sim", cosine(col("q_emb"), col("embedding")))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
@@ -61,16 +58,18 @@ object Similarity {
   }
 
   /** Sign-LSH bucketed near-dup pairs: bucket on the sign pattern of the
-    * first `signBits` dimensions (a fixed random-hyperplane sketch —
-    * deterministic here so the oracle can re-derive it), then pay the
-    * exact cosine only within buckets. Bucketed equi-join — shuffles on
-    * the bucket key, never all-pairs.
+    * first `signBits` QUANTIZED dimensions (a fixed random-hyperplane
+    * sketch — deterministic and re-derivable by the oracle; quantized so
+    * the sign test agrees bit-for-bit with the quantized cosine scores),
+    * then pay the exact cosine only within buckets. Bucketed equi-join —
+    * shuffles on the bucket key, never all-pairs.
     */
   def signLshNearDup(corpus: DataFrame, signBits: Int = 8,
                      threshold: Double = 0.4): DataFrame = {
-    val b = quantized(corpus).selectExpr("vec_id", "embedding",
+    val b = corpus.selectExpr("vec_id", "embedding",
       s"""concat_ws('', transform(slice(embedding, 1, $signBits),
-         |  x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END)) AS bucket""".stripMargin)
+         |  x -> CASE WHEN ROUND(CAST(x AS DOUBLE) * 1048576) >= 0
+         |       THEN '1' ELSE '0' END)) AS bucket""".stripMargin)
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.CalendarIntervalType
 import org.apache.spark.unsafe.types.CalendarInterval
 
-import graft.functions.{MinHashSignature, VecDot}
+import graft.functions.{MinHashSignature, VecCosineQ, VecDot}
 
 /** Engine extension point, loaded via `spark.sql.extensions`.
   *
@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("vec_cosine_q"),
+      new ExpressionInfo(classOf[VecCosineQ].getName, "vec_cosine_q"),
+      (children: Seq[Expression]) => VecCosineQ(children(0), children(1))))
 
     // Reference streaming-window SQL surface (`/root/reference/qpmodel/
     // Stream.cs:19-165`: tumble(ts, iv), hop(ts, slide, iv),

@@ -43,6 +43,27 @@ class VecDotSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("vec_dot"))
   }
 
+  test("fused vec_cosine_q is bit-identical to cosine(quantize, quantize)") {
+    val s = spark
+    graft.catalog.Tables.registerAll(s, TestSpark.sfDir)
+    import org.apache.spark.sql.functions.col
+    val e = s.table("embeddings").limit(200)
+    val fused = e.select(col("vec_id"),
+        vec.cosineQ(col("embedding"), col("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        java.lang.Double.doubleToLongBits(r.getDouble(1))).toMap
+    val composed = e.select(col("vec_id"),
+        vec.cosine(vec.quantize(col("embedding")),
+          vec.quantize(col("embedding"))).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        java.lang.Double.doubleToLongBits(r.getDouble(1))).toMap
+    assert(fused == composed)
+    // and it resolves from SQL through the extension registry
+    val viaSql = s.sql(
+      "SELECT vec_cosine_q(embedding, embedding) AS c FROM embeddings LIMIT 1")
+    assert(math.abs(viaSql.head().getDouble(0) - 1.0) < 1e-9)
+  }
+
   test("double arrays accepted; quantized dot is exact and integral") {
     val s = spark
     import s.implicits._
