@@ -291,10 +291,54 @@ object PipelineQueries {
            |      k -> ascii(substr(text, k * 64 + 1, 1))), ',') AS frame_bytes
            |FROM documents""".stripMargin))
 
+  /** End-to-end corpus preparation — the composed pre-training shape:
+    * exact-dedup the (planted) corpus, keep each cluster's canonical
+    * doc, apply the quality gate, then report per-language surviving
+    * doc/token volume. One dedup shuffle + one narrow quality pass +
+    * one stats shuffle — the whole thing is three stages at any scale.
+    */
+  val corpusPrep: QueryDef = QueryDef("pipeline_corpus_prep",
+    (s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text", "lang")
+      val corpus = d.unionByName(d.filter("doc_id % 5 = 0")
+        .selectExpr("doc_id + 10000 AS doc_id", "text", "lang"))
+      val canonical = Dedup.exact(corpus)
+        .join(corpus, org.apache.spark.sql.functions.expr("keep_id = doc_id"))
+      val quality = TextAnalysis.stats(
+          canonical.select("doc_id", "text"))
+        .filter("n_words >= 20 AND ttr > 0.2 AND stopword_ratio < 0.2")
+      quality.join(corpus.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(org.apache.spark.sql.functions.count("*").as("n_docs"),
+          org.apache.spark.sql.functions.expr(
+            "CAST(SUM(n_words) AS BIGINT)").as("n_tokens"))
+    },
+    Some(s"""WITH corpus AS (
+            |  SELECT doc_id, text, lang FROM documents
+            |  UNION ALL
+            |  SELECT doc_id + 10000, text, lang FROM documents
+            |  WHERE doc_id % 5 = 0),
+            |canon AS (
+            |  SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+            |survivors AS (
+            |  SELECT c.doc_id, c.lang,
+            |    len(string_split(c.text, ' ')) AS n_words
+            |  FROM corpus c JOIN canon USING (doc_id)
+            |  WHERE len(string_split(c.text, ' ')) >= 20
+            |    AND len(list_distinct(string_split(c.text, ' '))) /
+            |      len(string_split(c.text, ' ')) > 0.2
+            |    AND len(list_filter(string_split(c.text, ' '),
+            |                        w -> w IN ($duckStop))) /
+            |      len(string_split(c.text, ' ')) < 0.2)
+            |SELECT lang, COUNT(*) AS n_docs,
+            |  CAST(SUM(n_words) AS BIGINT) AS n_tokens
+            |FROM survivors GROUP BY lang""".stripMargin),
+    bench = true)
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs, dedupNgram,
     dedupEmbedding,
     annTopk, annIvf,
     textStats, textLangid, textTokens, textQualityFilter, textFingerprint,
-    multimodal)
+    multimodal, corpusPrep)
 }

@@ -29,6 +29,8 @@ object TemporalQueries {
         .agg(max("event_id").as("view_event_id"))
       Temporal.asofJoin(clicks, views, "user_id", "ts", "view_ts")
     },
+    bench = true,
+    oracle =
     Some("""WITH clicks AS (
            |  SELECT event_id, user_id, ts FROM events
            |  WHERE event_type = 'click'),
