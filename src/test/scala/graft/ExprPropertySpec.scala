@@ -63,6 +63,46 @@ class ExprPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("exhaustive Kleene 3VL truth tables for AND/OR/NOT") {
+    // All 9 pairs over {TRUE, FALSE, NULL} checked against the SQL
+    // standard's three-valued logic (the reference deviates — NULL
+    // OR/AND collapse to false, ExprFunc.cs:1148-1156; the declared
+    // contract here is standard SQL, SURVEY §7.4).
+    val vals = Seq("TRUE" -> Some(true), "FALSE" -> Some(false),
+      "CAST(NULL AS BOOLEAN)" -> None)
+    def kAnd(a: Option[Boolean], b: Option[Boolean]): Option[Boolean] =
+      (a, b) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+    def kOr(a: Option[Boolean], b: Option[Boolean]): Option[Boolean] =
+      (a, b) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+    for ((sa, va) <- vals; (sb, vb) <- vals) {
+      val r = spark.sql(
+        s"SELECT ($sa AND $sb) AS a, ($sa OR $sb) AS o, (NOT $sa) AS n")
+        .head()
+      def cell(i: Int): Option[Boolean] =
+        if (r.isNullAt(i)) None else Some(r.getBoolean(i))
+      assert(cell(0) == kAnd(va, vb), s"AND($sa, $sb)")
+      assert(cell(1) == kOr(va, vb), s"OR($sa, $sb)")
+      assert(cell(2) == va.map(!_), s"NOT($sa)")
+    }
+  }
+
+  test("comparison with NULL is NULL; IS [NOT] NULL is two-valued") {
+    val r = spark.sql(
+      """SELECT (NULL = NULL) IS NULL AS a, (NULL <> 1) IS NULL AS b,
+        |  (NULL IS NULL) AS c, (1 IS NOT NULL) AS d,
+        |  (NULL BETWEEN 1 AND 2) IS NULL AS e,
+        |  (NULL IN (1, 2)) IS NULL AS f""".stripMargin).head()
+    (0 until 6).foreach(i => assert(r.getBoolean(i), s"col $i"))
+  }
+
   test("aggregate sum over generated ints equals Scala sum at any partitioning") {
     val s = spark
     import s.implicits._
