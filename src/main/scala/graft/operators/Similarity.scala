@@ -76,4 +76,29 @@ object Similarity {
         cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
       .filter(col("cos_sim") > threshold)
   }
+
+  /** Multi-band sign-LSH: `bands` independent sign buckets over disjoint
+    * dimension slices; a pair is a candidate if ANY band matches
+    * (OR-amplification — recall grows with bands while each band's
+    * bucket join stays tiny). The banded-LSH shape minhash dedup uses,
+    * applied to embeddings: shuffle on (band idx, band value), exact
+    * cosine only on candidates, never all-pairs.
+    */
+  def signLshBanded(corpus: DataFrame, bands: Int = 4, bandBits: Int = 8,
+                    threshold: Double = 0.4): DataFrame = {
+    val banded = corpus
+      .select(col("vec_id"), col("embedding"), posexplode(expr(
+        s"""transform(sequence(0, ${bands - 1}), b ->
+           |  concat_ws('', transform(slice(embedding, b * $bandBits + 1, $bandBits),
+           |    x -> CASE WHEN ROUND(CAST(x AS DOUBLE) * 1048576) >= 0
+           |         THEN '1' ELSE '0' END)))""".stripMargin)))
+      .toDF("vec_id", "embedding", "bidx", "bval")
+    banded.as("a").join(banded.as("b"),
+        col("a.bidx") === col("b.bidx") && col("a.bval") === col("b.bval") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+      .distinct()
+      .filter(col("cos_sim") > threshold)
+  }
 }

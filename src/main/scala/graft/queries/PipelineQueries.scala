@@ -165,6 +165,35 @@ object PipelineQueries {
          |WHERE $cos > 0.4""".stripMargin
     })
 
+  /** Multi-band sign-LSH near-dup: OR-amplified recall (any of 4 bands
+    * matching makes a candidate) — the banded shape that scales recall
+    * without all-pairs.
+    */
+  val dedupEmbeddingBanded: QueryDef = QueryDef("dedup_embedding_banded",
+    (s, dir) => Similarity.signLshBanded(embs(s, dir)),
+    Some {
+      val cos = duckCos.format("qa.qe", "qb.qe",
+        "qa.qe", "qa.qe", "qb.qe", "qb.qe")
+      s"""WITH q AS (SELECT vec_id, ${duckQuant.format("embedding")} AS qe
+         |           FROM embeddings),
+         |bands AS (
+         |  SELECT vec_id, bidx.b AS bidx,
+         |    array_to_string(list_transform(generate_series(1, 8),
+         |      i -> CASE WHEN qe[bidx.b * 8 + i] >= 0 THEN '1' ELSE '0' END),
+         |      '') AS bval
+         |  FROM q, (SELECT unnest(generate_series(0, 3)) AS b) bidx),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+         |  FROM bands a JOIN bands b2
+         |    ON a.bidx = b2.bidx AND a.bval = b2.bval
+         |   AND a.vec_id < b2.vec_id)
+         |SELECT vec_a, vec_b, $cos AS cos_sim
+         |FROM cand
+         |JOIN q qa ON qa.vec_id = vec_a
+         |JOIN q qb ON qb.vec_id = vec_b
+         |WHERE $cos > 0.4""".stripMargin
+    })
+
   // ----------------------------------------------------------- similarity
 
   private def annQueries(s: SparkSession, dir: String): DataFrame =
@@ -337,7 +366,7 @@ object PipelineQueries {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs, dedupNgram,
-    dedupEmbedding,
+    dedupEmbedding, dedupEmbeddingBanded,
     annTopk, annIvf,
     textStats, textLangid, textTokens, textQualityFilter, textFingerprint,
     multimodal, corpusPrep)
