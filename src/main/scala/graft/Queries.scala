@@ -20,7 +20,8 @@ object Queries {
       EventQueries.defs ++
       PipelineQueries.defs ++
       SourceSinkQueries.defs ++
-      ExtraQueries.defs
+      ExtraQueries.defs ++
+      Extra2Queries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
 
