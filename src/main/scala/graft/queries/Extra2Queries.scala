@@ -113,7 +113,38 @@ object Extra2Queries {
       |  (struct_pack(name := n_name, region := n_regionkey)).region AS sregion
       |FROM nation""".stripMargin)
 
+  /** RANGE frame keyed by a time interval: trailing-30-day order counts
+    * per customer (value-based frames vs the ROWS frames in
+    * winfunc_frames).
+    */
+  val rangeFrame: QueryDef = sameSql("winfunc_range_frame",
+    """SELECT o_custkey, o_orderkey,
+      |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+      |                 RANGE BETWEEN INTERVAL '30' DAY PRECEDING
+      |                 AND CURRENT ROW) AS n_last_30d
+      |FROM orders WHERE o_custkey <= 25""".stripMargin)
+
+  /** Rank-fraction analytics: percent_rank/cume_dist are exact dyadic
+    * ratios of identical integers in both engines.
+    */
+  val pctRank: QueryDef = sameSql("winfunc_pct",
+    """SELECT c_custkey,
+      |  PERCENT_RANK() OVER w AS pr,
+      |  CUME_DIST() OVER w AS cd
+      |FROM customer WHERE c_custkey <= 200
+      |WINDOW w AS (ORDER BY c_acctbal, c_custkey)""".stripMargin)
+
+  /** Linear-regression aggregates (rounded: both engines stream partial
+    * sums in different orders; 6 dp is far above the drift).
+    */
+  val regr: QueryDef = sameSql("agg_regr",
+    """SELECT l_returnflag,
+      |  ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,
+      |  ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 6) AS icept,
+      |  CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
     bitwise, trig, boolAgg, minmaxBy, intersectAll, groupByAll,
-    leadLagNulls, structAccess)
+    leadLagNulls, structAccess, rangeFrame, pctRank, regr)
 }
