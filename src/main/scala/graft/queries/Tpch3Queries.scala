@@ -171,5 +171,63 @@ object Tpch3Queries {
       |ORDER BY numwait DESC, s_name
       |LIMIT 20""".stripMargin)
 
-  val defs: Seq[QueryDef] = Seq(q2, q9, q11, q12, q16, q20, q21)
+  /** Q18 rewritten with a window function: the IN-subquery over a
+    * grouped HAVING re-scans lineitem; the window form computes the
+    * per-order quantity sum in the SAME scan (one pass instead of two —
+    * at 100 TB that's the difference between reading the fact table
+    * once and twice). Same oracle as tpch_q18 (the driver runs the
+    * original IN-form SQL in DuckDB); hash-equality proves the rewrite.
+    * l_quantity is integer-valued: window sums are exact.
+    */
+  val q18Window: QueryDef = QueryDef("tpch_q18_window",
+    (s, dir) => graft.QueryDef.run(s, dir,
+      s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         |  ${dsum("l_quantity")} AS sum_qty
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN (
+         |  SELECT l_orderkey, l_quantity,
+         |    SUM(l_quantity) OVER (PARTITION BY l_orderkey) AS order_qty
+         |  FROM lineitem
+         |) l ON o_orderkey = l.l_orderkey
+         |WHERE l.order_qty > 150
+         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         |ORDER BY o_totalprice DESC, o_orderkey
+         |LIMIT 100""".stripMargin),
+    Some(s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+            |  ${dsum("l_quantity")} AS sum_qty
+            |FROM customer
+            |JOIN orders ON c_custkey = o_custkey
+            |JOIN lineitem ON o_orderkey = l_orderkey
+            |WHERE o_orderkey IN (
+            |  SELECT l_orderkey FROM lineitem
+            |  GROUP BY l_orderkey
+            |  HAVING SUM(l_quantity) > 150)
+            |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+            |ORDER BY o_totalprice DESC, o_orderkey
+            |LIMIT 100""".stripMargin),
+    bench = true)
+
+  /** Q17 rewritten with a window: the correlated per-part AVG subquery
+    * becomes a same-scan window average — one lineitem pass. Same
+    * oracle as tpch_q17 (the correlated form).
+    */
+  val q17Window: QueryDef = QueryDef("tpch_q17_window",
+    (s, dir) => graft.QueryDef.run(s, dir,
+      s"""SELECT ${dsum("l_extendedprice")} / 7.0 AS avg_yearly
+         |FROM (
+         |  SELECT l_partkey, l_quantity, l_extendedprice,
+         |    AVG(l_quantity) OVER (PARTITION BY l_partkey) AS part_avg
+         |  FROM lineitem
+         |) l JOIN part ON p_partkey = l_partkey
+         |WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * part_avg""".stripMargin),
+    Some(s"""SELECT ${dsum("l_extendedprice")} / 7.0 AS avg_yearly
+            |FROM lineitem JOIN part ON p_partkey = l_partkey
+            |WHERE p_brand = 'Brand#1'
+            |  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+            |                    FROM lineitem l2
+            |                    WHERE l2.l_partkey = p_partkey)""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(q2, q9, q11, q12, q16, q20, q21,
+    q18Window, q17Window)
 }
