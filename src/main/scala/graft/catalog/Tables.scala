@@ -53,8 +53,14 @@ object Tables {
 
   /** Register every table as a temp view (idempotent while the session
     * stays on one dir; switching dirs re-registers).
+    *
+    * The dir-record and the view registration happen under one lock so a
+    * concurrent caller can never observe a recorded dir whose views are
+    * still being (re)registered for a different dir.
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    if (registered.put(spark, dir) != dir)
-      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    registered.synchronized {
+      if (registered.put(spark, dir) != dir)
+        names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    }
 }

@@ -125,7 +125,11 @@ case class VecCosineQ(left: Expression, right: Expression)
       ab += qx * qy; aa += qx * qx; bb += qy * qy
       i += 1
     }
-    ab / (math.sqrt(aa) * math.sqrt(bb))
+    // A vector quantizing to all zeros (every |x| < 2^-21) would make this
+    // 0/0 = NaN, whose handling differs between engines; define cosine
+    // against a zero vector as 0.0 in both this expression and the oracle.
+    val denom = math.sqrt(aa) * math.sqrt(bb)
+    if (denom == 0.0) 0.0 else ab / denom
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -137,6 +141,7 @@ case class VecCosineQ(left: Expression, right: Expression)
       val bb = ctx.freshName("bb")
       val qx = ctx.freshName("qx")
       val qy = ctx.freshName("qy")
+      val den = ctx.freshName("den")
       val helper = classOf[VecCosineQ].getName
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
@@ -146,7 +151,8 @@ case class VecCosineQ(left: Expression, right: Expression)
          |  double $qy = $helper.roundHalfAway($y.getFloat($i) * 1048576.0);
          |  $ab += $qx * $qy; $aa += $qx * $qx; $bb += $qy * $qy;
          |}
-         |${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
+         |double $den = java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb);
+         |${ev.value} = ($den == 0.0) ? 0.0 : $ab / $den;
        """.stripMargin
     })
 

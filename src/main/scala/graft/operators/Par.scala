@@ -23,6 +23,24 @@ import org.apache.spark.sql.DataFrame
 object Par {
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Estimate the scan's split count from the file listing (already cached
+    // by the shared FileIndex) instead of df.rdd.getNumPartitions, which
+    // eagerly builds the whole physical plan + RDD lineage at construction
+    // time. Scan-rooted inputs (the only place spread() is used) split at
+    // most per-file locally (single-row-group testdata) and at least
+    // per-file at scale, so file count is the honest lower bound. Inputs
+    // with no file source (post-shuffle) are already cluster-parallel:
+    // leave them alone.
+    val files = df.queryExecution.analyzed.collectLeaves().map {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.inputFiles.length
+          case _ => Int.MaxValue
+        }
+      case _ => Int.MaxValue
+    }
+    val estimate = if (files.isEmpty) Int.MaxValue else files.min
+    if (estimate < target) df.repartition(target) else df
   }
 }

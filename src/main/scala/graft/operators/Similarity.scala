@@ -1,10 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.vec
+import graft.functions.{topk, vec}
 
 /** Similarity search over an `array<float>` embedding column.
   *
@@ -26,6 +25,21 @@ object Similarity {
     */
   private def cosine = vec.cosineQ _
 
+  /** Rank the scored (q_id, vec_id, cos_sim) rows down to top-k per query
+    * with the native bounded-heap aggregate (graft.functions.BoundedTopK):
+    * a k-bounded heap per input partition (partial, corpus parallelism),
+    * k-sized heap-union at final — the shuffle carries |queries| × k rows,
+    * not the full scored set. The previous `row_number() OVER (PARTITION
+    * BY q_id)` form funneled every scored row into |queries| partitions
+    * and sorted them — 10 tasks each sorting 10 TB at scale.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("q_id")
+      .agg(topk(col("cos_sim"), col("vec_id"), k).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).as("rnk"),
+        col("col.nn_id"), col("col.cos_sim"))
+
   /** Brute-force cosine top-k: corpus scan × broadcast queries.
     * The exact baseline every approximate variant is measured against.
     */
@@ -34,10 +48,7 @@ object Similarity {
       col("embedding").as("q_emb")))
     val scored = corpus.join(q, col("vec_id") =!= col("q_id"))
       .withColumn("cos_sim", cosine(col("q_emb"), col("embedding")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("vec_id").as("nn_id"), col("cos_sim"))
+    rankTopK(scored, k)
   }
 
   /** IVF-style top-k: probe only the query's coarse partition (here the
@@ -51,10 +62,7 @@ object Similarity {
     val scored = corpus.join(q,
       col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
       .withColumn("cos_sim", cosine(col("q_emb"), col("embedding")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("vec_id").as("nn_id"), col("cos_sim"))
+    rankTopK(scored, k)
   }
 
   /** Sign-LSH bucketed near-dup pairs: bucket on the sign pattern of the

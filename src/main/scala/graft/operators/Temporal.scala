@@ -34,6 +34,15 @@ object Temporal {
                leftTime: String, rightTime: String): DataFrame = {
     val lcols = left.columns.filterNot(_ == key).toSeq
     val rcols = right.columns.filterNot(_ == key).toSeq
+    // Guard the silent-misbehavior modes up front: shared payload names
+    // would produce ambiguous duplicate output columns, and __-prefixed
+    // inputs would collide with the operator's internal columns.
+    val shared = lcols.toSet.intersect(rcols.toSet)
+    require(shared.isEmpty,
+      s"asofJoin: non-key column names must be disjoint; both sides have ${shared.mkString(", ")}")
+    val reserved = (left.columns ++ right.columns).filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"asofJoin: column names may not start with '__' (reserved): ${reserved.mkString(", ")}")
     val lType = org.apache.spark.sql.types.StructType(
       left.schema.filterNot(_.name == key))
     val rType = org.apache.spark.sql.types.StructType(

@@ -146,8 +146,12 @@ object PipelineQueries {
   private val duckQuant =
     "list_transform(%s, x -> round(CAST(x AS DOUBLE) * 1048576))"
 
+  // Zero-vector guard mirrors VecCosineQ: cosine against a vector that
+  // quantizes to all zeros is defined as 0.0 (DuckDB's 0/0 is NULL or NaN
+  // depending on ieee_floating_point_ops — either diverges from the gate).
   private val duckCos =
-    "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
+    ("CASE WHEN list_dot_product(%3$s, %4$s) * list_dot_product(%5$s, %6$s) = 0 THEN 0.0 " +
+     "ELSE list_dot_product(%1$s, %2$s) / (sqrt(list_dot_product(%3$s, %4$s)) * sqrt(list_dot_product(%5$s, %6$s))) END")
 
   val dedupEmbedding: QueryDef = QueryDef("dedup_embedding",
     (s, dir) => Similarity.signLshNearDup(embs(s, dir)),

@@ -41,13 +41,16 @@ object SourceSinkQueries {
   /** COPY round-trip (reference `CopyStmt` stmtDML.cs:245-285 reads
     * pipe-delimited CSV): write supplier as '|'-CSV, read it back with an
     * explicit schema, aggregate; oracle aggregates the original parquet —
-    * equal iff the CSV round-trip is lossless.
+    * equal iff the CSV round-trip is lossless. The write stays at the
+    * source's parallelism (one part file per task — the real COPY/ingest
+    * shape at scale); the schema'd read picks up the whole part-file
+    * directory, and the checksum aggregate is order-insensitive.
     */
   val copyCsv: QueryDef = QueryDef("copy_csv_roundtrip",
     (s, dir) => {
       val out = s"/root/repo/target/copy_csv/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       Tables.load(s, dir, "supplier")
-        .coalesce(1).write.mode("overwrite").option("sep", "|").csv(out)
+        .write.mode("overwrite").option("sep", "|").csv(out)
       val schema = StructType(Seq(
         StructField("s_suppkey", LongType), StructField("s_name", StringType),
         StructField("s_nationkey", IntegerType),
