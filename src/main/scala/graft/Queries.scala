@@ -11,6 +11,7 @@ object Queries {
     TpchQueries.defs ++
       Tpch2Queries.defs ++
       Tpch3Queries.defs ++
+      TpcdsQueries.defs ++
       TemporalQueries.defs ++
       SubqueryBattery.defs ++
       RelationalQueries.defs ++

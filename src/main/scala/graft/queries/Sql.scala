@@ -52,4 +52,23 @@ object Sql {
   /** Order-independent average (exact sum / count). */
   def davg(expr: String, scale: Int = 4): String =
     s"${dsum(expr, scale)} / COUNT($expr)"
+
+  /** Raw scaled-BIGINT exact sum — the quantized integer itself, not yet
+    * divided back to a double. For TPC-DS-style queries that feed an
+    * aggregate into a WINDOW over the groups (ratio-to-parent, rank by
+    * sum, running sum of sums): keeping the window arithmetic on BIGINT
+    * makes the two aggregation levels exact and order-independent in both
+    * engines; only the final displayed value divides back to DOUBLE.
+    * Single-limb: safe while rows/group × max|x| × 10^s < 2^63 (see dsum).
+    */
+  def qsum(expr: String, scale: Int = 2): String = {
+    val f = math.pow(10, scale).toLong
+    s"SUM(CAST(ROUND(($expr) * $f) AS BIGINT))"
+  }
+
+  /** Divide a scaled-BIGINT back to its double value. */
+  def unscale(expr: String, scale: Int = 2): String = {
+    val f = math.pow(10, scale).toLong
+    s"(CAST($expr AS DOUBLE) / $f)"
+  }
 }

@@ -1,0 +1,434 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.sameSql
+import Sql._
+
+/** TPC-DS-shaped composed queries, adapted to the driver's testdata schema.
+  *
+  * The reference ships 67 TPC-DS queries and runs 46 of them
+  * (`/root/reference/test/UnitTest.cs:420-428`, `/root/reference/tpcds/`);
+  * 20 more sit quarantined in `tpcds/problem_queries/missingfeatures/`
+  * because its engine lacks the features they need — ratio-to-parent
+  * windows over aggregates (q12/q98), rank-within-parent over ROLLUP
+  * (q36/q70/q86), windowed CTE chains with lag/lead (q47/q57), cumulative
+  * full-outer comparisons (q51), rollup + rank top-k (q67), multi-channel
+  * UNION ALL with null-extended columns (q76/q77/q78), and
+  * EXISTS/EXCEPT-style channel overlap (q87/q93/q97). This corpus covers
+  * exactly those composed shapes — the ones where engines break even when
+  * every building block passes individually — mapped onto the testdata's
+  * hierarchy (p_type > p_brand > p_name, region > nation) and channels
+  * (l_returnflag slices / orders-vs-lineitem).
+  *
+  * Determinism: two-level aggregates (a window over group sums) keep BOTH
+  * levels on scaled BIGINT (`Sql.qsum`) so partial/final aggregation order
+  * and engine choice cannot move a single bit; only the final displayed
+  * value divides back to DOUBLE (`Sql.unscale`). Ranks order by those
+  * exact integers (ties broken by group keys where ranks must be unique).
+  *
+  * Scale posture: every query is a declarative multi-stage plan — group
+  * sums shuffle once on their keys, the window pass re-shuffles only the
+  * (small) aggregated frame, dims broadcast, and rollups compute as one
+  * Expand + single aggregate, not one job per grouping set.
+  */
+object TpcdsQueries {
+
+  /** q12/q98 shape: item revenue with ratio-to-parent window over the
+    * category — the first quarantined missing-feature
+    * (`/root/reference/tpcds/problem_queries/missingfeatures/q12.sql`:
+    * `sum(sum(x)) over (partition by i_class)`).
+    */
+  val q12Ratio: QueryDef = sameSql("tpcds_q12_ratio_to_class",
+    s"""WITH sales AS (
+       |  SELECT p_type, p_brand,
+       |    ${qsum("l_extendedprice * (1 - l_discount)", 4)} AS q_rev
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_shipdate BETWEEN DATE '1997-01-01' AND DATE '1997-03-31'
+       |  GROUP BY p_type, p_brand)
+       |SELECT p_type, p_brand, ${unscale("q_rev", 4)} AS itemrevenue,
+       |  CAST(q_rev AS DOUBLE) * 100 /
+       |    CAST(SUM(q_rev) OVER (PARTITION BY p_type) AS DOUBLE) AS revenueratio
+       |FROM sales""".stripMargin)
+
+  /** q36 shape: gross-margin ROLLUP hierarchy with rank within parent
+    * keyed off GROUPING() (`missingfeatures/q36.sql`). The grouping
+    * metadata is computed inside the aggregate and the rank in the outer
+    * block — the form both engines resolve.
+    */
+  val q36Rollup: QueryDef = sameSql("tpcds_q36_rollup_rank",
+    s"""WITH agg AS (
+       |  SELECT p_type, p_brand,
+       |    ${qsum("l_extendedprice * l_discount", 4)} AS q_disc,
+       |    ${qsum("l_extendedprice", 2)} AS q_price,
+       |    GROUPING(p_type) + GROUPING(p_brand) AS lochierarchy,
+       |    CASE WHEN GROUPING(p_brand) = 0 THEN p_type END AS parent_key
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |    JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+       |  GROUP BY ROLLUP(p_type, p_brand))
+       |SELECT CAST(q_disc AS DOUBLE) / (CAST(q_price AS DOUBLE) * 100) AS disc_margin,
+       |  p_type, p_brand, lochierarchy,
+       |  RANK() OVER (PARTITION BY lochierarchy, parent_key
+       |               ORDER BY q_disc * 10000 / q_price) AS rank_within_parent
+       |FROM agg""".stripMargin)
+
+  /** q47/q57 shape: monthly sales vs the year's average with prev/next
+    * month via LAG/LEAD over a grouped CTE (`missingfeatures/q47.sql` —
+    * expressed there as a triple self-join on rn±1; the window form is
+    * the single-pass plan that replaces two joins).
+    */
+  val q47LagLead: QueryDef = sameSql("tpcds_q47_lag_lead",
+    s"""WITH v1 AS (
+       |  SELECT p_brand, n_name,
+       |    EXTRACT(YEAR FROM o_orderdate) AS yr,
+       |    EXTRACT(MONTH FROM o_orderdate) AS mon,
+       |    ${qsum("l_extendedprice", 2)} AS q_sales
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN part ON l_partkey = p_partkey
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |    JOIN nation ON s_nationkey = n_nationkey
+       |  GROUP BY p_brand, n_name, EXTRACT(YEAR FROM o_orderdate),
+       |    EXTRACT(MONTH FROM o_orderdate)),
+       |v2 AS (
+       |  SELECT p_brand, n_name, yr, mon, q_sales,
+       |    AVG(CAST(q_sales AS DOUBLE)) OVER (PARTITION BY p_brand, n_name, yr) AS q_avg,
+       |    LAG(q_sales) OVER (PARTITION BY p_brand, n_name ORDER BY yr, mon) AS q_prev,
+       |    LEAD(q_sales) OVER (PARTITION BY p_brand, n_name ORDER BY yr, mon) AS q_next
+       |  FROM v1)
+       |SELECT p_brand, n_name, yr, mon,
+       |  ${unscale("q_sales", 2)} AS sum_sales,
+       |  q_avg / 100 AS avg_monthly_sales,
+       |  ${unscale("q_prev", 2)} AS psum,
+       |  ${unscale("q_next", 2)} AS nsum
+       |FROM v2
+       |WHERE yr = 1998 AND q_avg > 0
+       |  AND ABS(CAST(q_sales AS DOUBLE) - q_avg) / q_avg > 0.1
+       |  AND q_prev IS NOT NULL AND q_next IS NOT NULL""".stripMargin,
+    bench = true)
+
+  /** q51 shape: per-channel cumulative sums, FULL OUTER join of the two
+    * channels, running MAX of each cumulative, keep rows where one channel
+    * runs ahead (`missingfeatures/q51.sql`).
+    */
+  val q51Cume: QueryDef = sameSql("tpcds_q51_cume_compare",
+    s"""WITH web AS (
+       |  SELECT l_partkey AS item_sk,
+       |    CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS d,
+       |    SUM(${qsum("l_extendedprice", 2)}) OVER (
+       |      PARTITION BY l_partkey
+       |      ORDER BY CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_sales
+       |  FROM lineitem WHERE l_returnflag = 'A'
+       |  GROUP BY l_partkey, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)),
+       |store AS (
+       |  SELECT l_partkey AS item_sk,
+       |    CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS d,
+       |    SUM(${qsum("l_extendedprice", 2)}) OVER (
+       |      PARTITION BY l_partkey
+       |      ORDER BY CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_sales
+       |  FROM lineitem WHERE l_returnflag = 'N'
+       |  GROUP BY l_partkey, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)),
+       |joined AS (
+       |  SELECT COALESCE(w.item_sk, s.item_sk) AS item_sk,
+       |    COALESCE(w.d, s.d) AS d,
+       |    w.cume_sales AS q_web, s.cume_sales AS q_store
+       |  FROM web w FULL OUTER JOIN store s
+       |    ON w.item_sk = s.item_sk AND w.d = s.d),
+       |cum AS (
+       |  SELECT item_sk, d, q_web, q_store,
+       |    MAX(q_web) OVER (PARTITION BY item_sk ORDER BY d
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_web_cum,
+       |    MAX(q_store) OVER (PARTITION BY item_sk ORDER BY d
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_store_cum
+       |  FROM joined)
+       |SELECT item_sk, d,
+       |  ${unscale("q_web", 2)} AS web_sales,
+       |  ${unscale("q_store", 2)} AS store_sales,
+       |  ${unscale("q_web_cum", 2)} AS web_cumulative,
+       |  ${unscale("q_store_cum", 2)} AS store_cumulative
+       |FROM cum WHERE q_web_cum > q_store_cum""".stripMargin,
+    bench = true)
+
+  /** q67 shape: ROLLUP over the full product×geo×time hierarchy, then
+    * rank per category and keep the top ranks
+    * (`missingfeatures/q67.sql`).
+    */
+  val q67Topk: QueryDef = sameSql("tpcds_q67_rollup_topk",
+    s"""WITH base AS (
+       |  SELECT p_type, p_brand, n_name,
+       |    EXTRACT(YEAR FROM l_shipdate) AS yr,
+       |    l_quantity, l_extendedprice
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |    JOIN nation ON s_nationkey = n_nationkey),
+       |agg AS (
+       |  SELECT p_type, p_brand, n_name, yr,
+       |    ${qsum("COALESCE(l_quantity * l_extendedprice, 0)", 2)} AS q_sales
+       |  FROM base
+       |  GROUP BY ROLLUP(p_type, p_brand, n_name, yr))
+       |SELECT p_type, p_brand, n_name, yr,
+       |  ${unscale("q_sales", 2)} AS sumsales, rk
+       |FROM (SELECT *, RANK() OVER (PARTITION BY p_type ORDER BY q_sales DESC) AS rk
+       |      FROM agg) ranked
+       |WHERE rk <= 10""".stripMargin,
+    bench = true)
+
+  /** q22 shape: average quantity over a 3-level ROLLUP (inventory
+    * hierarchy; reference runs it as `/root/reference/tpcds/q22.sql`).
+    */
+  val q22Rollup: QueryDef = sameSql("tpcds_q22_rollup_avg",
+    s"""SELECT p_brand, p_type, p_size,
+       |  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)
+       |    / COUNT(l_quantity) AS qoh,
+       |  COUNT(*) AS cnt
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= DATE '1999-01-01'
+       |GROUP BY ROLLUP(p_brand, p_type, p_size)""".stripMargin)
+
+  /** q44 shape: best and worst performers joined by rank — two opposite
+    * rankings of the same aggregate meeting on the rank column
+    * (`/root/reference/tpcds/q44.sql`).
+    */
+  val q44BestWorst: QueryDef = sameSql("tpcds_q44_best_worst",
+    s"""WITH v AS (
+       |  SELECT l_partkey, ${qsum("l_discount", 2)} AS q_disc, COUNT(*) AS cnt
+       |  FROM lineitem GROUP BY l_partkey),
+       |r AS (SELECT l_partkey,
+       |  CAST(q_disc AS DOUBLE) / (100 * cnt) AS avg_disc FROM v),
+       |asc_r AS (SELECT l_partkey, avg_disc,
+       |  RANK() OVER (ORDER BY avg_disc ASC, l_partkey) AS rnk FROM r),
+       |desc_r AS (SELECT l_partkey, avg_disc,
+       |  RANK() OVER (ORDER BY avg_disc DESC, l_partkey) AS rnk FROM r)
+       |SELECT a.rnk, pa.p_name AS best_performing, pd.p_name AS worst_performing
+       |FROM asc_r a JOIN desc_r d ON a.rnk = d.rnk
+       |JOIN part pa ON a.l_partkey = pa.p_partkey
+       |JOIN part pd ON d.l_partkey = pd.p_partkey
+       |WHERE a.rnk <= 10""".stripMargin)
+
+  /** q75 shape: year-over-year decline — the yearly aggregate self-joined
+    * on year−1 (`missingfeatures/q75.sql` without its triple-channel
+    * UNION, which q76/q77/q78 below cover).
+    */
+  val q75Yoy: QueryDef = sameSql("tpcds_q75_yoy_decline",
+    s"""WITH s AS (
+       |  SELECT p_brand, EXTRACT(YEAR FROM o_orderdate) AS yr,
+       |    SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS qty,
+       |    ${qsum("l_extendedprice * (1 - l_discount)", 4)} AS q_amt
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN part ON l_partkey = p_partkey
+       |  GROUP BY p_brand, EXTRACT(YEAR FROM o_orderdate))
+       |SELECT cur.p_brand, cur.yr, prev.yr AS prev_yr,
+       |  CAST(cur.qty - prev.qty AS BIGINT) AS qty_delta,
+       |  ${unscale("cur.q_amt - prev.q_amt", 4)} AS amt_delta
+       |FROM s cur JOIN s prev
+       |  ON cur.p_brand = prev.p_brand AND cur.yr = prev.yr + 1
+       |WHERE cur.qty < prev.qty""".stripMargin)
+
+  /** q76 shape: multi-channel UNION ALL where each branch supplies a
+    * different column set, null-extended (`missingfeatures/
+    * q76_unionall.sql` — the customer branch has no date at all).
+    */
+  val q76Channels: QueryDef = sameSql("tpcds_q76_null_channels",
+    s"""SELECT channel, col_name, yr, COUNT(*) AS sales_cnt,
+       |  ${dsum("price")} AS sales_amt
+       |FROM (
+       |  SELECT 'store' AS channel, l_returnflag AS col_name,
+       |    EXTRACT(YEAR FROM l_shipdate) AS yr, l_extendedprice AS price
+       |  FROM lineitem WHERE l_returnflag = 'R'
+       |  UNION ALL
+       |  SELECT 'web', o_orderpriority, EXTRACT(YEAR FROM o_orderdate), o_totalprice
+       |  FROM orders WHERE o_orderpriority = '1-URGENT'
+       |  UNION ALL
+       |  SELECT 'catalog', c_mktsegment, CAST(NULL AS BIGINT), c_acctbal
+       |  FROM customer WHERE c_mktsegment = 'BUILDING') u
+       |GROUP BY channel, col_name, yr""".stripMargin)
+
+  /** q77 shape: per-channel sales and returns CTEs outer-joined per
+    * geography, UNION ALL'd, with a ROLLUP grand total
+    * (`missingfeatures/q77_unionall.sql`).
+    */
+  val q77Rollup: QueryDef = sameSql("tpcds_q77_channel_rollup",
+    s"""WITH ss AS (
+       |  SELECT s_nationkey AS nk, ${qsum("l_extendedprice", 2)} AS q_sales
+       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY s_nationkey),
+       |sr AS (
+       |  SELECT s_nationkey AS nk, ${qsum("l_extendedprice", 2)} AS q_ret
+       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE l_returnflag = 'R' GROUP BY s_nationkey),
+       |cs AS (
+       |  SELECT c_nationkey AS nk, ${qsum("o_totalprice", 2)} AS q_sales
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY c_nationkey),
+       |cr AS (
+       |  SELECT c_nationkey AS nk, ${qsum("o_totalprice", 2)} AS q_ret
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  WHERE o_orderstatus = 'F' GROUP BY c_nationkey)
+       |SELECT channel, nk,
+       |  ${unscale("SUM(q_sales)", 2)} AS total_sales,
+       |  ${unscale("SUM(q_ret)", 2)} AS total_returns
+       |FROM (
+       |  SELECT 'supplier channel' AS channel, ss.nk, q_sales,
+       |    COALESCE(q_ret, 0) AS q_ret
+       |  FROM ss LEFT JOIN sr ON ss.nk = sr.nk
+       |  UNION ALL
+       |  SELECT 'customer channel', cs.nk, q_sales, COALESCE(q_ret, 0)
+       |  FROM cs LEFT JOIN cr ON cs.nk = cr.nk) u
+       |GROUP BY ROLLUP(channel, nk)""".stripMargin)
+
+  /** q78 shape: two channel CTEs left-joined with COALESCE'd ratios
+    * (`missingfeatures/q78_multicte.sql`).
+    */
+  val q78Ratio: QueryDef = sameSql("tpcds_q78_channel_ratio",
+    s"""WITH ss AS (
+       |  SELECT EXTRACT(YEAR FROM l_shipdate) AS yr, l_partkey,
+       |    SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS qty,
+       |    ${qsum("l_extendedprice", 2)} AS amt
+       |  FROM lineitem WHERE l_returnflag = 'A'
+       |  GROUP BY EXTRACT(YEAR FROM l_shipdate), l_partkey),
+       |ws AS (
+       |  SELECT EXTRACT(YEAR FROM l_shipdate) AS yr, l_partkey,
+       |    SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS qty,
+       |    ${qsum("l_extendedprice", 2)} AS amt
+       |  FROM lineitem WHERE l_returnflag = 'N'
+       |  GROUP BY EXTRACT(YEAR FROM l_shipdate), l_partkey)
+       |SELECT ss.yr, ss.l_partkey AS part_sk,
+       |  CAST(ss.qty AS BIGINT) AS ss_qty,
+       |  CAST(COALESCE(ws.qty, 0) AS BIGINT) AS ws_qty,
+       |  ${unscale("ss.amt", 2)} AS ss_amt,
+       |  CAST(ss.qty AS DOUBLE) / (ss.qty + COALESCE(ws.qty, 0)) AS ss_ratio
+       |FROM ss LEFT JOIN ws ON ss.yr = ws.yr AND ss.l_partkey = ws.l_partkey
+       |WHERE ss.qty > COALESCE(ws.qty, 0) * 2""".stripMargin)
+
+  /** q97 shape: channel overlap via DISTINCT CTEs FULL OUTER joined,
+    * counted by presence pattern (`missingfeatures/q97_multcte.sql`).
+    */
+  val q97Overlap: QueryDef = sameSql("tpcds_q97_channel_overlap",
+    s"""WITH ssci AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE l_returnflag = 'A'),
+       |csci AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE l_returnflag = 'N')
+       |SELECT
+       |  CAST(SUM(CASE WHEN s.cust IS NOT NULL AND c.cust IS NULL
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+       |  CAST(SUM(CASE WHEN s.cust IS NOT NULL AND c.cust IS NOT NULL
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS both_channels,
+       |  CAST(SUM(CASE WHEN s.cust IS NULL AND c.cust IS NOT NULL
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS web_only
+       |FROM ssci s FULL OUTER JOIN csci c
+       |  ON s.cust = c.cust AND s.item = c.item""".stripMargin)
+
+  /** q87 shape: COUNT over an EXCEPT of two distinct channel cohorts
+    * (`missingfeatures/q87_fixme.sql`).
+    */
+  val q87Except: QueryDef = sameSql("tpcds_q87_except_count",
+    s"""SELECT COUNT(*) AS cnt FROM (
+       |  (SELECT DISTINCT c_custkey
+       |   FROM customer JOIN orders ON c_custkey = o_custkey
+       |     JOIN lineitem ON o_orderkey = l_orderkey
+       |   WHERE l_returnflag = 'A')
+       |  EXCEPT
+       |  (SELECT DISTINCT c_custkey
+       |   FROM customer JOIN orders ON c_custkey = o_custkey
+       |   WHERE o_orderpriority = '1-URGENT')) t""".stripMargin)
+
+  /** q9 shape: CASE over scalar subqueries choosing between further
+    * scalar subqueries, from a one-row anchor table
+    * (`missingfeatures/q9.sql`).
+    */
+  val q9CaseSubq: QueryDef = {
+    def bucket(lo: Int, hi: Int, n: Int) =
+      s"""CASE WHEN (SELECT COUNT(*) FROM lineitem
+         |       WHERE l_quantity BETWEEN $lo AND $hi) > 11000
+         |  THEN (SELECT ${davg("l_extendedprice")} FROM lineitem
+         |        WHERE l_quantity BETWEEN $lo AND $hi)
+         |  ELSE (SELECT ${davg("l_discount")} FROM lineitem
+         |        WHERE l_quantity BETWEEN $lo AND $hi) END AS bucket$n""".stripMargin
+    sameSql("tpcds_q9_case_subq",
+      s"""SELECT ${bucket(1, 10, 1)},
+         |  ${bucket(11, 20, 2)},
+         |  ${bucket(21, 30, 3)},
+         |  ${bucket(31, 40, 4)},
+         |  ${bucket(41, 50, 5)}
+         |FROM region WHERE r_regionkey = 0""".stripMargin)
+  }
+
+  /** q1 shape: cohort aggregate filtered by a correlated scalar subquery
+    * over the same CTE (customers returning more than 1.2× their
+    * nation's average; `/root/reference/tpcds/q1.sql`).
+    */
+  val q1CorrSub: QueryDef = sameSql("tpcds_q1_corrsub",
+    s"""WITH cr AS (
+       |  SELECT c_custkey AS cust, c_nationkey AS nk,
+       |    ${qsum("l_extendedprice", 2)} AS q_ret
+       |  FROM customer JOIN orders ON c_custkey = o_custkey
+       |    JOIN lineitem ON o_orderkey = l_orderkey
+       |  WHERE l_returnflag = 'R'
+       |  GROUP BY c_custkey, c_nationkey)
+       |SELECT c1.cust
+       |FROM cr c1
+       |WHERE CAST(c1.q_ret AS DOUBLE) >
+       |  (SELECT AVG(CAST(q_ret AS DOUBLE)) * 1.2 FROM cr c2 WHERE c2.nk = c1.nk)""".stripMargin)
+
+  /** q93 shape: COUNT(DISTINCT) over orders passing an EXISTS and a
+    * NOT EXISTS on the fact table (`missingfeatures/q93_fixme.sql` /
+    * `q16_distinct.sql`).
+    */
+  val q93Exists: QueryDef = sameSql("tpcds_q93_exists_shape",
+    s"""SELECT COUNT(DISTINCT o_orderkey) AS n_orders,
+       |  ${dsum("o_totalprice")} AS total
+       |FROM orders o
+       |WHERE EXISTS (SELECT 1 FROM lineitem l
+       |              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+       |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+       |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')""".stripMargin)
+
+  /** q53/q63/q89 shape: quarterly sales vs the brand average, keeping
+    * quarters that deviate >10% (`/root/reference/tpcds/q53.sql`).
+    */
+  val q53Deviation: QueryDef = sameSql("tpcds_q53_deviation",
+    s"""WITH m AS (
+       |  SELECT p_brand, EXTRACT(YEAR FROM l_shipdate) AS yr,
+       |    EXTRACT(QUARTER FROM l_shipdate) AS qtr,
+       |    ${qsum("l_extendedprice", 2)} AS q_sales
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE p_type IN ('ECONOMY', 'STANDARD')
+       |  GROUP BY p_brand, EXTRACT(YEAR FROM l_shipdate),
+       |    EXTRACT(QUARTER FROM l_shipdate))
+       |SELECT p_brand, yr, qtr, ${unscale("q_sales", 2)} AS sum_sales,
+       |  q_avg / 100 AS avg_brand_sales
+       |FROM (SELECT *, AVG(CAST(q_sales AS DOUBLE))
+       |        OVER (PARTITION BY p_brand) AS q_avg FROM m) t
+       |WHERE CASE WHEN q_avg > 0
+       |      THEN ABS(CAST(q_sales AS DOUBLE) - q_avg) / q_avg
+       |      ELSE NULL END > 0.1""".stripMargin)
+
+  /** q70/q86 shape: rank within parent over the geographic ROLLUP
+    * (region > nation), the second hierarchy the reference's quarantine
+    * needs (`missingfeatures/q70.sql`).
+    */
+  val q70Region: QueryDef = sameSql("tpcds_q70_region_rank",
+    s"""WITH agg AS (
+       |  SELECT r_name, n_name,
+       |    ${qsum("l_extendedprice * (1 - l_discount)", 4)} AS q_rev,
+       |    GROUPING(r_name) + GROUPING(n_name) AS lochierarchy,
+       |    CASE WHEN GROUPING(n_name) = 0 THEN r_name END AS parent_key
+       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |    JOIN nation ON s_nationkey = n_nationkey
+       |    JOIN region ON n_regionkey = r_regionkey
+       |  GROUP BY ROLLUP(r_name, n_name))
+       |SELECT ${unscale("q_rev", 4)} AS total_rev, r_name, n_name, lochierarchy,
+       |  RANK() OVER (PARTITION BY lochierarchy, parent_key
+       |               ORDER BY q_rev DESC) AS rank_within_parent
+       |FROM agg""".stripMargin)
+
+  val defs: Seq[QueryDef] = Seq(
+    q1CorrSub, q9CaseSubq, q12Ratio, q22Rollup, q36Rollup, q44BestWorst,
+    q47LagLead, q51Cume, q53Deviation, q67Topk, q70Region, q75Yoy,
+    q76Channels, q77Rollup, q78Ratio, q87Except, q93Exists, q97Overlap)
+}
