@@ -12,6 +12,7 @@ object Queries {
       Tpch2Queries.defs ++
       Tpch3Queries.defs ++
       TpcdsQueries.defs ++
+      JobenchQueries.defs ++
       TemporalQueries.defs ++
       SubqueryBattery.defs ++
       RelationalQueries.defs ++

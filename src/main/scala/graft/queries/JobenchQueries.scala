@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.sameSql
+import Sql._
+
+/** Join-order stress corpus, modeled on JOBench (the reference optimizes
+  * all 113 JOBench queries plan-only with imported stats,
+  * `/root/reference/test/UnitTest.cs:357-381`, `/root/reference/jobench/
+  * *.sql`): snowflake queries of 8-10 relations written as comma-FROM +
+  * WHERE equalities, with MIN()/COUNT aggregates — the JOBench house
+  * style (`/root/reference/jobench/1a.sql`).
+  *
+  * Every query deliberately lists its relations in a HOSTILE order: the
+  * first two FROM entries share no join predicate (region r1, region r2 /
+  * part p, customer c...), so a naive left-deep join in FROM order would
+  * start with a cartesian product. The optimizer (predicate-driven join
+  * graph + CBO join reorder, enabled in GraftSession) must re-derive a
+  * connected order — JoinOrderSpec asserts the executed plans are
+  * cartesian-free and that the join leaf order differs from the FROM
+  * order.
+  *
+  * Scale posture: every join is a key equi-join; dims (region/nation/
+  * supplier/part at these SFs) broadcast, the fact chain shuffles on its
+  * keys, and the self-pair queries (l1×l2 on the same part/order) stay
+  * linear because per-key fan-out is constant in SF.
+  */
+object JobenchQueries {
+
+  /** 9 relations; FROM leads with the unconnected region pair. Customers
+    * of ASIA buying heavy parts shipped by EUROPE suppliers.
+    */
+  val j1: QueryDef = sameSql("jobench_j1_two_regions",
+    s"""SELECT MIN(p.p_name) AS pname, MIN(s.s_name) AS sname,
+       |  MIN(n2.n_name) AS supp_nation, COUNT(*) AS cnt
+       |FROM region r1, region r2, nation n1, nation n2, customer c,
+       |     supplier s, orders o, lineitem l, part p
+       |WHERE r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE'
+       |  AND n1.n_regionkey = r1.r_regionkey
+       |  AND n2.n_regionkey = r2.r_regionkey
+       |  AND c.c_nationkey = n1.n_nationkey
+       |  AND s.s_nationkey = n2.n_nationkey
+       |  AND o.o_custkey = c.c_custkey
+       |  AND l.l_orderkey = o.o_orderkey
+       |  AND l.l_suppkey = s.s_suppkey
+       |  AND l.l_partkey = p.p_partkey
+       |  AND p.p_type = 'ECONOMY' AND l.l_quantity > 40""".stripMargin)
+
+  /** 8 relations with a lineitem self-pair through the shared part —
+    * the same part bought in bulk from an AMERICA supplier and in small
+    * lots from a supplier of any other nation. FROM leads with part ⋈̸
+    * the second supplier.
+    */
+  val j2: QueryDef = sameSql("jobench_j2_part_pair",
+    s"""SELECT MIN(p.p_name) AS pname, MIN(n1.n_name) AS nation_a,
+       |  MIN(n2.n_name) AS nation_b, COUNT(*) AS cnt
+       |FROM part p, supplier s2, lineitem l1, nation n1, region r,
+       |     lineitem l2, supplier s1, nation n2
+       |WHERE l1.l_partkey = p.p_partkey AND l2.l_partkey = p.p_partkey
+       |  AND l1.l_suppkey = s1.s_suppkey AND l2.l_suppkey = s2.s_suppkey
+       |  AND s1.s_nationkey = n1.n_nationkey
+       |  AND s2.s_nationkey = n2.n_nationkey
+       |  AND n1.n_regionkey = r.r_regionkey
+       |  AND n1.n_nationkey <> n2.n_nationkey
+       |  AND r.r_name = 'AMERICA'
+       |  AND l1.l_quantity > 40 AND l2.l_quantity < 10""".stripMargin)
+
+  /** 8 relations, TPC-H q7-style nation pair in either direction plus a
+    * brand-filtered part and the supplier region anchor.
+    */
+  val j3: QueryDef = sameSql("jobench_j3_nation_pair",
+    s"""SELECT MIN(n1.n_name) AS supp_nation, MIN(n2.n_name) AS cust_nation,
+       |  ${dsum("l.l_extendedprice * (1 - l.l_discount)", 6)} AS revenue,
+       |  COUNT(*) AS cnt
+       |FROM nation n1, nation n2, part p, supplier s, lineitem l,
+       |     orders o, customer c, region r
+       |WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+       |  AND c.c_custkey = o.o_custkey
+       |  AND s.s_nationkey = n1.n_nationkey
+       |  AND c.c_nationkey = n2.n_nationkey
+       |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+       |    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+       |  AND p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#12'
+       |  AND n1.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'""".stripMargin)
+
+  /** 10 relations with an orders self-pair: customers holding both an
+    * urgent and a low-priority order whose lines hit different part
+    * classes; supplier hangs off the low-priority line.
+    */
+  val j4: QueryDef = sameSql("jobench_j4_order_pair",
+    s"""SELECT COUNT(*) AS cnt, MIN(c.c_name) AS cname,
+       |  MIN(p1.p_name) AS urgent_part, MIN(p2.p_name) AS low_part
+       |FROM customer c, part p1, part p2, orders o1, lineitem l1,
+       |     nation n, region r, orders o2, lineitem l2, supplier s
+       |WHERE o1.o_custkey = c.c_custkey AND o2.o_custkey = c.c_custkey
+       |  AND o1.o_orderpriority = '1-URGENT'
+       |  AND o2.o_orderpriority = '5-LOW'
+       |  AND l1.l_orderkey = o1.o_orderkey
+       |  AND l2.l_orderkey = o2.o_orderkey
+       |  AND l1.l_partkey = p1.p_partkey AND l2.l_partkey = p2.p_partkey
+       |  AND p1.p_type = 'ECONOMY' AND p2.p_type = 'PROMO'
+       |  AND l2.l_suppkey = s.s_suppkey
+       |  AND c.c_nationkey = n.n_nationkey
+       |  AND n.n_regionkey = r.r_regionkey AND r.r_name = 'AFRICA'""".stripMargin)
+
+  /** 10 relations, TPC-H q21-style lineitem anti-pair: finished orders
+    * from AMERICA customers with an ASIA-supplied line that some OTHER
+    * supplier also contributed to.
+    */
+  val j5: QueryDef = sameSql("jobench_j5_multi_supplier",
+    s"""SELECT COUNT(*) AS cnt, MIN(s.s_name) AS sname, MIN(p.p_name) AS pname
+       |FROM region rs, region rc, nation ns, supplier s, lineitem l1,
+       |     orders o, customer c, nation nc, lineitem l2, part p
+       |WHERE ns.n_regionkey = rs.r_regionkey
+       |  AND s.s_nationkey = ns.n_nationkey
+       |  AND l1.l_suppkey = s.s_suppkey
+       |  AND o.o_orderkey = l1.l_orderkey
+       |  AND c.c_custkey = o.o_custkey
+       |  AND nc.n_nationkey = c.c_nationkey
+       |  AND rc.r_regionkey = nc.n_regionkey
+       |  AND l2.l_orderkey = o.o_orderkey
+       |  AND l2.l_suppkey <> l1.l_suppkey
+       |  AND p.p_partkey = l1.l_partkey
+       |  AND rs.r_name = 'ASIA' AND rc.r_name = 'AMERICA'
+       |  AND o.o_orderstatus = 'F' AND p.p_size > 40""".stripMargin)
+
+  val defs: Seq[QueryDef] = Seq(j1, j2, j3, j4, j5)
+}
