@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators for large-scale training-data
@@ -31,15 +32,35 @@ object Dedup {
         """array_distinct(transform(sequence(0, size(ws) - 3),
           |  i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))) AS s""".stripMargin)
 
-  /** MinHash + LSH near-dup candidate pairs, verified by true shingle
-    * Jaccard. k independent min-hashes, banded `k / bandRows` ways; docs
-    * sharing any band bucket become candidates (shuffle on band value —
-    * never all-pairs), then candidates alone pay the exact-Jaccard
-    * verification join.
+  /** Drop rows of band buckets larger than `maxBucket` (count via one
+    * window pass on the same (bidx, bval) key the candidate join shuffles
+    * on — no extra shuffle). LSH candidate generation is quadratic
+    * WITHIN a bucket; real corpora carry pathological boilerplate
+    * clusters (cookie banners, license headers, templated pages) whose
+    * bucket would alone produce billions of in-bucket pairs at 100 TB.
+    * Dropping a hot bucket costs near-dup recall only among documents
+    * that are near-identical to `maxBucket`+ others — exactly the
+    * cluster a cheaper exact-dedup / cluster-collapse pass should own —
+    * and keeps the join's per-bucket cost bounded. Capped buckets are
+    * inspectable via [[hotBuckets]].
     */
-  def minHashPairs(docs: DataFrame, k: Int = 8, bandRows: Int = 2,
-                   threshold: Double = 0.8): DataFrame = {
-    val sh = shingled(docs).cache()
+  private def capBuckets(bands: DataFrame, maxBucket: Int): DataFrame =
+    bands
+      .withColumn("__bn",
+        count(lit(1)).over(Window.partitionBy("bidx", "bval")))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
+
+  /** Band buckets (with sizes) that [[minHashPairs]] at the same
+    * parameters would DROP — the recall audit for the hot-bucket cap.
+    */
+  def hotBuckets(docs: DataFrame, k: Int = 8, bandRows: Int = 2,
+                 maxBucket: Int = 500): DataFrame =
+    minHashBands(shingled(docs), k, bandRows)
+      .groupBy("bidx", "bval").agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+
+  private def minHashBands(sh: DataFrame, k: Int, bandRows: Int): DataFrame = {
     // One md5 per shingle; the k minhash functions are the mins of k
     // disjoint 16-bit (4 hex char) slices of that digest — 8x fewer hash
     // computations than k independent salted md5s, same LSH behavior.
@@ -58,9 +79,22 @@ object Dedup {
       val parts = (0 until bandRows).map(r => s"h${b * bandRows + r}")
       s"concat(${parts.mkString(", ")})"
     }
-    val bands = mh
-      .select(col("doc_id"), posexplode(expr(s"array(${bandExprs.mkString(", ")})")))
+    mh.select(col("doc_id"), posexplode(expr(s"array(${bandExprs.mkString(", ")})")))
       .toDF("doc_id", "bidx", "bval")
+  }
+
+  /** MinHash + LSH near-dup candidate pairs, verified by true shingle
+    * Jaccard. k independent min-hashes, banded `k / bandRows` ways; docs
+    * sharing any band bucket become candidates (shuffle on band value —
+    * never all-pairs), then candidates alone pay the exact-Jaccard
+    * verification join. Buckets larger than `maxBucket` are excluded
+    * from candidate generation (see [[capBuckets]]; testdata buckets
+    * max out around 10, so the default cap is far from engaging there).
+    */
+  def minHashPairs(docs: DataFrame, k: Int = 8, bandRows: Int = 2,
+                   threshold: Double = 0.8, maxBucket: Int = 500): DataFrame = {
+    val sh = shingled(docs).cache()
+    val bands = capBuckets(minHashBands(sh, k, bandRows), maxBucket)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.bidx") === col("b.bidx") && col("a.bval") === col("b.bval") &&

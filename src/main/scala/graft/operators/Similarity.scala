@@ -93,14 +93,27 @@ object Similarity {
     * cosine only on candidates, never all-pairs.
     */
   def signLshBanded(corpus: DataFrame, bands: Int = 4, bandBits: Int = 8,
-                    threshold: Double = 0.4): DataFrame = {
-    val banded = corpus
+                    threshold: Double = 0.4, maxBucket: Int = 500): DataFrame = {
+    val raw = corpus
       .select(col("vec_id"), col("embedding"), posexplode(expr(
         s"""transform(sequence(0, ${bands - 1}), b ->
            |  concat_ws('', transform(slice(embedding, b * $bandBits + 1, $bandBits),
            |    x -> CASE WHEN ROUND(CAST(x AS DOUBLE) * 1048576) >= 0
            |         THEN '1' ELSE '0' END)))""".stripMargin)))
       .toDF("vec_id", "embedding", "bidx", "bval")
+    // Hot-bucket cap, same rationale as Dedup.capBuckets: the bucket join
+    // is quadratic within a bucket, and an embedding cluster (boilerplate
+    // pages, near-identical templates) can concentrate one. One window
+    // count on the join's own (bidx, bval) key — no extra shuffle. Note
+    // sign-LSH buckets also grow linearly with corpus size at FIXED
+    // bandBits (2^bandBits patterns): at much larger corpora, raise
+    // bandBits (more hyperplanes) rather than the cap.
+    val banded = raw
+      .withColumn("__bn",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("bidx", "bval")))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
     banded.as("a").join(banded.as("b"),
         col("a.bidx") === col("b.bidx") && col("a.bval") === col("b.bval") &&
           col("a.vec_id") < col("b.vec_id"))
