@@ -13,6 +13,7 @@ object Queries {
       Tpch3Queries.defs ++
       TpcdsQueries.defs ++
       JobenchQueries.defs ++
+      NistQueries.defs ++
       TemporalQueries.defs ++
       SubqueryBattery.defs ++
       RelationalQueries.defs ++
