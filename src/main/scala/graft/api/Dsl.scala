@@ -65,5 +65,18 @@ final class DataSet(val df: DataFrame) {
     }: _*))
   def limit(n: Int): DataSet = new DataSet(df.limit(n))
   def show(): Unit = df.show()
+
+  /** Reference `EXPLAIN [ANALYZE|FULL]` analog (`ExplainMode`,
+    * `/root/reference/qpmodel/Plan.cs:125`, REPL surface
+    * `Program.cs:180-351`): the plan text for a mode, returned rather
+    * than printed so callers can inspect it. Modes are Catalyst's:
+    * "simple" (physical), "extended" (all phases — the reference's
+    * FULL), "cost" (logical with CBO statistics — the reference's
+    * ANALYZE-style cost view), "codegen", "formatted".
+    */
+  def explain(mode: String = "formatted"): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
   def toDF: DataFrame = df
 }

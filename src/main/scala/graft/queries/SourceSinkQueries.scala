@@ -201,6 +201,17 @@ object SourceSinkQueries {
             |  COUNT(*) AS cnt, ${dsum("value")} AS sum_v
             |FROM events GROUP BY 1""".stripMargin))
 
+  /** Same streaming aggregate through the production sink path: a real
+    * parquet directory written by foreachBatch, re-read, verified against
+    * the identical oracle — files on disk, not a driver-side memory
+    * table.
+    */
+  val streamTumbleParquet: QueryDef = QueryDef("stream_tumble_parquet",
+    (s, dir) => graft.streaming.Streams.tumbleToParquet(s, dir),
+    Some(s"""SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start,
+            |  COUNT(*) AS cnt, ${dsum("value")} AS sum_v
+            |FROM events GROUP BY 1""".stripMargin))
+
   /** Partitioned-table write + partition-pruned read: the storage layout
     * that makes selective scans at 100 TB touch one directory instead of
     * the table. PlanShapeSpec asserts the pruning.
@@ -240,6 +251,7 @@ object SourceSinkQueries {
 
   val defs: Seq[QueryDef] = Seq(
     copyCsv, ddlInsert, analyze, dsl, dslAgg, dslTopk, udfSqroot,
-    udfTwoArg, udfVecDot, streamTumble, ddlPartitioned, ddlTempView,
+    udfTwoArg, udfVecDot, streamTumble, streamTumbleParquet,
+    ddlPartitioned, ddlTempView,
     havingNoGroupBy)
 }
