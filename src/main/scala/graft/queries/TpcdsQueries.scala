@@ -427,8 +427,53 @@ object TpcdsQueries {
        |               ORDER BY q_rev DESC) AS rank_within_parent
        |FROM agg""".stripMargin)
 
+  /** q14 shape: cross-channel item cohort via INTERSECT, per-channel
+    * sales over that cohort with a ROLLUP total
+    * (`/root/reference/tpcds/q14.sql`).
+    */
+  val q14Intersect: QueryDef = sameSql("tpcds_q14_cross_channel",
+    s"""WITH cross_items AS (
+       |  SELECT l_partkey AS item FROM lineitem WHERE l_returnflag = 'A'
+       |  INTERSECT
+       |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'),
+       |s AS (
+       |  SELECT l_returnflag AS channel, l_partkey,
+       |    ${qsum("l_extendedprice", 2)} AS q_amt
+       |  FROM lineitem
+       |  WHERE l_returnflag IN ('A', 'N')
+       |    AND l_partkey IN (SELECT item FROM cross_items)
+       |  GROUP BY l_returnflag, l_partkey)
+       |SELECT channel, COUNT(*) AS n_items,
+       |  ${unscale("SUM(q_amt)", 2)} AS total_sales
+       |FROM s GROUP BY ROLLUP(channel)""".stripMargin)
+
+  /** q49 shape: worst in-channel return ratios, ranked per channel with
+    * an exact-integer ratio order (`/root/reference/tpcds/q49.sql`).
+    */
+  val q49ReturnRank: QueryDef = sameSql("tpcds_q49_return_rank",
+    s"""WITH base AS (
+       |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |         THEN 'expedited' ELSE 'regular' END AS channel,
+       |    l_partkey AS item,
+       |    SUM(CAST(ROUND(CASE WHEN l_returnflag = 'R' THEN l_quantity
+       |                   ELSE 0 END) AS BIGINT)) AS ret_qty,
+       |    SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS tot_qty
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |           THEN 'expedited' ELSE 'regular' END, l_partkey),
+       |ranked AS (
+       |  SELECT channel, item,
+       |    CAST(ret_qty AS DOUBLE) / tot_qty AS return_ratio,
+       |    RANK() OVER (PARTITION BY channel
+       |                 ORDER BY CAST(ret_qty AS DOUBLE) / tot_qty DESC,
+       |                          item) AS rnk
+       |  FROM base WHERE tot_qty >= 20)
+       |SELECT channel, item, return_ratio, rnk
+       |FROM ranked WHERE rnk <= 10""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
-    q1CorrSub, q9CaseSubq, q12Ratio, q22Rollup, q36Rollup, q44BestWorst,
-    q47LagLead, q51Cume, q53Deviation, q67Topk, q70Region, q75Yoy,
-    q76Channels, q77Rollup, q78Ratio, q87Except, q93Exists, q97Overlap)
+    q1CorrSub, q9CaseSubq, q12Ratio, q14Intersect, q22Rollup, q36Rollup,
+    q44BestWorst, q47LagLead, q49ReturnRank, q51Cume, q53Deviation,
+    q67Topk, q70Region, q75Yoy, q76Channels, q77Rollup, q78Ratio,
+    q87Except, q93Exists, q97Overlap)
 }

@@ -194,4 +194,15 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = finalPlan(df)
     assert(plan.contains("*(1) Project") && plan.contains("vec_dot"), plan)
   }
+
+  test("ANN top-k aggregates partial/final (bounded heaps, no window sort)") {
+    // The scale-correct top-k: BoundedTopK splits into a partial
+    // ObjectHashAggregate at corpus parallelism plus a final merge of
+    // k-sized heaps, so the shuffle carries |queries| x k rows. The old
+    // row_number() form showed WindowExec + a full sort of the scored set.
+    val plan = finalPlan(Queries.byName("ann_brute_topk").build(spark, sfDir))
+    assert(!plan.contains("Window"), plan)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("partial_top_k") || plan.contains("top_k"), plan)
+  }
 }
