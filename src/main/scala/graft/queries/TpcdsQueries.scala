@@ -54,17 +54,29 @@ object TpcdsQueries {
     * keyed off GROUPING() (`missingfeatures/q36.sql`). The grouping
     * metadata is computed inside the aggregate and the rank in the outer
     * block — the form both engines resolve.
+    *
+    * Pre-aggregate at the finest grain BEFORE the rollup: Spark's
+    * Expand duplicates its input once per grouping set, so rolling up
+    * the raw join (600k rows at sf0.1, ×3 sets) is 12× the work of
+    * rolling up the 150-row pre-aggregate. Sums are reaggregatable
+    * integers, so the two-level form is bit-identical.
     */
   val q36Rollup: QueryDef = sameSql("tpcds_q36_rollup_rank",
-    s"""WITH agg AS (
+    s"""WITH pre AS (
        |  SELECT p_type, p_brand,
        |    ${qsum("l_extendedprice * l_discount", 4)} AS q_disc,
-       |    ${qsum("l_extendedprice", 2)} AS q_price,
-       |    GROUPING(p_type) + GROUPING(p_brand) AS lochierarchy,
-       |    CASE WHEN GROUPING(p_brand) = 0 THEN p_type END AS parent_key
+       |    ${qsum("l_extendedprice", 2)} AS q_price
        |  FROM lineitem JOIN part ON l_partkey = p_partkey
        |    JOIN orders ON l_orderkey = o_orderkey
        |  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+       |  GROUP BY p_type, p_brand),
+       |agg AS (
+       |  SELECT p_type, p_brand,
+       |    CAST(SUM(q_disc) AS BIGINT) AS q_disc,
+       |    CAST(SUM(q_price) AS BIGINT) AS q_price,
+       |    GROUPING(p_type) + GROUPING(p_brand) AS lochierarchy,
+       |    CASE WHEN GROUPING(p_brand) = 0 THEN p_type END AS parent_key
+       |  FROM pre
        |  GROUP BY ROLLUP(p_type, p_brand))
        |SELECT CAST(q_disc AS DOUBLE) / (CAST(q_price AS DOUBLE) * 100) AS disc_margin,
        |  p_type, p_brand, lochierarchy,
@@ -162,10 +174,15 @@ object TpcdsQueries {
        |  FROM lineitem JOIN part ON l_partkey = p_partkey
        |    JOIN supplier ON l_suppkey = s_suppkey
        |    JOIN nation ON s_nationkey = n_nationkey),
-       |agg AS (
+       |pre AS (
        |  SELECT p_type, p_brand, n_name, yr,
        |    ${qsum("COALESCE(l_quantity * l_extendedprice, 0)", 2)} AS q_sales
        |  FROM base
+       |  GROUP BY p_type, p_brand, n_name, yr),
+       |agg AS (
+       |  SELECT p_type, p_brand, n_name, yr,
+       |    CAST(SUM(q_sales) AS BIGINT) AS q_sales
+       |  FROM pre
        |  GROUP BY ROLLUP(p_type, p_brand, n_name, yr))
        |SELECT p_type, p_brand, n_name, yr,
        |  ${unscale("q_sales", 2)} AS sumsales, rk
@@ -178,12 +195,17 @@ object TpcdsQueries {
     * hierarchy; reference runs it as `/root/reference/tpcds/q22.sql`).
     */
   val q22Rollup: QueryDef = sameSql("tpcds_q22_rollup_avg",
-    s"""SELECT p_brand, p_type, p_size,
-       |  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)
-       |    / COUNT(l_quantity) AS qoh,
-       |  COUNT(*) AS cnt
-       |FROM lineitem JOIN part ON l_partkey = p_partkey
-       |WHERE l_shipdate >= DATE '1999-01-01'
+    s"""WITH pre AS (
+       |  SELECT p_brand, p_type, p_size,
+       |    SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sq,
+       |    COUNT(l_quantity) AS cq, COUNT(*) AS c
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_shipdate >= DATE '1999-01-01'
+       |  GROUP BY p_brand, p_type, p_size)
+       |SELECT p_brand, p_type, p_size,
+       |  CAST(SUM(sq) AS DOUBLE) / SUM(cq) AS qoh,
+       |  CAST(SUM(c) AS BIGINT) AS cnt
+       |FROM pre
        |GROUP BY ROLLUP(p_brand, p_type, p_size)""".stripMargin)
 
   /** q44 shape: best and worst performers joined by rank — two opposite
@@ -413,14 +435,18 @@ object TpcdsQueries {
     * needs (`missingfeatures/q70.sql`).
     */
   val q70Region: QueryDef = sameSql("tpcds_q70_region_rank",
-    s"""WITH agg AS (
+    s"""WITH pre AS (
        |  SELECT r_name, n_name,
-       |    ${qsum("l_extendedprice * (1 - l_discount)", 4)} AS q_rev,
-       |    GROUPING(r_name) + GROUPING(n_name) AS lochierarchy,
-       |    CASE WHEN GROUPING(n_name) = 0 THEN r_name END AS parent_key
+       |    ${qsum("l_extendedprice * (1 - l_discount)", 4)} AS q_rev
        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
        |    JOIN nation ON s_nationkey = n_nationkey
        |    JOIN region ON n_regionkey = r_regionkey
+       |  GROUP BY r_name, n_name),
+       |agg AS (
+       |  SELECT r_name, n_name, CAST(SUM(q_rev) AS BIGINT) AS q_rev,
+       |    GROUPING(r_name) + GROUPING(n_name) AS lochierarchy,
+       |    CASE WHEN GROUPING(n_name) = 0 THEN r_name END AS parent_key
+       |  FROM pre
        |  GROUP BY ROLLUP(r_name, n_name))
        |SELECT ${unscale("q_rev", 4)} AS total_rev, r_name, n_name, lochierarchy,
        |  RANK() OVER (PARTITION BY lochierarchy, parent_key
