@@ -75,6 +75,17 @@ class DeterminismSpec extends AnyFunSuite {
     assert(res(1) == res(32))
   }
 
+  test("bounded-heap top-k is identical across partition counts (1 vs 32)") {
+    // The partial/final heap split must not depend on which rows land in
+    // which partial: scores are exact quantized-cosine integers-over-IEEE
+    // and ties break by id inside the heap ordering itself.
+    val e = Tables.load(spark, sfDir, "embeddings")
+    def run(parts: Int): Seq[Seq[Any]] = rows(
+      graft.operators.Similarity.bruteForceTopK(
+        e.repartition(parts), e.filter("vec_id < 3"), 5))
+    assert(run(1) == run(32))
+  }
+
   test("asofJoin result is stable under input repartitioning") {
     val ev = Tables.load(spark, sfDir, "events")
     import org.apache.spark.sql.functions._
