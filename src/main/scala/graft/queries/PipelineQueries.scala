@@ -368,10 +368,27 @@ object PipelineQueries {
             |FROM survivors GROUP BY lang""".stripMargin),
     bench = true)
 
+  /** Deterministic stratified sampling (training-mix selection): exact-k
+    * per language by md5 order, via the native BoundedTopK aggregate —
+    * one aggregate pass, shuffle of |strata|×k rows, no corpus-wide
+    * window sort. The oracle re-derives the same picks by ranking the
+    * same 12-hex md5 prefix (lexicographic hex order == numeric order).
+    */
+  val sampleStratified: QueryDef = QueryDef("sample_stratified_hash",
+    (s, dir) => graft.operators.Sampling
+      .stratifiedByHash(docs(s, dir), "lang", "doc_id", 5),
+    Some("""SELECT lang AS stratum, rnk AS pick_rank, doc_id FROM (
+           |  SELECT lang, doc_id,
+           |    row_number() OVER (PARTITION BY lang
+           |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 12), doc_id)
+           |      AS rnk
+           |  FROM documents) t
+           |WHERE rnk <= 5""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs, dedupNgram,
     dedupEmbedding, dedupEmbeddingBanded,
-    annTopk, annIvf,
+    annTopk, annIvf, sampleStratified,
     textStats, textLangid, textTokens, textQualityFilter, textFingerprint,
     multimodal, corpusPrep)
 }

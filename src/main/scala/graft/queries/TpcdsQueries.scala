@@ -497,9 +497,53 @@ object TpcdsQueries {
        |SELECT channel, item, return_ratio, rnk
        |FROM ranked WHERE rnk <= 10""".stripMargin)
 
+  /** q27 shape: multi-measure averages over GROUPING SETS of the
+    * dim hierarchy (`/root/reference/tpcds/q27.sql` — runnable there;
+    * included for parity alongside the quarantined shapes).
+    */
+  val q27Gsets: QueryDef = sameSql("tpcds_q27_gsets_avg",
+    s"""WITH base AS (
+       |  SELECT n_name, p_type, l_quantity, l_extendedprice, l_discount
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |    JOIN nation ON s_nationkey = n_nationkey)
+       |SELECT n_name, p_type,
+       |  ${davg("l_quantity")} AS agg1,
+       |  ${davg("l_extendedprice")} AS agg2,
+       |  ${davg("l_discount")} AS agg3,
+       |  COUNT(*) AS cnt
+       |FROM base
+       |GROUP BY GROUPING SETS ((n_name, p_type), (n_name), ())""".stripMargin)
+
+  /** q11/q74 shape: year-over-year growth ratio compared across two
+    * channels via a four-way self-join of the yearly CTE
+    * (`/root/reference/tpcds/problem_queries/q75.sql` family).
+    */
+  val q74Growth: QueryDef = sameSql("tpcds_q74_growth_ratio",
+    s"""WITH yearly AS (
+       |  SELECT c_custkey AS cust, l_returnflag AS chan,
+       |    EXTRACT(YEAR FROM o_orderdate) AS yr,
+       |    ${qsum("l_extendedprice", 2)} AS q_tot
+       |  FROM customer JOIN orders ON c_custkey = o_custkey
+       |    JOIN lineitem ON o_orderkey = l_orderkey
+       |  WHERE l_returnflag IN ('A', 'N')
+       |  GROUP BY c_custkey, l_returnflag, EXTRACT(YEAR FROM o_orderdate))
+       |SELECT a2.cust,
+       |  CAST(a2.q_tot AS DOUBLE) / a1.q_tot AS a_growth,
+       |  CAST(n2.q_tot AS DOUBLE) / n1.q_tot AS n_growth
+       |FROM yearly a1, yearly a2, yearly n1, yearly n2
+       |WHERE a1.chan = 'A' AND a2.chan = 'A'
+       |  AND n1.chan = 'N' AND n2.chan = 'N'
+       |  AND a1.cust = a2.cust AND a1.cust = n1.cust AND a1.cust = n2.cust
+       |  AND a1.yr = 1996 AND a2.yr = 1997
+       |  AND n1.yr = 1996 AND n2.yr = 1997
+       |  AND a1.q_tot > 0 AND n1.q_tot > 0
+       |  AND CAST(a2.q_tot AS DOUBLE) / a1.q_tot >
+       |      CAST(n2.q_tot AS DOUBLE) / n1.q_tot""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
-    q1CorrSub, q9CaseSubq, q12Ratio, q14Intersect, q22Rollup, q36Rollup,
-    q44BestWorst, q47LagLead, q49ReturnRank, q51Cume, q53Deviation,
-    q67Topk, q70Region, q75Yoy, q76Channels, q77Rollup, q78Ratio,
-    q87Except, q93Exists, q97Overlap)
+    q1CorrSub, q9CaseSubq, q12Ratio, q14Intersect, q22Rollup, q27Gsets,
+    q36Rollup, q44BestWorst, q47LagLead, q49ReturnRank, q51Cume,
+    q53Deviation, q67Topk, q70Region, q74Growth, q75Yoy, q76Channels,
+    q77Rollup, q78Ratio, q87Except, q93Exists, q97Overlap)
 }
