@@ -78,6 +78,21 @@ object EventQueries {
     },
     Some("SELECT TRUE AS within_5pct"))
 
+  /** Week-over-week retention cohorts: distinct active users per week
+    * self-joined onto the next week — the telemetry retention report
+    * (one shuffle on user_id for the distinct, one on the join key;
+    * the events corpus spans ~a month, so weeks give real cohorts).
+    */
+  val retention: QueryDef = sameSql("event_retention",
+    """WITH weekly AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+      |  FROM events)
+      |SELECT a.w AS cohort_week, COUNT(*) AS retained
+      |FROM weekly a JOIN weekly b
+      |  ON a.user_id = b.user_id AND b.w = a.w + INTERVAL 7 DAY
+      |GROUP BY a.w""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
-    json, funnel, byType, percentile, corr, approxDistinct)
+    json, funnel, byType, percentile, corr, approxDistinct, retention)
 }

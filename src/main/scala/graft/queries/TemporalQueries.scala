@@ -115,6 +115,15 @@ object TemporalQueries {
     Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users
            |FROM events GROUP BY event_type""".stripMargin))
 
+  /** Watermark-bounded streaming dedup (state evicted past the
+    * watermark — the unbounded-key-domain variant); corpus span is
+    * inside the watermark, so the global-dedup oracle applies.
+    */
+  val streamDedupWm: QueryDef = QueryDef("stream_dedup_watermark",
+    (s, dir) => graft.streaming.Streams.dedupWithinWatermarkAvailableNow(s, dir),
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+           |FROM events GROUP BY event_type""".stripMargin))
+
   /** Streaming hopping windows — same oracle as the bounded window_hop
     * (every event lands in exactly two 12h/6h windows).
     */
@@ -161,5 +170,5 @@ object TemporalQueries {
 
   val defs: Seq[QueryDef] = Seq(
     joinAsof, joinRangeBinned, skewSalted, streamSession, streamDedup,
-    streamHop, streamStreamJoin, udafWavg)
+    streamDedupWm, streamHop, streamStreamJoin, udafWavg)
 }

@@ -186,6 +186,34 @@ object Streams {
       .agg(count("*").as("n_users"))
   }
 
+  /** Watermark-bounded streaming dedup: like [[dedupAvailableNow]] but
+    * via dropDuplicatesWithinWatermark — state for a key is EVICTED once
+    * the watermark passes it (the production choice for unbounded key
+    * domains, where plain dropDuplicates' state grows forever). On the
+    * bounded corpus the event-time span is inside the (large) watermark,
+    * so results equal global dedup and share its oracle.
+    */
+  def dedupWithinWatermarkAvailableNow(
+      spark: SparkSession, dir: String,
+      queryName: String = "graft_stream_dedup_wm"): DataFrame = {
+    val q = eventsStream(spark, dir)
+      .withWatermark("ts", "365 days")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_stream_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .groupBy("event_type")
+      .agg(count("*").as("n_users"))
+  }
+
   /** Custom-state records: per-user running aggregates maintained across
     * micro-batches.
     */

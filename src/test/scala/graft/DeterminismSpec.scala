@@ -86,6 +86,14 @@ class DeterminismSpec extends AnyFunSuite {
     assert(run(1) == run(32))
   }
 
+  test("stratified hash-sample picks identical rows at any partitioning") {
+    val d = Tables.load(spark, sfDir, "documents")
+    def run(parts: Int): Seq[Seq[Any]] = rows(
+      graft.operators.Sampling.stratifiedByHash(
+        d.repartition(parts), "lang", "doc_id", 5))
+    assert(run(1) == run(32))
+  }
+
   test("asofJoin result is stable under input repartitioning") {
     val ev = Tables.load(spark, sfDir, "events")
     import org.apache.spark.sql.functions._
