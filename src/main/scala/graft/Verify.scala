@@ -8,7 +8,11 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // Optional 3rd arg: comma-separated name substrings — local iteration
+    // only; the driver always invokes with exactly (sfDir, outDir).
+    val only: Option[Seq[String]] =
+      if (args.length > 2) Some(args(2).split(',').toSeq) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // The session under test must be the configured engine (AQE/CBO/UTC),
     // not a bare default SparkSession.
@@ -20,7 +24,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var failed = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.contains)) }
+    selected.foreach { case (name, fn) =>
       // Result sets are kept small by construction (aggregated or LIMITed),
       // so one output task is fine; large raw outputs would drop this.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -43,10 +49,11 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.exists(k.contains)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     System.err.println(
-      s"[verify] ${SparkEntry.queries.size - failed}/${SparkEntry.queries.size} dumped")
+      s"[verify] ${selected.size - failed}/${selected.size} dumped")
     spark.stop()
   }
 }

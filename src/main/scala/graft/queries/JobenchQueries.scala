@@ -124,5 +124,25 @@ object JobenchQueries {
        |  AND rs.r_name = 'ASIA' AND rc.r_name = 'AMERICA'
        |  AND o.o_orderstatus = 'F' AND p.p_size > 40""".stripMargin)
 
-  val defs: Seq[QueryDef] = Seq(j1, j2, j3, j4, j5)
+  /** 9 relations across heterogeneous sources: the clickstream (events)
+    * joined into the commerce snowflake — high-value clickers' order
+    * lines from EUROPE customers, small parts only. FROM leads with
+    * events ⋈̸ part.
+    */
+  val j6: QueryDef = sameSql("jobench_j6_clickstream",
+    s"""SELECT COUNT(*) AS cnt, MIN(c.c_name) AS cname, MIN(p.p_name) AS pname
+       |FROM events e, part p, customer c, orders o, lineitem l,
+       |     nation n, region r, supplier s, nation ns
+       |WHERE e.user_id = c.c_custkey
+       |  AND e.event_type = 'click' AND e.value > 90
+       |  AND o.o_custkey = c.c_custkey
+       |  AND l.l_orderkey = o.o_orderkey
+       |  AND l.l_partkey = p.p_partkey
+       |  AND l.l_suppkey = s.s_suppkey
+       |  AND s.s_nationkey = ns.n_nationkey
+       |  AND c.c_nationkey = n.n_nationkey
+       |  AND n.n_regionkey = r.r_regionkey
+       |  AND r.r_name = 'EUROPE' AND p.p_size < 10""".stripMargin)
+
+  val defs: Seq[QueryDef] = Seq(j1, j2, j3, j4, j5, j6)
 }

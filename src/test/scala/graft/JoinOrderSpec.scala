@@ -25,7 +25,7 @@ class JoinOrderSpec extends AnyFunSuite {
     */
   private def leafTables(df: DataFrame): Seq[String] = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val table = "(region|nation|customer|supplier|part|orders|lineitem)\\.parquet".r
+    val table = "(region|nation|customer|supplier|part|orders|lineitem|events|documents|embeddings)\\.parquet".r
     df.queryExecution.optimizedPlan.collectLeaves().map {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
@@ -48,7 +48,9 @@ class JoinOrderSpec extends AnyFunSuite {
       "lineitem", "nation", "region", "orders", "lineitem", "supplier"),
     "jobench_j5_multi_supplier" -> Seq("region", "region", "nation",
       "supplier", "lineitem", "orders", "customer", "nation", "lineitem",
-      "part"))
+      "part"),
+    "jobench_j6_clickstream" -> Seq("events", "part", "customer", "orders",
+      "lineitem", "nation", "region", "supplier", "nation"))
 
   for ((name, fromOrder) <- fromOrders)
     test(s"$name: cartesian-free and reordered away from the FROM order") {
