@@ -65,6 +65,97 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Guarded cosine over QUANTIZED (integral-double) vectors: the three
+    * dot products are exact integer sums via the codegen'd VecDot, the
+    * zero-vector guard mirrors VecCosineQ / the oracle's CASE — identical
+    * IEEE arithmetic on identical exact integers, so bit-identical across
+    * engines. Used for centroid assignment where one side (the Lloyd-step
+    * centroid) is no longer a raw float embedding.
+    */
+  private def cosQ(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(vec.dot(a, a) * vec.dot(b, b) === 0d, 0d)
+      .otherwise(vec.dot(a, b) / (sqrt(vec.dot(a, a)) * sqrt(vec.dot(b, b))))
+
+  /** IVF top-k with a REAL coarse quantizer (vs `ivfTopK`'s pre-labeled
+    * stand-in): deterministically seeded k-means over the quantized
+    * embedding space — seeds are the `numCentroids` smallest vec_ids, one
+    * Lloyd refinement step, then queries probe their `nprobe` nearest
+    * centroids and pay exact cosine only inside the probed inverted lists.
+    *
+    * Scale shape (the part that matters at 100 TB):
+    *   - both assignment passes are NARROW projections — the centroid set
+    *     is collapsed to a single broadcast row and each corpus vector
+    *     picks argmax cosine inside a higher-order `transform`; the corpus
+    *     is never shuffled to be assigned;
+    *   - the Lloyd step shuffles only partial aggregates: per-dimension
+    *     exact integer sums (quantized grid, so order-independent and
+    *     oracle-reproducible) in ONE hash aggregate — K×dim numbers cross
+    *     the wire, not vectors;
+    *   - probing broadcasts |queries| × nprobe rows against the assigned
+    *     corpus (equi-join on centroid id, no corpus shuffle), and the
+    *     final rank is the bounded-heap `topk` partial aggregate.
+    * At real scale the seeds would come from k-means‖ on a sample; the
+    * assignment / Lloyd / probe machinery is exactly what ships here.
+    * Reference ANN surface: qpmodel has none — this is the training-data
+    * pipeline extension mandated by the build brief.
+    */
+  def ivfKmeansTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    numCentroids: Int = 8, nprobe: Int = 2,
+                    dim: Int = 64): DataFrame = {
+    val qc = corpus.select(col("vec_id"), col("embedding"),
+      vec.quantize(col("embedding")).as("qe"))
+    val seedArr = qc.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").cast("int").as("cid"), col("qe").as("ce"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("ce")))).as("cents"))
+
+    // argmax over the broadcast centroid array: max of (cos, -cid) ==
+    // ORDER BY cos DESC, cid ASC — the oracle's tie-break.
+    def assign(df: DataFrame, cents: DataFrame): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .withColumn("__s", transform(col("cents"),
+          c => struct(cosQ(col("qe"), c("ce")).as("cs"), (-c("cid")).as("ncid"))))
+        .withColumn("cid", -array_max(col("__s")).getField("ncid"))
+        .drop("cents", "__s")
+
+    val asg1 = assign(qc, seedArr)
+    // One Lloyd step: centroid = floor(per-dim mean) back onto the integer
+    // grid. Sums of quantized components are exact (|q| ~ 2^21, n ~ corpus
+    // per cluster — far below 2^53), so the division inputs are
+    // bit-identical in any engine and at any partitioning.
+    val sums = (1 to dim).map(d => sum(element_at(col("qe"), d)).as(s"s$d"))
+    // The centroid "model" (one row of K structs) feeds BOTH the
+    // re-assignment and the probe branch; without materialization Spark
+    // would recompute its corpus pass per consumer. cache() of K×dim
+    // numbers is the within-query model hand-off (Bench unpersists
+    // between passes, so timings stay honest).
+    val centArr = asg1.groupBy("cid")
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("cid"), array((1 to dim).map(d =>
+        floor(col(s"s$d") / col("n")).cast("double")): _*).as("ce"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("ce")))).as("cents"))
+      .cache()
+
+    val asg2 = assign(qc, centArr).select("vec_id", "embedding", "cid")
+
+    // Each query probes its nprobe nearest centroids: sort the same scored
+    // array by (-cos, cid) ascending == cos DESC, cid ASC; take nprobe.
+    val probes = queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"),
+        vec.quantize(col("embedding")).as("qe"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("__s", transform(col("cents"),
+        c => struct((-cosQ(col("qe"), c("ce"))).as("ncs"), c("cid").as("cid"))))
+      .select(col("q_id"), col("q_emb"),
+        explode(transform(slice(array_sort(col("__s")), 1, nprobe),
+          x => x.getField("cid"))).as("p_cid"))
+
+    val scored = asg2.join(broadcast(probes),
+        col("cid") === col("p_cid") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", cosine(col("q_emb"), col("embedding")))
+    rankTopK(scored, k)
+  }
+
   /** Sign-LSH bucketed near-dup pairs: bucket on the sign pattern of the
     * first `signBits` QUANTIZED dimensions (a fixed random-hyperplane
     * sketch — deterministic and re-derivable by the oracle; quantized so

@@ -243,6 +243,95 @@ object PipelineQueries {
          |FROM ranked WHERE rnk <= 3""".stripMargin
     })
 
+  /** DuckDB mirror of Similarity.ivfKmeansTopK: the full CTE chain —
+    * quantize, seed, assign (argmax cosine, ties to smaller cid), one
+    * Lloyd step (floor of per-dim mean back onto the integer grid),
+    * re-assign, probe nprobe centroids, score inside probed lists. Every
+    * comparison runs over exact integral doubles, so assignments, probes
+    * and final rankings are bit-identical to the Spark side.
+    */
+  private def duckIvfCtes(kCent: Int, nprobe: Int): String = {
+    def cosOf(a: String, b: String) = duckCos.format(a, b, a, a, b, b)
+    val cosAS = cosOf("a.qe", "s.ce")
+    s"""c AS (SELECT vec_id, ${duckQuant.format("embedding")} AS qe FROM embeddings),
+       |seeds AS (SELECT CAST(vec_id AS INT) AS cid, qe AS ce FROM c
+       |          WHERE vec_id < $kCent),
+       |a1 AS (SELECT a.vec_id, a.qe, s.cid,
+       |         row_number() OVER (PARTITION BY a.vec_id
+       |                            ORDER BY $cosAS DESC, s.cid) AS rn
+       |       FROM c a CROSS JOIN seeds s),
+       |asg1 AS (SELECT vec_id, qe, cid FROM a1 WHERE rn = 1),
+       |cent AS (SELECT cid, list(fd ORDER BY d) AS ce FROM (
+       |           SELECT cid, d, FLOOR(SUM(qe[d]) / COUNT(*)) AS fd
+       |           FROM asg1, (SELECT unnest(generate_series(1, 64)) AS d) dims
+       |           GROUP BY cid, d) GROUP BY cid),
+       |a2 AS (SELECT a.vec_id, s.cid,
+       |         row_number() OVER (PARTITION BY a.vec_id
+       |                            ORDER BY $cosAS DESC, s.cid) AS rn
+       |       FROM c a CROSS JOIN cent s),
+       |asg2 AS (SELECT vec_id, cid FROM a2 WHERE rn = 1),
+       |pq AS (SELECT vec_id AS q_id, qe FROM c WHERE vec_id < 10),
+       |pr AS (SELECT a.q_id, a.qe AS q_emb, s.cid,
+       |         row_number() OVER (PARTITION BY a.q_id
+       |                            ORDER BY ${cosOf("a.qe", "s.ce")} DESC,
+       |                                     s.cid) AS rn
+       |       FROM pq a CROSS JOIN cent s),
+       |probes AS (SELECT q_id, q_emb, cid FROM pr WHERE rn <= $nprobe),
+       |iscored AS (SELECT p.q_id, e.vec_id,
+       |              ${cosOf("p.q_emb", "e2.qe")} AS cos_sim
+       |            FROM asg2 e JOIN c e2 ON e2.vec_id = e.vec_id
+       |            JOIN probes p ON e.cid = p.cid AND e.vec_id <> p.q_id),
+       |iranked AS (SELECT q_id, vec_id, cos_sim,
+       |              row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY cos_sim DESC, vec_id) AS rnk
+       |            FROM iscored)""".stripMargin
+  }
+
+  val annIvfKmeans: QueryDef = QueryDef("ann_ivf_kmeans",
+    (s, dir) => Similarity.ivfKmeansTopK(embs(s, dir), annQueries(s, dir), 3),
+    Some(s"""WITH ${duckIvfCtes(8, 2)}
+            |SELECT q_id, rnk, vec_id AS nn_id, cos_sim
+            |FROM iranked WHERE rnk <= 3""".stripMargin),
+    bench = true)
+
+  /** Recall@3 of the k-means IVF against the exact brute-force answer —
+    * the measurement a user tunes numCentroids/nprobe with. Both sides are
+    * fully deterministic, so even this meta-metric is hash-verified.
+    */
+  val annIvfRecall: QueryDef = QueryDef("ann_ivf_recall",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val brute = Similarity.bruteForceTopK(embs(s, dir), annQueries(s, dir), 3)
+        .select(col("q_id"), col("nn_id"))
+      val ivf = Similarity.ivfKmeansTopK(embs(s, dir), annQueries(s, dir), 3)
+        .select(col("q_id"), col("nn_id"), lit(1).as("hit"))
+      brute.join(ivf, Seq("q_id", "nn_id"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("n_true"), col("n_hit"),
+          (col("n_hit") / col("n_true")).cast("double").as("recall"))
+    },
+    Some {
+      val cos = duckCos.format("q_emb", "e.qe", "q_emb", "q_emb", "e.qe", "e.qe")
+      s"""WITH ${duckIvfCtes(8, 2)},
+         |bq AS (SELECT vec_id AS q_id, qe AS q_emb FROM c WHERE vec_id < 10),
+         |bscored AS (SELECT q_id, e.vec_id, $cos AS cos_sim
+         |            FROM c e, bq WHERE e.vec_id <> q_id),
+         |branked AS (SELECT q_id, vec_id,
+         |              row_number() OVER (PARTITION BY q_id
+         |                                 ORDER BY cos_sim DESC, vec_id) AS rnk
+         |            FROM bscored),
+         |brute AS (SELECT q_id, vec_id FROM branked WHERE rnk <= 3),
+         |ivf AS (SELECT q_id, vec_id FROM iranked WHERE rnk <= 3)
+         |SELECT COUNT(*) AS n_true,
+         |  CAST(SUM(CASE WHEN ivf.q_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_hit,
+         |  CAST(SUM(CASE WHEN ivf.q_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS DOUBLE) / COUNT(*) AS recall
+         |FROM brute LEFT JOIN ivf
+         |  ON brute.q_id = ivf.q_id AND brute.vec_id = ivf.vec_id""".stripMargin
+    })
+
   // -------------------------------------------------------- text analysis
 
   private val duckStop = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
@@ -388,7 +477,7 @@ object PipelineQueries {
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs, dedupNgram,
     dedupEmbedding, dedupEmbeddingBanded,
-    annTopk, annIvf, sampleStratified,
+    annTopk, annIvf, annIvfKmeans, annIvfRecall, sampleStratified,
     textStats, textLangid, textTokens, textQualityFilter, textFingerprint,
     multimodal, corpusPrep)
 }

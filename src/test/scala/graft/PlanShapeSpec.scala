@@ -205,4 +205,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
     assert(plan.contains("partial_top_k") || plan.contains("top_k"), plan)
   }
+
+  test("IVF k-means: narrow assignment, no corpus-wide sort/merge join") {
+    // The coarse quantizer must never shuffle the corpus to assign it:
+    // assignment is a projection under a 1-row broadcast (BNLJ), the
+    // Lloyd step moves only partial per-dim sums, probing broadcasts the
+    // query side, and the rank is the bounded-heap aggregate.
+    val df = Queries.byName("ann_ivf_kmeans").build(spark, sfDir)
+    val plan = finalPlan(df)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // 1-row centroid bcast
+    assert(plan.contains("BroadcastHashJoin"), plan)       // probe equi-join
+    assert(plan.contains("partial_top_k") || plan.contains("top_k"), plan)
+  }
+
+  test("IVF k-means recall@3 is high but not exact (a real approximation)") {
+    val r = Queries.byName("ann_ivf_recall").build(spark, sfDir).collect()(0)
+    val recall = r.getAs[Double]("recall")
+    assert(recall >= 0.5 && recall <= 1.0, s"recall=$recall")
+    assert(r.getAs[Long]("n_true") == 30L, r.toString)
+  }
 }
