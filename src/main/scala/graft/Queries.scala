@@ -21,6 +21,7 @@ object Queries {
       ExprQueries.defs ++
       WindowQueries.defs ++
       EventQueries.defs ++
+      MapQueries.defs ++
       PipelineQueries.defs ++
       SourceSinkQueries.defs ++
       ExtraQueries.defs ++
