@@ -12,6 +12,7 @@ object Queries {
       Tpch2Queries.defs ++
       Tpch3Queries.defs ++
       TpcdsQueries.defs ++
+      Tpcds2Queries.defs ++
       JobenchQueries.defs ++
       NistQueries.defs ++
       TemporalQueries.defs ++
