@@ -88,19 +88,23 @@ object TpcdsQueries {
     * month via LAG/LEAD over a grouped CTE (`missingfeatures/q47.sql` —
     * expressed there as a triple self-join on rn±1; the window form is
     * the single-pass plan that replaces two joins).
+    *
+    * The month comes off the fact's own l_shipdate — q47's date_dim is a
+    * dim lookup on the fact's date key, so the faithful analog is one
+    * fact + three broadcast dims. (An earlier form routed the date
+    * through orders, adding a fact-fact shuffle q47 does not have.)
     */
   val q47LagLead: QueryDef = sameSql("tpcds_q47_lag_lead",
     s"""WITH v1 AS (
        |  SELECT p_brand, n_name,
-       |    EXTRACT(YEAR FROM o_orderdate) AS yr,
-       |    EXTRACT(MONTH FROM o_orderdate) AS mon,
+       |    EXTRACT(YEAR FROM l_shipdate) AS yr,
+       |    EXTRACT(MONTH FROM l_shipdate) AS mon,
        |    ${qsum("l_extendedprice", 2)} AS q_sales
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-       |    JOIN part ON l_partkey = p_partkey
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
        |    JOIN supplier ON l_suppkey = s_suppkey
        |    JOIN nation ON s_nationkey = n_nationkey
-       |  GROUP BY p_brand, n_name, EXTRACT(YEAR FROM o_orderdate),
-       |    EXTRACT(MONTH FROM o_orderdate)),
+       |  GROUP BY p_brand, n_name, EXTRACT(YEAR FROM l_shipdate),
+       |    EXTRACT(MONTH FROM l_shipdate)),
        |v2 AS (
        |  SELECT p_brand, n_name, yr, mon, q_sales,
        |    AVG(CAST(q_sales AS DOUBLE)) OVER (PARTITION BY p_brand, n_name, yr) AS q_avg,
@@ -160,6 +164,57 @@ object TpcdsQueries {
        |  ${unscale("q_web_cum", 2)} AS web_cumulative,
        |  ${unscale("q_store_cum", 2)} AS store_cumulative
        |FROM cum WHERE q_web_cum > q_store_cum""".stripMargin,
+    bench = true)
+
+  /** The 100 TB plan for q51: both "channels" come from the same fact,
+    * so pivot them in ONE scan — a single (item, month) aggregate with
+    * CASE-split channel sums, then one window pass of running sums.
+    * Replaces q51's two grouped-window subplans, the FULL OUTER join and
+    * the running-MAX window (3 shuffles + FOJ → 1 shuffle + 1 window).
+    *
+    * Equivalence to the FOJ form (this query is verified against the
+    * UNCHANGED q51 oracle, so the rewrite is hash-proven, not argued):
+    *  - joined's rows = months where either channel sold = the combined
+    *    GROUP BY's groups;
+    *  - q_web/q_store are NULL exactly where SUM(CASE) has no channel
+    *    rows;
+    *  - the running MAX of a channel's cumulative equals the running SUM
+    *    of its contributions because sales are nonnegative (cumulative is
+    *    monotone) and absent months contribute zero.
+    */
+  val q51OnePass: QueryDef = QueryDef("tpcds_q51_onepass",
+    (s, dir) => QueryDef.run(s, dir,
+      s"""WITH m AS (
+         |  SELECT l_partkey AS item_sk,
+         |    CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS d,
+         |    ${qsum("CASE WHEN l_returnflag = 'A' THEN l_extendedprice END", 2)}
+         |      AS w_q,
+         |    ${qsum("CASE WHEN l_returnflag = 'N' THEN l_extendedprice END", 2)}
+         |      AS s_q
+         |  FROM lineitem WHERE l_returnflag IN ('A', 'N')
+         |  GROUP BY l_partkey, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)),
+         |cum AS (
+         |  SELECT item_sk, d, w_q, s_q,
+         |    SUM(COALESCE(w_q, 0)) OVER (PARTITION BY item_sk ORDER BY d
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wc,
+         |    SUM(COALESCE(s_q, 0)) OVER (PARTITION BY item_sk ORDER BY d
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sc,
+         |    COUNT(w_q) OVER (PARTITION BY item_sk ORDER BY d
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wn,
+         |    COUNT(s_q) OVER (PARTITION BY item_sk ORDER BY d
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sn
+         |  FROM m)
+         |SELECT item_sk, d,
+         |  CASE WHEN w_q IS NULL THEN NULL ELSE ${unscale("wc", 2)} END
+         |    AS web_sales,
+         |  CASE WHEN s_q IS NULL THEN NULL ELSE ${unscale("sc", 2)} END
+         |    AS store_sales,
+         |  ${unscale("wc", 2)} AS web_cumulative,
+         |  ${unscale("sc", 2)} AS store_cumulative
+         |-- wn/sn > 0: the FOJ form's running MAX is NULL until a channel
+         |-- first appears, and NULL comparisons drop those rows there.
+         |FROM cum WHERE wn > 0 AND sn > 0 AND wc > sc""".stripMargin),
+    q51Cume.oracle,
     bench = true)
 
   /** q67 shape: ROLLUP over the full product×geo×time hierarchy, then
@@ -543,7 +598,7 @@ object TpcdsQueries {
 
   val defs: Seq[QueryDef] = Seq(
     q1CorrSub, q9CaseSubq, q12Ratio, q14Intersect, q22Rollup, q27Gsets,
-    q36Rollup, q44BestWorst, q47LagLead, q49ReturnRank, q51Cume,
+    q36Rollup, q44BestWorst, q47LagLead, q49ReturnRank, q51Cume, q51OnePass,
     q53Deviation, q67Topk, q70Region, q74Growth, q75Yoy, q76Channels,
     q77Rollup, q78Ratio, q87Except, q93Exists, q97Overlap)
 }
