@@ -157,6 +157,41 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Cross-corpus decontamination: training documents that share any
+    * word n-gram with a holdout/eval set — the standard "is the test set
+    * in the training data" sweep an LLM pipeline runs before training.
+    *
+    * Shape: both sides explode to distinct md5'd n-grams (16-byte join
+    * keys, not raw text), the holdout side drops boilerplate grams that
+    * appear in more than `maxDf` holdout docs (they'd match everything
+    * and mean nothing — and their buckets are exactly the quadratic hot
+    * spots), then ONE equi-join on the gram hash + one group-by on
+    * train_id. Never all-pairs; both shuffles are hash-partitioned on
+    * keys whose cardinality grows with corpus size, so this runs at
+    * 100 TB train × small holdout with the holdout gram set broadcast.
+    */
+  def contamination(train: DataFrame, holdout: DataFrame, n: Int = 8,
+                    maxDf: Int = 100): DataFrame = {
+    def grams(df: DataFrame, idAs: String): DataFrame =
+      Par.spread(df)
+        .select(col("doc_id").as(idAs), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= n)
+        .select(col(idAs), explode(expr(
+          s"""array_distinct(transform(sequence(0, size(ws) - $n),
+             |  i -> md5(concat_ws(' ', slice(ws, i + 1, $n)))))""".stripMargin))
+          .as("g"))
+    val t = grams(train, "train_id")
+    val h = grams(holdout, "holdout_id")
+    val hKept = h.join(
+      h.groupBy("g").agg(countDistinct("holdout_id").as("df"))
+        .filter(col("df") <= maxDf).select("g"),
+      "g")
+    t.join(hKept, "g")
+      .groupBy("train_id")
+      .agg(countDistinct("g").as("n_shared_grams"),
+        countDistinct("holdout_id").as("n_holdout_docs"))
+  }
+
   /** Character 4-gram Jaccard over a bounded candidate set (the MinHash
     * band candidates) — a second, finer similarity measure for the pairs
     * the LSH sweep surfaced. Candidate-bounded: never all-pairs.

@@ -93,6 +93,32 @@ object EventQueries {
       |  ON a.user_id = b.user_id AND b.w = a.w + INTERVAL 7 DAY
       |GROUP BY a.w""".stripMargin)
 
+  /** Gap-based batch sessionization: a new session starts after 30+
+    * minutes of inactivity — the LAG-flag + running-SUM session-id
+    * assignment (one shuffle on user_id; both windows share the same
+    * sort). The batch twin of the streaming session_window queries.
+    * Session ids are exact integer window sums (DuckDB widens window
+    * sums of INTEGER to HUGEINT — cast keeps the gate's types aligned).
+    */
+  val sessionize: QueryDef = sameSql("event_sessionize",
+    """WITH seq AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS sess_id
+      |  FROM seq)
+      |SELECT user_id, sess_id, COUNT(*) AS n_events,
+      |  MIN(ts) AS sess_start, MAX(ts) AS sess_end
+      |FROM sess GROUP BY user_id, sess_id""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
-    json, funnel, byType, percentile, corr, approxDistinct, retention)
+    json, funnel, byType, percentile, corr, approxDistinct, retention,
+    sessionize)
 }

@@ -243,6 +243,34 @@ object PipelineQueries {
          |FROM ranked WHERE rnk <= 3""".stripMargin
     })
 
+  /** Decontamination sweep: holdout = every 5th document, train = the
+    * rest; which training docs share any (non-boilerplate) word 8-gram
+    * with the holdout set. The fixture carries ~1k naturally shared
+    * 8-grams, so the sweep has real positives.
+    */
+  val decontaminate: QueryDef = QueryDef("pipeline_decontaminate",
+    (s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contamination(
+        d.filter("doc_id % 5 != 0"), d.filter("doc_id % 5 = 0"))
+    },
+    Some("""WITH g AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(
+           |    generate_series(1, len(string_split(text, ' ')) - 7),
+           |    i -> md5(array_to_string(string_split(text, ' ')[i:i+7], ' '))
+           |  ))) AS g
+           |  FROM documents
+           |  WHERE len(string_split(text, ' ')) >= 8),
+           |t AS (SELECT doc_id AS train_id, g FROM g WHERE doc_id % 5 <> 0),
+           |h AS (SELECT doc_id AS holdout_id, g FROM g WHERE doc_id % 5 = 0),
+           |hk AS (SELECT h.holdout_id, h.g FROM h JOIN (
+           |         SELECT g FROM h GROUP BY g
+           |         HAVING COUNT(DISTINCT holdout_id) <= 100) f ON h.g = f.g)
+           |SELECT train_id, COUNT(DISTINCT t.g) AS n_shared_grams,
+           |  COUNT(DISTINCT holdout_id) AS n_holdout_docs
+           |FROM t JOIN hk ON t.g = hk.g
+           |GROUP BY train_id""".stripMargin))
+
   /** DuckDB mirror of Similarity.ivfKmeansTopK: the full CTE chain —
     * quantize, seed, assign (argmax cosine, ties to smaller cid), one
     * Lloyd step (floor of per-dim mean back onto the integer grid),
@@ -478,6 +506,7 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs, dedupNgram,
     dedupEmbedding, dedupEmbeddingBanded,
     annTopk, annIvf, annIvfKmeans, annIvfRecall, sampleStratified,
+    decontaminate,
     textStats, textLangid, textTokens, textQualityFilter, textFingerprint,
     multimodal, corpusPrep)
 }
