@@ -157,6 +157,55 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Collapse near-dup PAIRS into duplicate CLUSTERS — connected
+    * components over the pair graph by iterative min-label propagation
+    * (each node repeatedly takes the minimum label among itself and its
+    * neighbors until a fixed point; the component id is the smallest
+    * doc_id in the component — fully deterministic).
+    *
+    * This is the standard follow-on to any LSH pair sweep: pairs alone
+    * over-remove (A~B, B~C should keep ONE of {A,B,C}, not two "losers").
+    *
+    * Distribution: each iteration is one shuffle-join (messages along
+    * edges) + one min-aggregate — the classic Pregel step expressed in
+    * DataFrames. The driver loop only counts changed labels per
+    * iteration (an O(1) scalar per step, not a data collect); iterations
+    * are bounded by the component diameter, which for near-dup clusters
+    * is tiny (dup groups are cliques or near-cliques from the band
+    * join). maxIters caps pathological chains; hitting the cap returns
+    * the partially-converged labels (documented, not silent: the result
+    * would still be a valid refinement, just not minimal).
+    */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val msgs = sym
+        .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+        .select(col("src").as("id"), col("lbl"))
+      val next = labels.select("id", "lbl").unionByName(msgs)
+        .groupBy("id").agg(min("lbl").as("lbl")).cache()
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.lbl") < col("o.lbl")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+      converged = changed == 0
+    }
+    // The final labels stay cached: the returned frame's lineage chains
+    // through every iteration, so dropping the cache here would force a
+    // full re-run of the loop at materialization. Verify/Bench clear
+    // caches between queries/passes.
+    labels.groupBy("lbl").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select(col("lbl").as("cluster_id"), col("n_docs"))
+  }
+
   /** Cross-corpus decontamination: training documents that share any
     * word n-gram with a holdout/eval set — the standard "is the test set
     * in the training data" sweep an LLM pipeline runs before training.

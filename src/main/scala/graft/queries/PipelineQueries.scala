@@ -44,8 +44,8 @@ object PipelineQueries {
     bench = true)
 
   /** DuckDB mirror of Dedup.minHashPairs' shingle + signature pipeline. */
-  private def duckShingles: String =
-    """words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  private def duckShingles(from: String = "documents"): String =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $from),
       |sh AS (SELECT doc_id,
       |  list_distinct(list_transform(generate_series(1, len(ws) - 2),
       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
@@ -72,7 +72,7 @@ object PipelineQueries {
 
   val dedupMinhash: QueryDef = QueryDef("dedup_minhash",
     (s, dir) => Dedup.minHashPairs(docs(s, dir)),
-    Some(s"""WITH $duckShingles,
+    Some(s"""WITH ${duckShingles()},
             |$duckMinhashCand
             |SELECT doc_a, doc_b,
             |  len(list_intersect(a.s, b.s)) /
@@ -127,7 +127,7 @@ object PipelineQueries {
 
   val dedupNgram: QueryDef = QueryDef("dedup_ngram_jaccard",
     (s, dir) => Dedup.charNgramJaccard(docs(s, dir)),
-    Some(s"""WITH $duckShingles,
+    Some(s"""WITH ${duckShingles()},
             |$duckMinhashCand,
             |grams AS (SELECT doc_id,
             |  list_distinct(list_transform(generate_series(1, length(text) - 3),
@@ -242,6 +242,34 @@ object PipelineQueries {
          |SELECT q_id, rnk, vec_id AS nn_id, cos_sim
          |FROM ranked WHERE rnk <= 3""".stripMargin
     })
+
+  /** Pairs → clusters: connected components over the MinHash pair graph
+    * on the planted corpus (each planted copy links to its original, so
+    * there are real multi-doc components). The DuckDB oracle computes
+    * true components with a recursive transitive closure — verifying
+    * that the Spark side's iterative min-label propagation CONVERGED to
+    * the exact fixed point, not just ran.
+    */
+  val dedupClusters: QueryDef = QueryDef("dedup_clusters",
+    (s, dir) => Dedup.duplicateClusters(Dedup.minHashPairs(plantedCorpus(s, dir))),
+    Some(s"""WITH RECURSIVE corpus AS ($plantedCorpusSql),
+            |${duckShingles("corpus")},
+            |$duckMinhashCand,
+            |pairs AS (
+            |  SELECT doc_a, doc_b
+            |  FROM cand JOIN sh a ON a.doc_id = doc_a
+            |            JOIN sh b ON b.doc_id = doc_b
+            |  WHERE len(list_intersect(a.s, b.s)) /
+            |    len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+            |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+            |      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+            |tc(a, b) AS (
+            |  SELECT src, dst FROM e
+            |  UNION
+            |  SELECT tc.a, e.dst FROM tc JOIN e ON tc.b = e.src),
+            |lbl AS (SELECT a AS id, LEAST(a, MIN(b)) AS lbl FROM tc GROUP BY a)
+            |SELECT lbl AS cluster_id, COUNT(*) AS n_docs
+            |FROM lbl GROUP BY lbl HAVING COUNT(*) > 1""".stripMargin))
 
   /** Decontamination sweep: holdout = every 5th document, train = the
     * rest; which training docs share any (non-boilerplate) word 8-gram
@@ -506,7 +534,7 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs, dedupNgram,
     dedupEmbedding, dedupEmbeddingBanded,
     annTopk, annIvf, annIvfKmeans, annIvfRecall, sampleStratified,
-    decontaminate,
+    decontaminate, dedupClusters,
     textStats, textLangid, textTokens, textQualityFilter, textFingerprint,
     multimodal, corpusPrep)
 }

@@ -141,4 +141,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(sql("SELECT DISTINCT a1 % 2 AS k FROM a") == Seq(Seq(0), Seq(1)))
     assert(sql("SELECT a1 % 2 AS k, COUNT(*) AS c FROM a GROUP BY ROLLUP(a1 % 2)").size == 3)
   }
+
+  test("duplicateClusters converges on a chain (multi-hop propagation)") {
+    // A path 1-2-3-4-5 needs label hops, not one round (the corpus
+    // fixtures are near-cliques, which would converge in one step and
+    // prove nothing about the iteration); plus a disjoint pair 10-11.
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = operators.Dedup.duplicateClusters(pairs)
+      .orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 5L), (10L, 2L)))
+  }
 }
