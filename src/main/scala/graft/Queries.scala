@@ -26,7 +26,8 @@ object Queries {
       PipelineQueries.defs ++
       SourceSinkQueries.defs ++
       ExtraQueries.defs ++
-      Extra2Queries.defs
+      Extra2Queries.defs ++
+      Extra3Queries.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
 

@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.{sameSql, sqlDef}
+
+/** Sixth coverage wave: relational PIVOT/UNPIVOT and correlated LATERAL
+  * subqueries in FROM — the last big ANSI surface items the corpus
+  * didn't exercise. Oracles re-derive PIVOT/UNPIVOT with plain
+  * conditional aggregation / UNION ALL, proving the semantics rather
+  * than relying on the other engine's clause support.
+  */
+object Extra3Queries {
+
+  /** PIVOT: linestatus columns out of rows. The pivot aggregate stays on
+    * exact BIGINTs (integral quantities), so the wide row is
+    * order-independent.
+    */
+  val pivot: QueryDef = sqlDef("relational_pivot",
+    """SELECT * FROM (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(l_quantity AS BIGINT) AS q
+      |  FROM lineitem)
+      |PIVOT (SUM(q) FOR l_linestatus IN ('O' AS qty_o, 'F' AS qty_f))
+      |""".stripMargin,
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+      |                THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_o,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+      |                THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_f
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+
+  /** UNPIVOT: order-priority bucket columns back into rows (built over a
+    * pivoted inline aggregate, so the query also nests PIVOT-shaped
+    * aggregation under UNPIVOT).
+    */
+  val unpivot: QueryDef = sqlDef("relational_unpivot",
+    """SELECT o_orderstatus, metric, val FROM (
+      |  SELECT o_orderstatus,
+      |    COUNT(*) AS n_orders,
+      |    COUNT(DISTINCT o_custkey) AS n_custs
+      |  FROM orders GROUP BY o_orderstatus)
+      |UNPIVOT (val FOR metric IN (n_orders, n_custs))""".stripMargin,
+    """WITH a AS (
+      |  SELECT o_orderstatus,
+      |    COUNT(*) AS n_orders,
+      |    COUNT(DISTINCT o_custkey) AS n_custs
+      |  FROM orders GROUP BY o_orderstatus)
+      |SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS val FROM a
+      |UNION ALL
+      |SELECT o_orderstatus, 'n_custs' AS metric, n_custs AS val FROM a"""
+      .stripMargin)
+
+  /** Correlated LATERAL subquery in FROM: per-region top-2 nations by
+    * customer count — the reference's scalar-subquery machinery can only
+    * return one value per row; LATERAL returns a correlated SET
+    * (parity-plus). Decorrelated by Catalyst into a ranked join, not a
+    * per-row re-execution.
+    */
+  val lateral: QueryDef = sameSql("join_lateral_topn",
+    """SELECT r_name, t.n_name, t.n_custs
+      |FROM region,
+      |LATERAL (
+      |  SELECT n_name, COUNT(c_custkey) AS n_custs
+      |  FROM nation JOIN customer ON c_nationkey = n_nationkey
+      |  WHERE n_regionkey = r_regionkey
+      |  GROUP BY n_name
+      |  ORDER BY n_custs DESC, n_name
+      |  LIMIT 2
+      |) t""".stripMargin)
+
+  val defs: Seq[QueryDef] = Seq(pivot, unpivot, lateral)
+}
