@@ -68,5 +68,21 @@ object Extra3Queries {
       |  LIMIT 2
       |) t""".stripMargin)
 
-  val defs: Seq[QueryDef] = Seq(pivot, unpivot, lateral)
+  /** Spark 4 VARIANT: parse the JSON props column once into the binary
+    * variant encoding, then typed path extraction (+ a missing-path probe
+    * that must yield NULL, not error). The oracle proves the same values
+    * straight off the JSON text.
+    */
+  val variant: QueryDef = sqlDef("expr_variant",
+    """SELECT event_id,
+      |  CAST(variant_get(parse_json(props), '$.k') AS INT) AS k_val,
+      |  CAST(try_variant_get(parse_json(props), '$.missing') AS INT)
+      |    AS miss_val
+      |FROM events WHERE event_id <= 200""".stripMargin,
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+      |  CAST(json_extract_string(props, '$.missing') AS INT) AS miss_val
+      |FROM events WHERE event_id <= 200""".stripMargin)
+
+  val defs: Seq[QueryDef] = Seq(pivot, unpivot, lateral, variant)
 }
