@@ -70,4 +70,36 @@ class HotBucketSpec extends AnyFunSuite {
       "cluster pairs leaked through the cap")
     assert(got.toSet.subsetOf(baseline.toSet))
   }
+
+  test("contamination: boilerplate grams above maxDf are excluded") {
+    val s = spark
+    import s.implicits._
+    // A license-header 8-gram planted in every holdout doc would match
+    // every train doc containing it — boilerplate, not contamination.
+    val header = "this work is licensed under the creative commons attribution"
+    val holdout = (1 to 50)
+      .map(i => (300000L + i, s"$header unique holdout tail number $i"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"$header some training document body here entirely"),
+      (2L, "completely unrelated training text with no shared grams at all whatsoever today"),
+      // real contamination: copies holdout doc 7's full text
+      (3L, s"$header unique holdout tail number 7"))
+      .toDF("doc_id", "text")
+
+    // maxDf = 10: the header grams hit all 50 holdout docs -> dropped;
+    // doc 3's tail grams hit exactly one holdout doc -> kept.
+    val got = Dedup.contamination(train, holdout, n = 8, maxDf = 10)
+      .orderBy("train_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got.map(_._1) == Seq(3L), got.toString)
+    assert(got.head._2 == 1L, "doc 3 should match exactly one holdout doc")
+
+    // Uncapped, the boilerplate makes doc 1 (and 3) "contaminated" by
+    // all 50 holdout docs — the noise the cap exists to remove.
+    val uncapped = Dedup.contamination(train, holdout, n = 8,
+        maxDf = 1000)
+      .orderBy("train_id").collect().map(_.getLong(0)).toSeq
+    assert(uncapped == Seq(1L, 3L), uncapped.toString)
+  }
 }
