@@ -179,8 +179,58 @@ object NistQueries {
       |FROM vtable
       |GROUP BY col1""".stripMargin)
 
+  /** dml073 part 1: scalar AVG/MIN over a filtered join
+    * (`NistTests.cs:624-635`; expected AVG=60, MIN=40).
+    */
+  val dml073JoinAgg: QueryDef = nist("nist_dml073_join_agg",
+    """SELECT AVG(hours) AS avg_h, MIN(hours) AS min_h
+      |FROM staff, works
+      |WHERE staff.empnum = 'E2'
+      |  AND staff.empnum = works.empnum""".stripMargin)
+
+  /** dml073 part 2: grouped AVG/MIN over an IN-filtered join with
+    * HAVING COUNT(*) > 1 (`NistTests.cs:637-654`).
+    */
+  val dml073HavingCount: QueryDef = nist("nist_dml073_having_count",
+    """SELECT staff.empnum, AVG(hours) AS avg_h, MIN(hours) AS min_h
+      |FROM staff, works
+      |WHERE staff.empnum IN ('E1', 'E4', 'E3')
+      |  AND staff.empnum = works.empnum
+      |GROUP BY staff.empnum
+      |HAVING COUNT(*) > 1""".stripMargin)
+
+  /** dml073 part 3 (TEST:0418): aggregates over a self CROSS JOIN with a
+    * NULL-carrying column — COUNT skips T1 nulls per pair, SUM counts T2
+    * non-nulls across all pairs (`NistTests.cs:656-672`).
+    */
+  val dml073CrossAgg: QueryDef = sameSql("nist_dml073_cross_agg",
+    """WITH vtable AS (SELECT * FROM (VALUES
+      |    (10, 20, 30, 40), (0, 1, 2, 3), (100, 200, 300, 400),
+      |    (1000, -2000, 3000, CAST(NULL AS INT))
+      |  ) AS v(col1, col2, col3, col4))
+      |SELECT AVG(t1.col4) AS a1, AVG(t1.col4 + t2.col4) AS a2,
+      |  CAST(SUM(t2.col4) AS BIGINT) AS s2, COUNT(t1.col4) AS c1
+      |FROM vtable t1, vtable t2""".stripMargin)
+
+  /** dml075 (TEST:0434): HAVING EXISTS whose correlated subquery
+    * compares the OUTER aggregate against an inner column. The reference
+    * cannot run it at all ("no aggregation allowed in WHERE condition",
+    * `NistTests.cs:674-698` — the whole test is #if'd out); both engines
+    * here resolve the outer SUM inside the EXISTS. Expected P1=80,
+    * P5=92.
+    */
+  val dml075HavingExists: QueryDef = nist("nist_dml075_having_exists",
+    """SELECT pnum, CAST(SUM(hours) AS BIGINT) AS sum_hours FROM works
+      |GROUP BY pnum
+      |HAVING EXISTS (SELECT pname FROM proj
+      |               WHERE proj.pnum = works.pnum AND
+      |                     SUM(works.hours) > proj.budget / 200)"""
+      .stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
     dml001, dml013Sum, dml013Max, dml014NotBetween, dml014InChain,
     dml014NotIn, dml014Division, dml018Having, dml018HavingIn,
-    dml022Avg, dml022Nested, dml023City, dml059Arith)
+    dml022Avg, dml022Nested, dml023City, dml059Arith,
+    dml073JoinAgg, dml073HavingCount, dml073CrossAgg,
+    dml075HavingExists)
 }
