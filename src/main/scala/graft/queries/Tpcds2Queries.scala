@@ -33,6 +33,38 @@ object Tpcds2Queries {
          .mkString(",\n")}""".stripMargin
   })
 
+  /** The 100 TB plan for q28: one scan bucketing every row, per-bucket
+    * aggregates, then a tiny pivot to the wide row — replacing six
+    * independent scans of the fact. Verified against the UNCHANGED
+    * six-subquery oracle (the buckets partition l_quantity, and the
+    * exact-sum averages reaggregate identically), so the rewrite is
+    * hash-proven. Caveat the proof covers: an EMPTY bucket would yield
+    * NULL counts here vs 0 in the subquery form — valid only while
+    * every band is populated (any non-degenerate fact table).
+    */
+  val q28OnePass: QueryDef = QueryDef("tpcds_q28_onepass",
+    (s, dir) => graft.QueryDef.run(s, dir, {
+      val bkt = Seq((1, 1, 8), (2, 9, 16), (3, 17, 24), (4, 25, 32),
+        (5, 33, 40), (6, 41, 50))
+        .map { case (i, lo, hi) =>
+          s"WHEN l_quantity BETWEEN $lo AND $hi THEN $i" }
+        .mkString("CASE ", " ", " END")
+      val wide = (1 to 6).flatMap { i => Seq(
+        s"MAX(CASE WHEN bkt = $i THEN avgp END) AS b${i}_avg",
+        s"MAX(CASE WHEN bkt = $i THEN cnt END) AS b${i}_cnt",
+        s"MAX(CASE WHEN bkt = $i THEN dist END) AS b${i}_dist") }
+        .mkString(",\n  ")
+      s"""WITH b AS (
+         |  SELECT $bkt AS bkt, l_extendedprice
+         |  FROM lineitem),
+         |a AS (
+         |  SELECT bkt, ${davg("l_extendedprice", 2)} AS avgp,
+         |    COUNT(*) AS cnt, COUNT(DISTINCT l_extendedprice) AS dist
+         |  FROM b WHERE bkt IS NOT NULL GROUP BY bkt)
+         |SELECT $wide FROM a""".stripMargin
+    }),
+    q28Buckets.oracle)
+
   /** q88 shape: eight time-slot counts over the clickstream, each an
     * independent scalar aggregate, cross-joined to a single wide row.
     */
@@ -152,6 +184,6 @@ object Tpcds2Queries {
       body("(dayofweek(o_orderdate) + 1)"))
   }
 
-  val defs: Seq[QueryDef] = Seq(q28Buckets, q88Slots, q73Lines, q62Latency,
-    q39Cov, q61Promo, q59Wow)
+  val defs: Seq[QueryDef] = Seq(q28Buckets, q28OnePass, q88Slots, q73Lines,
+    q62Latency, q39Cov, q61Promo, q59Wow)
 }
