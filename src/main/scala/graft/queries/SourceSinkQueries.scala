@@ -212,6 +212,15 @@ object SourceSinkQueries {
             |  COUNT(*) AS cnt, ${dsum("value")} AS sum_v
             |FROM events GROUP BY 1""".stripMargin))
 
+  /** Stream–static dim enrichment join executed as a real streaming
+    * query (AvailableNow), verified against the batch join+aggregate.
+    */
+  val streamStaticEnrich: QueryDef = QueryDef("stream_static_enrich",
+    (s, dir) => graft.streaming.Streams.enrichByNationAvailableNow(s, dir),
+    Some(s"""SELECT c_nationkey, COUNT(*) AS cnt, ${dsum("value")} AS sum_v
+            |FROM events JOIN customer ON user_id = c_custkey
+            |GROUP BY c_nationkey""".stripMargin))
+
   /** Partitioned-table write + partition-pruned read: the storage layout
     * that makes selective scans at 100 TB touch one directory instead of
     * the table. PlanShapeSpec asserts the pruning.
@@ -252,6 +261,7 @@ object SourceSinkQueries {
   val defs: Seq[QueryDef] = Seq(
     copyCsv, ddlInsert, analyze, dsl, dslAgg, dslTopk, udfSqroot,
     udfTwoArg, udfVecDot, streamTumble, streamTumbleParquet,
+    streamStaticEnrich,
     ddlPartitioned, ddlTempView,
     havingNoGroupBy)
 }

@@ -95,6 +95,28 @@ object Streams {
     agg.sparkSession.table(queryName)
   }
 
+  /** Stream–static enrichment: the unbounded event scan joined to the
+    * STATIC customer dimension (user → nation), then aggregated per
+    * nation — the canonical "enrich a stream with a dim table" shape.
+    * The static side is planned per micro-batch (and broadcast, being a
+    * dim), so dimension updates between batches are picked up without
+    * restarting the query; no watermark is needed for a stream-static
+    * INNER join since it holds no cross-stream state.
+    */
+  def enrichByNationAvailableNow(spark: SparkSession, dir: String,
+      queryName: String = "graft_stream_enrich"): DataFrame = {
+    val cust = graft.catalog.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    runComplete(
+      eventsStream(spark, dir)
+        .join(cust, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count("*").as("cnt"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)")
+            .as("sum_v")),
+      queryName)
+  }
+
   /** Per-user session windows over the unbounded scan (30-minute
     * inactivity gap), run to completion — the streaming twin of the
     * bounded `window_session` corpus query, sharing its DuckDB oracle.
