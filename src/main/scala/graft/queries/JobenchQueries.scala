@@ -144,5 +144,50 @@ object JobenchQueries {
        |  AND n.n_regionkey = r.r_regionkey
        |  AND r.r_name = 'EUROPE' AND p.p_size < 10""".stripMargin)
 
-  val defs: Seq[QueryDef] = Seq(j1, j2, j3, j4, j5, j6)
+  /** 9 relations with a CYCLE in the join graph: supplier nation =
+    * customer nation (n1 = n2) closes a loop the reorderer must not
+    * turn into a cartesian corner. FROM leads with part ⋈̸ customer.
+    */
+  val j7: QueryDef = sameSql("jobench_j7_same_nation",
+    """SELECT COUNT(*) AS cnt, MIN(n1.n_name) AS nname, MIN(p.p_name) AS pname
+      |FROM part p, customer c, lineitem l, supplier s, orders o,
+      |     nation n1, nation n2, region r1, region r2
+      |WHERE l.l_partkey = p.p_partkey
+      |  AND l.l_suppkey = s.s_suppkey
+      |  AND l.l_orderkey = o.o_orderkey
+      |  AND o.o_custkey = c.c_custkey
+      |  AND s.s_nationkey = n1.n_nationkey
+      |  AND c.c_nationkey = n2.n_nationkey
+      |  AND n1.n_nationkey = n2.n_nationkey
+      |  AND n1.n_regionkey = r1.r_regionkey
+      |  AND n2.n_regionkey = r2.r_regionkey
+      |  AND r1.r_name = 'ASIA' AND r2.r_name = 'ASIA'
+      |  AND p.p_size > 30""".stripMargin)
+
+  /** 12 relations — the largest stress: clickstream gate + part
+    * self-pair (two lineitems, two orders) + both endpoint snowflakes
+    * (customer→nation→region and second-supplier→nation→region). FROM
+    * leads with region ⋈̸ events.
+    */
+  val j8: QueryDef = sameSql("jobench_j8_twelve_rel",
+    """SELECT COUNT(*) AS cnt, MIN(c.c_name) AS cname, MIN(s.s_name) AS sname
+      |FROM region r, events e, part p, supplier s, customer c, orders o,
+      |     lineitem l1, lineitem l2, nation nc, nation ns, region rs,
+      |     orders o2
+      |WHERE e.user_id = c.c_custkey
+      |  AND e.event_type = 'purchase' AND e.value > 80
+      |  AND o.o_custkey = c.c_custkey
+      |  AND l1.l_orderkey = o.o_orderkey
+      |  AND l1.l_partkey = p.p_partkey
+      |  AND l2.l_partkey = p.p_partkey
+      |  AND l2.l_orderkey <> l1.l_orderkey
+      |  AND o2.o_orderkey = l2.l_orderkey AND o2.o_orderstatus = 'F'
+      |  AND s.s_suppkey = l2.l_suppkey
+      |  AND ns.n_nationkey = s.s_nationkey
+      |  AND rs.r_regionkey = ns.n_regionkey AND rs.r_name = 'ASIA'
+      |  AND nc.n_nationkey = c.c_nationkey
+      |  AND r.r_regionkey = nc.n_regionkey AND r.r_name = 'EUROPE'
+      |  AND p.p_size < 5""".stripMargin)
+
+  val defs: Seq[QueryDef] = Seq(j1, j2, j3, j4, j5, j6, j7, j8)
 }

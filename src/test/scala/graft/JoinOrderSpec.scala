@@ -50,7 +50,12 @@ class JoinOrderSpec extends AnyFunSuite {
       "supplier", "lineitem", "orders", "customer", "nation", "lineitem",
       "part"),
     "jobench_j6_clickstream" -> Seq("events", "part", "customer", "orders",
-      "lineitem", "nation", "region", "supplier", "nation"))
+      "lineitem", "nation", "region", "supplier", "nation"),
+    "jobench_j7_same_nation" -> Seq("part", "customer", "lineitem",
+      "supplier", "orders", "nation", "nation", "region", "region"),
+    "jobench_j8_twelve_rel" -> Seq("region", "events", "part", "supplier",
+      "customer", "orders", "lineitem", "lineitem", "nation", "nation",
+      "region", "orders"))
 
   for ((name, fromOrder) <- fromOrders)
     test(s"$name: cartesian-free and reordered away from the FROM order") {
