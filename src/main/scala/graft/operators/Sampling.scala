@@ -46,4 +46,38 @@ object Sampling {
       .select(col("stratum"), posexplode(col("tk")))
       .select(col("stratum"), (col("pos") + 1).as("pick_rank"),
         col("col.nn_id").as(id))
+
+  /** Per-row weighted Bernoulli keep: keep a row iff its hash fraction
+    * (first 12 md5 hex digits / 2^48 — uniform on [0,1), exact in
+    * DOUBLE) falls below its weight expression. Deterministic per id, so
+    * resampling with a higher rate KEEPS every previously kept row (the
+    * rates nest) — the property that lets a pipeline up-sample a source
+    * without reshuffling what it already emitted. Pure narrow projection:
+    * no shuffle at any scale.
+    */
+  def weightedKeep(df: DataFrame, id: String, weightExpr: String): DataFrame =
+    df.withColumn("__frac",
+        expr(s"conv(substring(md5(CAST($id AS STRING)), 1, 12), 16, 10)")
+          .cast("double") / math.pow(2, 48))
+      .filter(col("__frac") < expr(weightExpr))
+      .drop("__frac")
+
+  /** Deterministic shuffle-and-shard for training-data interleaving:
+    * every row lands in a hash-assigned shard, ordered within its shard
+    * by (md5, id) — the "shuffle the corpus identically on every rerun,
+    * then hand shard files to trainers" step. One shuffle on the shard
+    * key and a per-shard sort (the within-shard rank window partitions
+    * on shard, so it runs |shards|-way parallel — a GLOBAL rank window
+    * would funnel the corpus into one task, the pattern BoundedTopK
+    * exists to avoid; shard ranks are what shard files need anyway).
+    */
+  def deterministicShard(df: DataFrame, id: String, nShards: Int): DataFrame =
+    df.withColumn("__h", md5(col(id).cast("string")))
+      .withColumn("shard",
+        expr(s"pmod(conv(substring(__h, 1, 12), 16, 10), $nShards)")
+          .cast("int"))
+      .withColumn("shard_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy(col("__h"), col(id))))
+      .drop("__h")
 }

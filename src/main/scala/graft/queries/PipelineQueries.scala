@@ -530,10 +530,41 @@ object PipelineQueries {
            |  FROM documents) t
            |WHERE rnk <= 5""".stripMargin))
 
+  /** Weighted Bernoulli keep: per-language sampling rates applied as a
+    * deterministic hash-fraction test (rates nest: raising a rate keeps
+    * every previously kept row). Narrow projection — no shuffle.
+    */
+  val sampleWeighted: QueryDef = QueryDef("sample_weighted",
+    (s, dir) => graft.operators.Sampling.weightedKeep(
+        docs(s, dir).select("doc_id", "lang"), "doc_id",
+        "CASE WHEN lang = 'en' THEN 0.8 ELSE 0.3 END"),
+    Some("""SELECT doc_id, lang FROM documents
+           |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+           |        ::BIGINT AS DOUBLE) / 281474976710656
+           |  < CASE WHEN lang = 'en' THEN 0.8 ELSE 0.3 END""".stripMargin))
+
+  /** Deterministic shuffle-and-shard: hash-assigned shard + within-shard
+    * rank (|shards|-way parallel). The oracle exploits that fixed-width
+    * hex sorts lexically in numeric order.
+    */
+  val sampleShard: QueryDef = QueryDef("sample_shard",
+    (s, dir) => graft.operators.Sampling
+      .deterministicShard(docs(s, dir).select("doc_id"), "doc_id", 8),
+    Some("""SELECT doc_id,
+           |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+           |        ::BIGINT % 8 AS INT) AS shard,
+           |  CAST(row_number() OVER (
+           |    PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+           |                 ::BIGINT % 8
+           |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+           |    AS shard_rank
+           |FROM documents""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs, dedupNgram,
     dedupEmbedding, dedupEmbeddingBanded,
     annTopk, annIvf, annIvfKmeans, annIvfRecall, sampleStratified,
+    sampleWeighted, sampleShard,
     decontaminate, dedupClusters,
     textStats, textLangid, textTokens, textQualityFilter, textFingerprint,
     multimodal, corpusPrep)
