@@ -80,4 +80,28 @@ object Sampling {
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("shard").orderBy(col("__h"), col(id))))
       .drop("__h")
+
+  /** Sequence packing (concat-then-chunk): documents are laid end to end
+    * in the deterministic shard order and cut into fixed `budget`-token
+    * contexts; a document's context is where its span STARTS (spans may
+    * cross context boundaries — the standard packed-pretraining layout).
+    * One running-sum window per shard (|shards|-way parallel), exact
+    * integer arithmetic throughout.
+    */
+  def packContexts(df: DataFrame, id: String, tokensCol: String,
+                   budget: Long, nShards: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__h"), col(id))
+    df.withColumn("__h", md5(col(id).cast("string")))
+      .withColumn("shard",
+        expr(s"pmod(conv(substring(__h, 1, 12), 16, 10), $nShards)")
+          .cast("int"))
+      .withColumn("__end", sum(col(tokensCol)).over(w))
+      .withColumn("__start", col("__end") - col(tokensCol))
+      .select(col(id), col("shard"),
+        // integer division, NOT double-divide-then-cast: DuckDB's
+        // double->int cast rounds where Spark's truncates
+        expr(s"__start div $budget").as("ctx_id"),
+        (col("__start") % budget).as("ctx_offset"))
+  }
 }

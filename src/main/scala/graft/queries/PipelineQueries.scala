@@ -560,11 +560,36 @@ object PipelineQueries {
            |    AS shard_rank
            |FROM documents""".stripMargin))
 
+  /** Sequence packing into 4096-"token" contexts (n_chars as the token
+    * proxy — the fixture carries no tokenizer), 4 shards. ctx_id/offset
+    * are exact integers, so the layout is bit-reproducible.
+    */
+  val samplePack: QueryDef = QueryDef("sample_pack_contexts",
+    (s, dir) => graft.operators.Sampling.packContexts(
+      docs(s, dir).select("doc_id", "n_chars"), "doc_id", "n_chars",
+      4096L, 4),
+    Some("""WITH sh AS (
+           |  SELECT doc_id, n_chars,
+           |    md5(CAST(doc_id AS VARCHAR)) AS h,
+           |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+           |          ::BIGINT % 4 AS INT) AS shard
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, shard,
+           |    CAST(SUM(n_chars) OVER (PARTITION BY shard
+           |      ORDER BY h, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      - n_chars AS BIGINT) AS strt
+           |  FROM sh)
+           |SELECT doc_id, shard, strt // 4096 AS ctx_id,
+           |  strt % 4096 AS ctx_offset
+           |FROM c""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs, dedupNgram,
     dedupEmbedding, dedupEmbeddingBanded,
     annTopk, annIvf, annIvfKmeans, annIvfRecall, sampleStratified,
-    sampleWeighted, sampleShard,
+    sampleWeighted, sampleShard, samplePack,
     decontaminate, dedupClusters,
     textStats, textLangid, textTokens, textQualityFilter, textFingerprint,
     multimodal, corpusPrep)
