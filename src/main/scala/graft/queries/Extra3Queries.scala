@@ -84,5 +84,38 @@ object Extra3Queries {
       |  CAST(json_extract_string(props, '$.missing') AS INT) AS miss_val
       |FROM events WHERE event_id <= 200""".stripMargin)
 
-  val defs: Seq[QueryDef] = Seq(pivot, unpivot, lateral, variant)
+  /** CUBE over two dimensions with GROUPING() disambiguation of the
+    * generated NULLs (ROLLUP and GROUPING SETS are covered elsewhere;
+    * CUBE completes the trio).
+    */
+  val cube: QueryDef = sameSql("agg_cube",
+    """SELECT l_returnflag, l_linestatus,
+      |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+      |  COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)
+
+  /** Ordered string aggregation (dialect pair: Spark spells it as a
+    * sorted collect_list join, DuckDB as string_agg ORDER BY).
+    */
+  val stringAgg: QueryDef = sqlDef("agg_string_agg",
+    """SELECT r_name,
+      |  CONCAT_WS(',', SORT_ARRAY(COLLECT_LIST(n_name))) AS nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin,
+    """SELECT r_name,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin)
+
+  /** COUNT_IF — the conditional-count shorthand both engines ship. */
+  val countIf: QueryDef = sameSql("agg_count_if",
+    """SELECT l_returnflag,
+      |  COUNT_IF(l_discount > 0.05) AS n_discounted,
+      |  COUNT_IF(l_quantity >= 25) AS n_bulk
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+
+  val defs: Seq[QueryDef] = Seq(pivot, unpivot, lateral, variant, cube,
+    stringAgg, countIf)
 }
