@@ -94,6 +94,36 @@ class DeterminismSpec extends AnyFunSuite {
     assert(run(1) == run(32))
   }
 
+  test("IVF k-means assignment and top-k are partition-stable (1 vs 32)") {
+    // Both assignment passes are narrow argmaxes over exact integers and
+    // the Lloyd sums are order-independent, so the whole index build —
+    // not just the final ranking — must be layout-invariant.
+    val e = Tables.load(spark, sfDir, "embeddings")
+    def run(parts: Int): Seq[Seq[Any]] = rows(
+      graft.operators.Similarity.ivfKmeansTopK(
+        e.repartition(parts), e.filter("vec_id < 5"), 3))
+    assert(run(1) == run(32))
+  }
+
+  test("duplicate clusters converge to the same fixed point at any layout") {
+    val d = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val planted = d.unionByName(
+      d.filter("doc_id % 5 = 0")
+        .selectExpr("doc_id + 10000 AS doc_id", "text"))
+    def run(parts: Int): Seq[Seq[Any]] = rows(
+      graft.operators.Dedup.duplicateClusters(
+        graft.operators.Dedup.minHashPairs(planted.repartition(parts))))
+    assert(run(1) == run(32))
+  }
+
+  test("sequence packing layout is identical at any partitioning") {
+    val d = Tables.load(spark, sfDir, "documents").select("doc_id", "n_chars")
+    def run(parts: Int): Seq[Seq[Any]] = rows(
+      graft.operators.Sampling.packContexts(
+        d.repartition(parts), "doc_id", "n_chars", 4096L, 4))
+    assert(run(1) == run(32))
+  }
+
   test("asofJoin result is stable under input repartitioning") {
     val ev = Tables.load(spark, sfDir, "events")
     import org.apache.spark.sql.functions._
