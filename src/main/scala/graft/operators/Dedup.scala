@@ -177,6 +177,8 @@ object Dedup {
     * would still be a valid refinement, just not minimal).
     */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    require(Seq("doc_a", "doc_b").forall(pairs.columns.contains(_)),
+      "duplicateClusters expects doc_a/doc_b pair columns")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     // Materialize the (small) edge list: every iteration joins against
     // it, and without the cache each round would re-run the upstream

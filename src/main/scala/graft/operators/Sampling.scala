@@ -55,12 +55,15 @@ object Sampling {
     * without reshuffling what it already emitted. Pure narrow projection:
     * no shuffle at any scale.
     */
-  def weightedKeep(df: DataFrame, id: String, weightExpr: String): DataFrame =
+  def weightedKeep(df: DataFrame, id: String, weightExpr: String): DataFrame = {
+    require(!df.columns.contains("__frac"),
+      "weightedKeep reserves the __frac column")
     df.withColumn("__frac",
         expr(s"conv(substring(md5(CAST($id AS STRING)), 1, 12), 16, 10)")
           .cast("double") / math.pow(2, 48))
       .filter(col("__frac") < expr(weightExpr))
       .drop("__frac")
+  }
 
   /** Deterministic shuffle-and-shard for training-data interleaving:
     * every row lands in a hash-assigned shard, ordered within its shard
@@ -71,7 +74,9 @@ object Sampling {
     * would funnel the corpus into one task, the pattern BoundedTopK
     * exists to avoid; shard ranks are what shard files need anyway).
     */
-  def deterministicShard(df: DataFrame, id: String, nShards: Int): DataFrame =
+  def deterministicShard(df: DataFrame, id: String, nShards: Int): DataFrame = {
+    require(Seq("__h", "shard", "shard_rank").forall(!df.columns.contains(_)),
+      "deterministicShard reserves __h/shard/shard_rank")
     df.withColumn("__h", md5(col(id).cast("string")))
       .withColumn("shard",
         expr(s"pmod(conv(substring(__h, 1, 12), 16, 10), $nShards)")
@@ -80,6 +85,7 @@ object Sampling {
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("shard").orderBy(col("__h"), col(id))))
       .drop("__h")
+  }
 
   /** Sequence packing (concat-then-chunk): documents are laid end to end
     * in the deterministic shard order and cut into fixed `budget`-token
@@ -90,6 +96,10 @@ object Sampling {
     */
   def packContexts(df: DataFrame, id: String, tokensCol: String,
                    budget: Long, nShards: Int): DataFrame = {
+    require(budget > 0 && nShards > 0, "budget and nShards must be positive")
+    require(Seq("__h", "__end", "__start", "shard")
+        .forall(!df.columns.contains(_)),
+      "packContexts reserves __h/__end/__start/shard")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("__h"), col(id))
     df.withColumn("__h", md5(col(id).cast("string")))
