@@ -116,6 +116,24 @@ object Extra3Queries {
       |  COUNT_IF(l_quantity >= 25) AS n_bulk
       |FROM lineitem GROUP BY l_returnflag""".stripMargin)
 
+  /** Error-safe expression variants: TRY_ functions yield NULL where the
+    * strict forms would error (ANSI) or diverge between engines
+    * (Spark's double/0 is NULL, DuckDB's is inf — try_divide pins the
+    * NULL behavior; DuckDB spells the same contracts with TRY_CAST and
+    * NULLIF).
+    */
+  val tryExprs: QueryDef = sqlDef("expr_try",
+    """SELECT o_orderkey,
+      |  TRY_DIVIDE(o_totalprice, o_orderkey % 3) AS safe_div,
+      |  TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+      |  TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS num_cast
+      |FROM orders WHERE o_orderkey <= 100""".stripMargin,
+    """SELECT o_orderkey,
+      |  o_totalprice / NULLIF(o_orderkey % 3, 0) AS safe_div,
+      |  TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+      |  TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS num_cast
+      |FROM orders WHERE o_orderkey <= 100""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(pivot, unpivot, lateral, variant, cube,
-    stringAgg, countIf)
+    stringAgg, countIf, tryExprs)
 }
