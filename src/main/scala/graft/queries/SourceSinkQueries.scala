@@ -221,6 +221,27 @@ object SourceSinkQueries {
             |FROM events JOIN customer ON user_id = c_custkey
             |GROUP BY c_nationkey""".stripMargin))
 
+  /** Small-file compaction round-trip: documents scattered into 64 tiny
+    * files, compacted back to target-sized ones; the verified contract
+    * is row preservation + actual file-count reduction (absolute file
+    * counts depend on bytes per SF, so the gate sees the booleans).
+    */
+  val compactFiles: QueryDef = QueryDef("maintenance_compact",
+    (s, dir) => {
+      val tiny = java.nio.file.Files
+        .createTempDirectory("graft_tiny").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_compacted").toString
+      val docs = Tables.load(s, dir, "documents")
+      docs.repartition(64).write.mode("overwrite").parquet(tiny)
+      val nOut = graft.operators.Maintenance.compact(s, tiny, out)
+      val nIn = docs.count()
+      val nAfter = s.read.parquet(out).count()
+      import s.implicits._
+      Seq((nIn == nAfter, nOut < 64)).toDF("rows_preserved", "fewer_files")
+    },
+    Some("SELECT TRUE AS rows_preserved, TRUE AS fewer_files"))
+
   /** Partitioned-table write + partition-pruned read: the storage layout
     * that makes selective scans at 100 TB touch one directory instead of
     * the table. PlanShapeSpec asserts the pruning.
@@ -261,7 +282,7 @@ object SourceSinkQueries {
   val defs: Seq[QueryDef] = Seq(
     copyCsv, ddlInsert, analyze, dsl, dslAgg, dslTopk, udfSqroot,
     udfTwoArg, udfVecDot, streamTumble, streamTumbleParquet,
-    streamStaticEnrich,
+    streamStaticEnrich, compactFiles,
     ddlPartitioned, ddlTempView,
     havingNoGroupBy)
 }
