@@ -184,6 +184,46 @@ object Tpcds2Queries {
       body("(dayofweek(o_orderdate) + 1)"))
   }
 
+  /** q65 shape: (store, item) revenue against a fraction of the store's
+    * average item revenue — a grouped aggregate joined back to its own
+    * per-group average. Thresholds compare doubles derived from exact
+    * integer sums, so row membership is deterministic.
+    */
+  val q65MinAvg: QueryDef = sameSql("tpcds_q65_below_avg",
+    s"""WITH sp AS (
+       |  SELECT l_suppkey, l_partkey,
+       |    ${qsum("l_extendedprice * (1 - l_discount)", 6)} AS q_rev
+       |  FROM lineitem GROUP BY l_suppkey, l_partkey),
+       |sb AS (
+       |  SELECT l_suppkey,
+       |    CAST(SUM(q_rev) AS DOUBLE) / COUNT(*) AS avg_rev
+       |  FROM sp GROUP BY l_suppkey)
+       |SELECT s_name, p_name, ${unscale("q_rev", 6)} AS revenue
+       |FROM sp
+       |JOIN sb ON sp.l_suppkey = sb.l_suppkey
+       |JOIN supplier ON s_suppkey = sp.l_suppkey
+       |JOIN part ON p_partkey = sp.l_partkey
+       |WHERE CAST(q_rev AS DOUBLE) <= 0.1 * avg_rev""".stripMargin)
+
+  /** q81 shape: customers whose order total exceeds 1.2× their nation's
+    * average — a correlated-threshold cohort over a two-level aggregate.
+    */
+  val q81AboveAvg: QueryDef = sameSql("tpcds_q81_above_avg",
+    s"""WITH ct AS (
+       |  SELECT c_custkey, c_name, c_nationkey,
+       |    ${qsum("o_totalprice", 2)} AS q_total
+       |  FROM customer JOIN orders ON o_custkey = c_custkey
+       |  GROUP BY c_custkey, c_name, c_nationkey),
+       |na AS (
+       |  SELECT c_nationkey,
+       |    CAST(SUM(q_total) AS DOUBLE) / COUNT(*) AS avg_total
+       |  FROM ct GROUP BY c_nationkey)
+       |SELECT n_name, c_name, ${unscale("q_total", 2)} AS total_spent
+       |FROM ct
+       |JOIN na ON ct.c_nationkey = na.c_nationkey
+       |JOIN nation ON n_nationkey = ct.c_nationkey
+       |WHERE CAST(q_total AS DOUBLE) > 1.2 * avg_total""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(q28Buckets, q28OnePass, q88Slots, q73Lines,
-    q62Latency, q39Cov, q61Promo, q59Wow)
+    q62Latency, q39Cov, q61Promo, q59Wow, q65MinAvg, q81AboveAvg)
 }
