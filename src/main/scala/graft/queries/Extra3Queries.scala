@@ -112,8 +112,8 @@ object Extra3Queries {
   /** COUNT_IF — the conditional-count shorthand both engines ship. */
   val countIf: QueryDef = sameSql("agg_count_if",
     """SELECT l_returnflag,
-      |  COUNT_IF(l_discount > 0.05) AS n_discounted,
-      |  COUNT_IF(l_quantity >= 25) AS n_bulk
+      |  CAST(COUNT_IF(l_discount > 0.05) AS BIGINT) AS n_discounted,
+      |  CAST(COUNT_IF(l_quantity >= 25) AS BIGINT) AS n_bulk
       |FROM lineitem GROUP BY l_returnflag""".stripMargin)
 
   /** Error-safe expression variants: TRY_ functions yield NULL where the

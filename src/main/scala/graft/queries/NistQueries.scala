@@ -54,7 +54,7 @@ object NistQueries {
 
   /** dml013: scalar aggregate arithmetic (`NistTests.cs:219-236`). */
   val dml013Sum: QueryDef = nist("nist_dml013_sum_arith",
-    """SELECT SUM(hours) + 10 AS s
+    """SELECT CAST(SUM(hours) AS BIGINT) + 10 AS s
       |FROM works WHERE pnum = 'P2'""".stripMargin)
 
   /** dml013: uncorrelated MAX scalar subquery in WHERE
