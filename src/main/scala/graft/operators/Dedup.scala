@@ -216,6 +216,82 @@ object Dedup {
       .select(col("lbl").as("cluster_id"), col("n_docs"))
   }
 
+  /** Connected components by alternating large-star / small-star edge
+    * rewrites (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the O(log n)-round alternative to
+    * [[duplicateClusters]]'s min-label propagation, whose round count is
+    * the component DIAMETER. Near-dup clusters from an LSH band join are
+    * near-cliques (diameter ~2), so propagation is fine there; this
+    * variant is the right tool when the pair graph carries long chains —
+    * e.g. templated page series where copy i only band-matches copy i±1
+    * — which at 100 TB would drive propagation to dozens of shuffle
+    * rounds while star contraction stays at O(log n).
+    *
+    * Each round is two grouped passes over the edge list:
+    *  - large-star: for every node u, hook each strictly-larger neighbor
+    *    v > u to m = min(N(u) ∪ {u}) — long chains halve;
+    *  - small-star: orient each edge (hi, lo); for every hi, hook hi and
+    *    all its smaller neighbors to their minimum — stars flatten.
+    * Both emit canonical (hi, lo) edges, so the fixed point is the star
+    * forest {(node, component-min)}. Convergence is detected by a
+    * 3-scalar signature (edge count, Σhi, Σlo): Σlo is non-increasing
+    * (hooks only ever move nodes to smaller labels) and the triple is
+    * stationary exactly at the fixed point for this rewrite; the DuckDB
+    * recursive-closure oracle independently certifies the result.
+    *
+    * Output schema matches [[duplicateClusters]]: (cluster_id, n_docs)
+    * for components of 2+ documents, cluster_id = smallest doc_id.
+    */
+  def duplicateClustersStar(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    require(Seq("doc_a", "doc_b").forall(pairs.columns.contains(_)),
+      "duplicateClustersStar expects doc_a/doc_b pair columns")
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
+              least(col("doc_a"), col("doc_b")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct().cache()
+    def signature(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)), sum("hi"), sum("lo")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var prev = signature(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // Large-star: symmetric neighborhoods; min over N(u) ∪ {u} never
+      // exceeds u, so every emitted (v, m) with v > u is already (hi, lo).
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mnv"))
+        .select(col("u"), least(col("mnv"), col("u")).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // Small-star: edges already oriented hi > lo; hook hi and each of
+      // its smaller neighbors to the neighborhood min.
+      val smins = large.groupBy("hi").agg(min("lo").as("m"))
+      val hooked = large.join(smins, "hi")
+      val small = hooked
+        .select(col("lo").as("n"), col("m"))
+        .unionByName(hooked.select(col("hi").as("n"), col("m")).distinct())
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("hi"), col("m").as("lo"))
+        .distinct().cache()
+      val cur = signature(small)
+      edges.unpersist()
+      edges = small
+      iter += 1
+      converged = cur == prev
+      prev = cur
+    }
+    // Fixed-point edges are (node, component-min) stars; the min node of
+    // each component appears only on the lo side, so size = lo-degree + 1.
+    // Cache stays: the returned frame's lineage chains through the loop.
+    edges.groupBy("lo").agg((count(lit(1)) + 1).as("n_docs"))
+      .select(col("lo").as("cluster_id"), col("n_docs"))
+  }
+
   /** Cross-corpus decontamination: training documents that share any
     * word n-gram with a holdout/eval set — the standard "is the test set
     * in the training data" sweep an LLM pipeline runs before training.

@@ -271,6 +271,15 @@ object PipelineQueries {
             |SELECT lbl AS cluster_id, COUNT(*) AS n_docs
             |FROM lbl GROUP BY lbl HAVING COUNT(*) > 1""".stripMargin))
 
+  /** Same components, computed by large-star/small-star contraction
+    * (O(log n) rounds vs propagation's O(diameter)) — certified against
+    * the SAME recursive-transitive-closure oracle as `dedup_clusters`,
+    * so both algorithms are proven to reach the identical fixed point.
+    */
+  val dedupClustersStar: QueryDef = QueryDef("dedup_clusters_star",
+    (s, dir) => Dedup.duplicateClustersStar(Dedup.minHashPairs(plantedCorpus(s, dir))),
+    dedupClusters.oracle)
+
   /** Decontamination sweep: holdout = every 5th document, train = the
     * rest; which training docs share any (non-boilerplate) word 8-gram
     * with the holdout set. The fixture carries ~1k naturally shared
@@ -590,7 +599,7 @@ object PipelineQueries {
     dedupEmbedding, dedupEmbeddingBanded,
     annTopk, annIvf, annIvfKmeans, annIvfRecall, sampleStratified,
     sampleWeighted, sampleShard, samplePack,
-    decontaminate, dedupClusters,
+    decontaminate, dedupClusters, dedupClustersStar,
     textStats, textLangid, textTokens, textQualityFilter, textFingerprint,
     multimodal, corpusPrep)
 }

@@ -154,4 +154,17 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((1L, 5L), (10L, 2L)))
   }
+
+  test("duplicateClustersStar contracts a long chain in O(log n) rounds") {
+    // A 16-node path is the adversarial case for label propagation
+    // (diameter 15) and the motivating case for star contraction
+    // (~log2(16) rounds). Same output contract as duplicateClusters.
+    import spark.implicits._
+    val chain = (1L until 16L).map(i => (i, i + 1))
+    val pairs = (chain :+ (100L, 101L)).toDF("doc_a", "doc_b")
+    val got = operators.Dedup.duplicateClustersStar(pairs, maxIters = 8)
+      .orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 16L), (100L, 2L)))
+  }
 }
