@@ -189,5 +189,163 @@ object JobenchQueries {
       |  AND r.r_regionkey = nc.n_regionkey AND r.r_name = 'EUROPE'
       |  AND p.p_size < 5""".stripMargin)
 
-  val defs: Seq[QueryDef] = Seq(j1, j2, j3, j4, j5, j6, j7, j8)
+  /** 9 relations, PURE CHAIN r1→n1→s→l→o→c→n2→r2 (+part): the shape
+    * where greedy left-deep orderings pay the most. FROM leads with the
+    * far region ⋈̸ lineitem.
+    */
+  val j9: QueryDef = sameSql("jobench_j9_chain",
+    """SELECT COUNT(*) AS cnt, MIN(p.p_name) AS pname, MIN(c.c_name) AS cname
+      |FROM region r2, lineitem l, part p, region r1, nation n1,
+      |     supplier s, orders o, customer c, nation n2
+      |WHERE n1.n_regionkey = r1.r_regionkey
+      |  AND s.s_nationkey = n1.n_nationkey
+      |  AND l.l_suppkey = s.s_suppkey
+      |  AND o.o_orderkey = l.l_orderkey
+      |  AND c.c_custkey = o.o_custkey
+      |  AND n2.n_nationkey = c.c_nationkey
+      |  AND n2.n_regionkey = r2.r_regionkey
+      |  AND p.p_partkey = l.l_partkey
+      |  AND r1.r_name = 'ASIA' AND r2.r_name = 'AFRICA'
+      |  AND l.l_quantity > 20""".stripMargin)
+
+  /** 10 relations, star on lineitem with BOTH dim arms expanded to
+    * 2-level snowflakes plus an events gate on the customer. FROM leads
+    * with customer ⋈̸ part.
+    */
+  val j10: QueryDef = sameSql("jobench_j10_double_snowflake",
+    """SELECT COUNT(*) AS cnt, MIN(s.s_name) AS sname, MIN(c.c_name) AS cname
+      |FROM customer c, part p, lineitem l, supplier s, nation ns,
+      |     region rs, orders o, nation nc, region rc, events e
+      |WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
+      |  AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+      |  AND s.s_nationkey = ns.n_nationkey
+      |  AND ns.n_regionkey = rs.r_regionkey
+      |  AND c.c_nationkey = nc.n_nationkey
+      |  AND nc.n_regionkey = rc.r_regionkey
+      |  AND e.user_id = c.c_custkey AND e.event_type = 'view'
+      |  AND p.p_type = 'STANDARD'
+      |  AND rs.r_name = 'ASIA' AND rc.r_name = 'EUROPE'""".stripMargin)
+
+  /** 8 relations with an EVENTS self-pair: users whose click preceded a
+    * higher-value purchase, joined into their order lines. The pair
+    * carries two theta predicates (value <, ts <) on top of the user
+    * equi-key. FROM leads with the purchase events ⋈̸ part.
+    */
+  val j11: QueryDef = sameSql("jobench_j11_event_pair",
+    """SELECT COUNT(*) AS cnt, MIN(c.c_name) AS cname, MIN(p.p_name) AS pname
+      |FROM events e2, part p, events e1, customer c, orders o,
+      |     lineitem l, nation n, region r
+      |WHERE e1.user_id = c.c_custkey AND e2.user_id = c.c_custkey
+      |  AND e1.event_type = 'click' AND e2.event_type = 'purchase'
+      |  AND e1.value < e2.value AND e1.ts < e2.ts
+      |  AND o.o_custkey = c.c_custkey AND l.l_orderkey = o.o_orderkey
+      |  AND l.l_partkey = p.p_partkey AND c.c_nationkey = n.n_nationkey
+      |  AND n.n_regionkey = r.r_regionkey
+      |  AND r.r_name = 'AMERICA' AND p.p_size > 45""".stripMargin)
+
+  /** 7 relations, TRIPLE lineitem self-join through the shared part with
+    * ordered orderkeys — cardinality estimation stress: the optimizer
+    * must see that each quantity band cuts the per-part fan-out before
+    * multiplying three copies. Per-part band sizes are SF-constant
+    * (lineitem/part ratio is fixed), so the triple stays linear at
+    * scale. FROM leads with l3 ⋈̸ o1 (o1 anchors l1, not l3).
+    */
+  val j12: QueryDef = sameSql("jobench_j12_triple_self",
+    """SELECT COUNT(*) AS cnt, MIN(p.p_name) AS pname, MIN(n.n_name) AS nname
+      |FROM lineitem l3, orders o1, part p, lineitem l1, lineitem l2,
+      |     supplier s, nation n
+      |WHERE l1.l_partkey = p.p_partkey AND l2.l_partkey = p.p_partkey
+      |  AND l3.l_partkey = p.p_partkey
+      |  AND l1.l_orderkey < l2.l_orderkey
+      |  AND l2.l_orderkey < l3.l_orderkey
+      |  AND l1.l_quantity < 5 AND l2.l_quantity > 45
+      |  AND l3.l_quantity BETWEEN 20 AND 25
+      |  AND o1.o_orderkey = l1.l_orderkey AND o1.o_orderstatus = 'O'
+      |  AND s.s_suppkey = l3.l_suppkey
+      |  AND n.n_nationkey = s.s_nationkey""".stripMargin)
+
+  /** 8 relations, BUSHY-forcing customer pair: a rich and an overdrawn
+    * customer of the same nation whose orders share a priority — the two
+    * customer subtrees must each be built before the pair join, a shape
+    * left-deep-only enumerators mishandle. Both acctbal slivers are
+    * SF-constant selectivity. FROM leads with c2 ⋈̸ lineitem.
+    */
+  val j13: QueryDef = sameSql("jobench_j13_customer_pair",
+    """SELECT COUNT(*) AS cnt, MIN(c1.c_name) AS rich_cust,
+      |  MIN(c2.c_name) AS poor_cust, MIN(p.p_name) AS pname
+      |FROM customer c2, lineitem l, customer c1, nation n, region r,
+      |     orders o1, orders o2, part p
+      |WHERE c1.c_nationkey = n.n_nationkey
+      |  AND c2.c_nationkey = n.n_nationkey
+      |  AND c1.c_custkey <> c2.c_custkey
+      |  AND c1.c_acctbal > 9000 AND c2.c_acctbal < -500
+      |  AND o1.o_custkey = c1.c_custkey AND o2.o_custkey = c2.c_custkey
+      |  AND o1.o_orderpriority = o2.o_orderpriority
+      |  AND l.l_orderkey = o1.o_orderkey AND l.l_partkey = p.p_partkey
+      |  AND n.n_regionkey = r.r_regionkey AND p.p_size > 25""".stripMargin)
+
+  /** 9 relations, DIAMOND with a key-equality cycle: supplier nation and
+    * customer nation must land in the SAME region (r1 = r2 by key), so
+    * the join graph has a cycle through two region copies. FROM leads
+    * with the supplier nation ⋈̸ orders.
+    */
+  val j14: QueryDef = sameSql("jobench_j14_diamond_cycle",
+    """SELECT COUNT(*) AS cnt, MIN(s.s_name) AS sname, MIN(c.c_name) AS cname
+      |FROM nation ns, orders o, part p, lineitem l, supplier s,
+      |     customer c, nation nc, region r1, region r2
+      |WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
+      |  AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+      |  AND s.s_nationkey = ns.n_nationkey
+      |  AND c.c_nationkey = nc.n_nationkey
+      |  AND ns.n_regionkey = r1.r_regionkey
+      |  AND nc.n_regionkey = r2.r_regionkey
+      |  AND r1.r_regionkey = r2.r_regionkey
+      |  AND r1.r_name = 'EUROPE'
+      |  AND p.p_type = 'LARGE'
+      |  AND o.o_orderpriority = '1-URGENT'""".stripMargin)
+
+  /** 10 relations: SAME-REGION supplier pair both supplying one large
+    * part (the sibling of j2's cross-nation pair — the connector runs
+    * through two nation hops and a shared region key), anchored to the
+    * first line's order and customer. FROM leads with s2 ⋈̸ orders.
+    */
+  val j15: QueryDef = sameSql("jobench_j15_coregion_suppliers",
+    """SELECT COUNT(*) AS cnt, MIN(s1.s_name) AS supp_a,
+      |  MIN(s2.s_name) AS supp_b, MIN(p.p_name) AS pname
+      |FROM supplier s2, orders o1, part p, lineitem l1, lineitem l2,
+      |     supplier s1, nation n1, nation n2, region r, customer c
+      |WHERE l1.l_partkey = p.p_partkey AND l2.l_partkey = p.p_partkey
+      |  AND l1.l_suppkey = s1.s_suppkey AND l2.l_suppkey = s2.s_suppkey
+      |  AND s1.s_nationkey = n1.n_nationkey
+      |  AND s2.s_nationkey = n2.n_nationkey
+      |  AND n1.n_regionkey = n2.n_regionkey
+      |  AND s1.s_suppkey < s2.s_suppkey
+      |  AND n1.n_regionkey = r.r_regionkey
+      |  AND r.r_name = 'EUROPE'
+      |  AND o1.o_orderkey = l1.l_orderkey
+      |  AND c.c_custkey = o1.o_custkey AND p.p_size > 40""".stripMargin)
+
+  /** 11 relations: clickstream gate + low-priority order lines with both
+    * endpoint snowflakes + a SECOND finished order per customer — chain,
+    * star, and pair in one graph. FROM leads with the customer region ⋈̸
+    * part.
+    */
+  val j16: QueryDef = sameSql("jobench_j16_mega",
+    """SELECT COUNT(*) AS cnt, MIN(c.c_name) AS cname, MIN(p.p_name) AS pname
+      |FROM region rc, part p, events e, customer c, orders o, lineitem l,
+      |     supplier s, nation ns, region rs, nation nc, orders o2
+      |WHERE e.user_id = c.c_custkey
+      |  AND e.event_type = 'click' AND e.value > 50
+      |  AND o.o_custkey = c.c_custkey AND o.o_orderpriority = '5-LOW'
+      |  AND l.l_orderkey = o.o_orderkey AND l.l_partkey = p.p_partkey
+      |  AND l.l_suppkey = s.s_suppkey AND s.s_nationkey = ns.n_nationkey
+      |  AND ns.n_regionkey = rs.r_regionkey AND rs.r_name = 'ASIA'
+      |  AND c.c_nationkey = nc.n_nationkey
+      |  AND nc.n_regionkey = rc.r_regionkey AND rc.r_name = 'AFRICA'
+      |  AND o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+      |  AND o2.o_orderkey <> o.o_orderkey
+      |  AND p.p_size < 30""".stripMargin)
+
+  val defs: Seq[QueryDef] = Seq(j1, j2, j3, j4, j5, j6, j7, j8,
+    j9, j10, j11, j12, j13, j14, j15, j16)
 }

@@ -55,7 +55,26 @@ class JoinOrderSpec extends AnyFunSuite {
       "supplier", "orders", "nation", "nation", "region", "region"),
     "jobench_j8_twelve_rel" -> Seq("region", "events", "part", "supplier",
       "customer", "orders", "lineitem", "lineitem", "nation", "nation",
-      "region", "orders"))
+      "region", "orders"),
+    "jobench_j9_chain" -> Seq("region", "lineitem", "part", "region",
+      "nation", "supplier", "orders", "customer", "nation"),
+    "jobench_j10_double_snowflake" -> Seq("customer", "part", "lineitem",
+      "supplier", "nation", "region", "orders", "nation", "region",
+      "events"),
+    "jobench_j11_event_pair" -> Seq("events", "part", "events", "customer",
+      "orders", "lineitem", "nation", "region"),
+    "jobench_j12_triple_self" -> Seq("lineitem", "orders", "part",
+      "lineitem", "lineitem", "supplier", "nation"),
+    "jobench_j13_customer_pair" -> Seq("customer", "lineitem", "customer",
+      "nation", "region", "orders", "orders", "part"),
+    "jobench_j14_diamond_cycle" -> Seq("nation", "orders", "part",
+      "lineitem", "supplier", "customer", "nation", "region", "region"),
+    "jobench_j15_coregion_suppliers" -> Seq("supplier", "orders", "part",
+      "lineitem", "lineitem", "supplier", "nation", "nation", "region",
+      "customer"),
+    "jobench_j16_mega" -> Seq("region", "part", "events", "customer",
+      "orders", "lineitem", "supplier", "nation", "region", "nation",
+      "orders"))
 
   for ((name, fromOrder) <- fromOrders)
     test(s"$name: cartesian-free and reordered away from the FROM order") {
