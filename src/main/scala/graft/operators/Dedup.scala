@@ -186,8 +186,18 @@ object Dedup {
     // the total runtime at sf0.1.
     val sym = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    // localCheckpoint per round (not cache): each round's plan references
+    // `labels` twice (union + join), so with bare cache() the ANALYZED
+    // plan doubles per round even though execution is truncated — Spark
+    // stringifies the plan per job (SQLExecution), so a high-diameter
+    // graph pays exponential driver cost before any data moves.
+    // Checkpointing truncates lineage to the materialized RDD, keeping
+    // per-round plan size O(1). Local (executor-block) checkpoints are
+    // the right trade on a static cluster; on one with lossy/dynamic
+    // executors swap in reliable checkpoint(). Superseded generations
+    // are dropped by the ContextCleaner once unreferenced.
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).cache()
+      .withColumn("lbl", col("id")).localCheckpoint(eager = true)
     // Labels only ever decrease, so the label SUM is a strictly
     // decreasing invariant until the fixed point: convergence detection
     // is one scalar aggregate per round, no old-vs-new join.
@@ -199,18 +209,13 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
         .select(col("src").as("id"), col("lbl"))
       val next = labels.select("id", "lbl").unionByName(msgs)
-        .groupBy("id").agg(min("lbl").as("lbl")).cache()
+        .groupBy("id").agg(min("lbl").as("lbl")).localCheckpoint(eager = true)
       val curSum = next.agg(sum("lbl")).head().getLong(0)
-      labels.unpersist()
       labels = next
       iter += 1
       converged = curSum == prevSum
       prevSum = curSum
     }
-    // The final labels stay cached: the returned frame's lineage chains
-    // through every iteration, so dropping the cache here would force a
-    // full re-run of the loop at materialization. Verify/Bench clear
-    // caches between queries/passes.
     labels.groupBy("lbl").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
       .select(col("lbl").as("cluster_id"), col("n_docs"))
@@ -234,10 +239,20 @@ object Dedup {
     *    all its smaller neighbors to their minimum — stars flatten.
     * Both emit canonical (hi, lo) edges, so the fixed point is the star
     * forest {(node, component-min)}. Convergence is detected by a
-    * 3-scalar signature (edge count, Σhi, Σlo): Σlo is non-increasing
-    * (hooks only ever move nodes to smaller labels) and the triple is
-    * stationary exactly at the fixed point for this rewrite; the DuckDB
-    * recursive-closure oracle independently certifies the result.
+    * collision-proof symmetric-difference count between consecutive edge
+    * sets (both sides are distinct, so one union + group-by job per
+    * round); the DuckDB recursive-closure oracle independently certifies
+    * the result.
+    *
+    * Each round's edge set is localCheckpoint'ed (NOT merely cached):
+    * the round's plan references the previous edge set ~8-16 times
+    * (symmetrization, self-group-by join, two projections of the hooked
+    * join), so with bare cache() the ANALYZED plan grows exponentially —
+    * Spark stringifies it per job, which OOMs the driver after a few
+    * rounds regardless of data size. Checkpointing truncates lineage to
+    * the materialized RDD: per-round plan size stays O(1). Local
+    * checkpoints suit a static cluster; swap in reliable checkpoint()
+    * under executor loss/dynamic allocation.
     *
     * Output schema matches [[duplicateClusters]]: (cluster_id, n_docs)
     * for components of 2+ documents, cluster_id = smallest doc_id.
@@ -249,12 +264,15 @@ object Dedup {
       .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
               least(col("doc_a"), col("doc_b")).as("lo"))
       .filter(col("hi") =!= col("lo"))
-      .distinct().cache()
-    def signature(e: DataFrame): (Long, Long, Long) = {
-      val r = e.agg(count(lit(1)), sum("hi"), sum("lo")).head()
-      (r.getLong(0), r.getLong(1), r.getLong(2))
-    }
-    var prev = signature(edges)
+      .distinct().localCheckpoint(eager = true)
+    // Exact old-vs-new comparison: count rows appearing in exactly one
+    // of the two (distinct) edge sets. One union + one aggregate job per
+    // round — same cost as a scalar signature, but collision-proof.
+    def changedEdges(a: DataFrame, b: DataFrame): Long =
+      a.select("hi", "lo").withColumn("__s", lit(1))
+        .unionByName(b.select("hi", "lo").withColumn("__s", lit(2)))
+        .groupBy("hi", "lo").agg(countDistinct("__s").as("__ns"))
+        .filter(col("__ns") === 1).count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -277,17 +295,13 @@ object Dedup {
         .unionByName(hooked.select(col("hi").as("n"), col("m")).distinct())
         .filter(col("n") =!= col("m"))
         .select(col("n").as("hi"), col("m").as("lo"))
-        .distinct().cache()
-      val cur = signature(small)
-      edges.unpersist()
+        .distinct().localCheckpoint(eager = true)
+      converged = changedEdges(small, edges) == 0L
       edges = small
       iter += 1
-      converged = cur == prev
-      prev = cur
     }
     // Fixed-point edges are (node, component-min) stars; the min node of
     // each component appears only on the lo side, so size = lo-degree + 1.
-    // Cache stays: the returned frame's lineage chains through the loop.
     edges.groupBy("lo").agg((count(lit(1)) + 1).as("n_docs"))
       .select(col("lo").as("cluster_id"), col("n_docs"))
   }

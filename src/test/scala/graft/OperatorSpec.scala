@@ -167,4 +167,43 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((1L, 16L), (100L, 2L)))
   }
+
+  test("duplicateClustersStar stays plan-bounded on a 64-node path (r5 OOM regression)") {
+    // Pre-fix, each round's analyzed plan embedded ~8-16 copies of the
+    // previous round's, so 5+ rounds OOM'd an 8 GB JVM during plan
+    // stringification on a 17-EDGE input. With per-round localCheckpoint
+    // the plan is O(1) per round: 12 rounds on a 63-edge path must both
+    // complete in normal heap and return a result whose analyzed plan is
+    // a handful of nodes over the checkpointed edge set.
+    import spark.implicits._
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val res = operators.Dedup.duplicateClustersStar(pairs, maxIters = 12)
+    val planNodes = res.queryExecution.analyzed.collectLeaves().size +
+      res.queryExecution.analyzed.map(_ => 1).sum
+    assert(planNodes < 40, s"analyzed plan unexpectedly large: $planNodes nodes")
+    val got = res.orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 64L)))
+  }
+
+  test("duplicateClusters stays plan-bounded over many rounds (64-node path)") {
+    // Label propagation needs diameter rounds to reach the minimum, so a
+    // 12-iteration cap on a 63-edge path exercises many loop rounds
+    // without waiting for full convergence. Pre-fix the analyzed plan
+    // doubled per round (~2^12 copies here); post-fix it is O(1). The
+    // capped result is a documented valid refinement: labels only ever
+    // decrease, every node keeps exactly one label.
+    import spark.implicits._
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val res = operators.Dedup.duplicateClusters(pairs, maxIters = 12)
+    val planNodes = res.queryExecution.analyzed.map(_ => 1).sum
+    assert(planNodes < 40, s"analyzed plan unexpectedly large: $planNodes nodes")
+    val clusters = res.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.map(_._2).sum <= 64L)
+    assert(clusters.forall(_._1 >= 1L))
+    // Full convergence on the same path with an ample cap stays exact.
+    val exact = operators.Dedup.duplicateClusters(pairs, maxIters = 70)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(exact == Seq((1L, 64L)))
+  }
 }
