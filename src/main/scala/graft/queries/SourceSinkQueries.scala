@@ -104,6 +104,58 @@ object SourceSinkQueries {
             |FROM lineitem WHERE l_orderkey <= 1000
             |GROUP BY l_returnflag""".stripMargin))
 
+  /** External stats injection (reference Presto-format stats import,
+    * `PrestoStats.cs:38-119`, planning JOBench data-free): register
+    * external parquet tables, inject warehouse-supplied rowCount/ndv
+    * stats via [[graft.catalog.StatsImport]] — NO ANALYZE scan — then run
+    * a hostile-FROM-order join the CBO must reorder off those stats
+    * (region × customer cartesian if taken literally). At 100 TB, ANALYZE
+    * is itself a full-corpus job; ingest-time profiles or a prior
+    * cluster's catalog already know these numbers. Plan equivalence with
+    * the ANALYZE path is asserted in StatsInjectionSpec; this gate row
+    * proves the injected-stats path yields oracle-identical results.
+    */
+  val statsInject: QueryDef = QueryDef("stats_injected_cbo",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      Seq("customer", "nation", "region").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS ginj_$t")
+        s.sql(s"CREATE TABLE ginj_$t USING PARQUET LOCATION '$dir/$t.parquet'")
+      }
+      // Ingest-time knowledge stand-in: row counts from the writer's
+      // manifest (here: a cheap count on the small dims; customer scales
+      // with SF). Column ndv/min/max as a profile service would report.
+      val custRows = s.table("ginj_customer").count()
+      graft.catalog.StatsImport.inject(s,
+        s"""{"tables": {
+           |  "ginj_customer": {"rowCount": $custRows,
+           |    "sizeInBytes": ${custRows * 64},
+           |    "columns": {
+           |      "c_custkey": {"ndv": $custRows, "nullCount": 0,
+           |        "min": "1", "max": "$custRows"},
+           |      "c_nationkey": {"ndv": 25, "nullCount": 0,
+           |        "min": "0", "max": "24"}}},
+           |  "ginj_nation": {"rowCount": 25, "sizeInBytes": 2500,
+           |    "columns": {
+           |      "n_nationkey": {"ndv": 25, "nullCount": 0, "min": "0", "max": "24"},
+           |      "n_regionkey": {"ndv": 5, "nullCount": 0, "min": "0", "max": "4"}}},
+           |  "ginj_region": {"rowCount": 5, "sizeInBytes": 500,
+           |    "columns": {
+           |      "r_regionkey": {"ndv": 5, "nullCount": 0, "min": "0", "max": "4"}}}
+           |}}""".stripMargin)
+      s.sql(
+        """SELECT r_name, COUNT(*) AS n_cust,
+          |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+          |FROM ginj_region, ginj_customer, ginj_nation
+          |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          |GROUP BY r_name""".stripMargin)
+    },
+    Some("""SELECT r_name, COUNT(*) AS n_cust,
+           |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+           |FROM region, customer, nation
+           |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           |GROUP BY r_name""".stripMargin))
+
   /** DataFrame DSL façade (reference DataSet stmt.cs:957-1034): the same
     * query built through Read/filter/join/select, verified against plain
     * SQL.
@@ -280,7 +332,7 @@ object SourceSinkQueries {
       |HAVING COUNT(*) > 10 AND MAX(o_totalprice) > 0""".stripMargin)
 
   val defs: Seq[QueryDef] = Seq(
-    copyCsv, ddlInsert, analyze, dsl, dslAgg, dslTopk, udfSqroot,
+    copyCsv, ddlInsert, analyze, statsInject, dsl, dslAgg, dslTopk, udfSqroot,
     udfTwoArg, udfVecDot, streamTumble, streamTumbleParquet,
     streamStaticEnrich, compactFiles,
     ddlPartitioned, ddlTempView,
