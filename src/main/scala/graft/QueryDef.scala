@@ -26,7 +26,11 @@ final case class QueryDef(
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     /** Headline queries also timed by Bench. */
-    bench: Boolean = false)
+    bench: Boolean = false,
+    /** The Spark-dialect SQL text when the build IS a SQL statement —
+      * what [[SqlRunner]] batch files are made of.
+      */
+    sqlText: Option[String] = None)
 
 object QueryDef {
   /** Build a QueryDef whose Spark side is SQL text over the registered
@@ -35,7 +39,8 @@ object QueryDef {
     */
   def sqlDef(name: String, sparkSql: String, oracle: String,
              bench: Boolean = false): QueryDef =
-    QueryDef(name, (s, dir) => run(s, dir, sparkSql), Some(oracle), bench)
+    QueryDef(name, (s, dir) => run(s, dir, sparkSql), Some(oracle), bench,
+      sqlText = Some(sparkSql))
 
   /** Same SQL on both engines. */
   def sameSql(name: String, sql: String, bench: Boolean = false): QueryDef =

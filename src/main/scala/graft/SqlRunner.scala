@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Batch SQL file runner — the reference's third entry point
+  * (`/root/reference/qpmodel/Program.cs:128-178` `RunSQLFromFile`: split
+  * the file on ';', skip blanks/comments, execute each statement, print
+  * plan + result, write `<file>.out`).
+  *
+  * Usage: `runMain graft.SqlRunner <sfDir> <file.sql> [more.sql ...]`
+  * Flags: `--explain` also prints each statement's formatted physical
+  * plan; `--out` writes `<file>.out` beside each input like the
+  * reference does.
+  *
+  * Statements run against the full registered catalog (TESTDATA.md
+  * tables), so any corpus oracle SQL is directly runnable. Results print
+  * capped at [[maxShowRows]] rows — the runner is a driver/demo surface;
+  * unbounded result dumps to a console are an anti-pattern at scale.
+  */
+object SqlRunner {
+
+  val maxShowRows = 50
+
+  /** Split SQL text into statements: `;` terminates a statement except
+    * inside single-quoted strings ('' escapes) or `--`-to-EOL comments;
+    * comment-only and blank statements are dropped. (The reference splits
+    * naively on ';', which breaks on quoted semicolons — this runner
+    * keeps its file format but handles those.)
+    */
+  def splitStatements(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inQuote = false
+    var inComment = false
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inComment) {
+        cur.append(c)
+        if (c == '\n') inComment = false
+      } else if (inQuote) {
+        cur.append(c)
+        if (c == '\'') inQuote = false
+      } else if (c == '\'') {
+        cur.append(c); inQuote = true
+      } else if (c == '-' && i + 1 < text.length && text.charAt(i + 1) == '-') {
+        cur.append(c); inComment = true
+      } else if (c == ';') {
+        out += cur.result(); cur.clear()
+      } else cur.append(c)
+      i += 1
+    }
+    out += cur.result()
+    out.result()
+      .map(_.replaceAll("(?m)--.*$", "").trim)
+      .filter(_.nonEmpty)
+  }
+
+  /** Execute every statement in `path` against `spark`, returning
+    * (1-based statement number, sql, Right(result) | Left(error)).
+    * Failures don't abort the batch (reference behavior).
+    */
+  def runFile(spark: SparkSession, path: String)
+      : Seq[(Int, String, Either[String, DataFrame])] = {
+    val text = new String(Files.readAllBytes(Paths.get(path)),
+      StandardCharsets.UTF_8)
+    splitStatements(text).zipWithIndex.map { case (sql, i) =>
+      try (i + 1, sql, Right(spark.sql(sql)))
+      catch { case e: Exception =>
+        (i + 1, sql, Left(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
+    }
+  }
+
+  private def render(df: DataFrame, explain: Boolean): String = {
+    val plan = if (explain)
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode) + "\n"
+    else ""
+    val rows = df.limit(maxShowRows + 1).collect()
+    val shown = rows.take(maxShowRows)
+    val header = df.columns.mkString(", ")
+    val body = shown.map(_.toSeq.map {
+      case null => "NULL"
+      case v => v.toString
+    }.mkString(", ")).mkString("\n")
+    val more = if (rows.length > maxShowRows) s"\n... (truncated at $maxShowRows rows)" else ""
+    s"$plan$header\n$body$more"
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    require(positional.length >= 2,
+      "usage: SqlRunner <sfDir> <file.sql> [more.sql ...] [--explain] [--out]")
+    val explain = flags.contains("--explain")
+    val writeOut = flags.contains("--out")
+    val sfDir = positional(0)
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+    catalog.Tables.registerAll(spark, sfDir)
+    var failures = 0
+    positional.drop(1).foreach { file =>
+      val outputs = runFile(spark, file).map {
+        case (n, sql, Right(df)) =>
+          val body = render(df, explain)
+          println(s"-- [$file:$n] $sql\n$body\n")
+          s"$n: $sql\n$body"
+        case (n, sql, Left(err)) =>
+          failures += 1
+          println(s"-- [$file:$n] $sql\nERROR: $err\n")
+          s"$n: $sql\nERROR: $err"
+      }
+      if (writeOut)
+        Files.write(Paths.get(file + ".out"),
+          outputs.mkString("\n\n").getBytes(StandardCharsets.UTF_8))
+    }
+    println(s"[sqlrunner] done, $failures failed")
+    if (failures > 0) sys.exit(1)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch SQL file runner (reference `RunSQLFromFile`,
+  * `/root/reference/qpmodel/Program.cs:128-178`).
+  */
+class SqlRunnerSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("splitStatements: quoted semicolons, comments, blanks") {
+    val split = SqlRunner.splitStatements(
+      """-- leading comment
+        |SELECT 'a;b' AS s;   -- trailing comment
+        |
+        |SELECT 1 AS x
+        |-- embedded comment line
+        |FROM nation;
+        |;
+        |""".stripMargin)
+    assert(split.length == 2, split)
+    assert(split.head == "SELECT 'a;b' AS s")
+    assert(split(1).startsWith("SELECT 1 AS x") && split(1).endsWith("FROM nation"))
+  }
+
+  test("runFile executes a TPC-H style batch; failures don't abort") {
+    graft.catalog.Tables.registerAll(spark, sfDir)
+    val sql =
+      """-- q6-style scan+filter aggregate
+        |SELECT CAST(SUM(l_extendedprice * l_discount) AS DECIMAL(38, 4)) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1994-01-01'
+        |  AND l_shipdate < DATE '1995-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24;
+        |
+        |-- join + group by
+        |SELECT n_name, COUNT(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name;
+        |
+        |SELECT broken FROM no_such_table;
+        |
+        |SELECT 'a;b' AS quoted_semi;
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft_batch", ".sql")
+    java.nio.file.Files.write(f, sql.getBytes("UTF-8"))
+    val results = SqlRunner.runFile(spark, f.toString)
+    assert(results.length == 4)
+    assert(results(0)._3.isRight && results(0)._3.toOption.get.collect().length == 1)
+    assert(results(1)._3.isRight && results(1)._3.toOption.get.collect().nonEmpty)
+    assert(results(2)._3.isLeft, "missing table must surface as an error")
+    assert(results(3)._3.toOption.get.collect().head.getString(0) == "a;b")
+    java.nio.file.Files.delete(f)
+  }
+
+  test("the corpus' SQL-text queries run as a batch file (CI smoke)") {
+    // Every QueryDef whose build is pure SQL text over the catalog is
+    // exactly what the runner exists for; feed a representative slice
+    // (the TPC-H headliners) through a real file.
+    graft.catalog.Tables.registerAll(spark, sfDir)
+    val stmts = Seq("tpch_q1", "tpch_q3", "tpch_q6", "tpch_q18")
+      .flatMap(n => Queries.byName(n).sqlText)
+    assert(stmts.length == 4, "expected SQL text for the TPC-H headliners")
+    val f = java.nio.file.Files.createTempFile("graft_tpch", ".sql")
+    java.nio.file.Files.write(f, stmts.mkString(";\n").getBytes("UTF-8"))
+    val results = SqlRunner.runFile(spark, f.toString)
+    assert(results.forall(_._3.isRight),
+      results.filter(_._3.isLeft).map(r => (r._1, r._3)).mkString("; "))
+    assert(results.forall(_._3.toOption.get.collect().nonEmpty))
+    java.nio.file.Files.delete(f)
+  }
+}
