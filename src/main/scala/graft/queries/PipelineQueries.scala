@@ -278,7 +278,10 @@ object PipelineQueries {
     */
   val dedupClustersStar: QueryDef = QueryDef("dedup_clusters_star",
     (s, dir) => Dedup.duplicateClustersStar(Dedup.minHashPairs(plantedCorpus(s, dir))),
-    dedupClusters.oracle)
+    dedupClusters.oracle,
+    // Headliner: tracks the pairs→clusters wall-clock (MinHash sweep +
+    // O(log n) star-contraction rounds) so the CC path has a bench row.
+    bench = true)
 
   /** Decontamination sweep: holdout = every 5th document, train = the
     * rest; which training docs share any (non-boilerplate) word 8-gram
