@@ -65,6 +65,51 @@ object Sampling {
       .drop("__frac")
   }
 
+  /** Temperature-weighted source mixing — the "data mixture" step of a
+    * pretraining pipeline: domain d's target share is proportional to
+    * count_d^τ with τ = 0.5 (sqrt damping: big domains down-weighted,
+    * small ones up-weighted, the standard multilingual/multi-source
+    * rebalance), scaled so the whole mix keeps ~`targetFrac` of the
+    * corpus. Every row is kept iff its id-hash fraction falls under its
+    * domain's rate — deterministic per id (rerun-stable, and rates nest
+    * like [[weightedKeep]]).
+    *
+    * Scale shape: one group-by over the corpus for the counts (tiny
+    * result: |domains| rows), rate table broadcast back, then a narrow
+    * filter. No corpus re-shuffle.
+    *
+    * Determinism: sqrt is IEEE-correctly-rounded in any engine; the
+    * share denominator sums the per-domain sqrt weights in ASCENDING
+    * SORTED order (sort_array + fold) so the double sum is
+    * order-deterministic and engine-identical; rates are quantized to
+    * integer micro-units and compared against integer hash units, so no
+    * float comparison decides membership.
+    */
+  def temperatureMix(df: DataFrame, domain: String, id: String,
+                     targetFrac: Double = 0.5): DataFrame = {
+    require(Seq("__units", "__r_units").forall(!df.columns.contains(_)),
+      "temperatureMix reserves __units/__r_units")
+    val counts = df.groupBy(col(domain)).agg(count(lit(1)).as("__c"))
+    // One-row totals frame: n = Σc exact; wsum = Σ sqrt(c) folded in
+    // sorted order (|domains| values — a scalar-sized aggregate).
+    val totals = counts.agg(
+      sum("__c").as("__n"),
+      expr("""aggregate(array_sort(collect_list(CAST(sqrt(__c) AS DOUBLE))),
+             |  CAST(0.0 AS DOUBLE), (s, x) -> s + x)""".stripMargin)
+        .as("__wsum"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col(domain),
+        expr(s"""CAST(ROUND(1000000 * LEAST(CAST(1.0 AS DOUBLE),
+                |  $targetFrac * __n * (sqrt(__c) / __wsum) / __c)) AS BIGINT)"""
+          .stripMargin).as("__r_units"))
+    df.join(broadcast(rates), domain)
+      .withColumn("__units",
+        expr(s"""pmod(CAST(conv(substring(md5(CAST($id AS STRING)), 1, 12),
+                |  16, 10) AS BIGINT), 1000000)""".stripMargin))
+      .filter(col("__units") < col("__r_units"))
+      .drop("__units")
+  }
+
   /** Deterministic shuffle-and-shard for training-data interleaving:
     * every row lands in a hash-assigned shard, ordered within its shard
     * by (md5, id) — the "shuffle the corpus identically on every rerun,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{expr, size}
 
 /** Text-analysis operators over the `documents` table: quality stats,
   * language ID, token counting, fingerprinting. All pure narrow
@@ -61,4 +62,58 @@ object TextAnalysis {
       "doc_id",
       "md5(array_join(array_sort(array_distinct(split(text, ' '))), ' ')) AS vocab_fp",
       "md5(substring(text, 1, 32)) AS prefix_fp")
+
+  /** Gopher-style repetition quality rules (Rae et al. 2021 §A1.1:
+    * drop documents dominated by one word or by repeated n-grams):
+    * per-document most-frequent-word fraction and duplicate-2-gram
+    * fraction, plus the pass/fail flag at the given thresholds.
+    *
+    * Scale shape: the most-frequent-word count is computed INSIDE the
+    * row — sort the word array, longest equal run via one aggregate()
+    * fold (O(n log n) per doc, narrow, zero shuffle) — never an
+    * explode + (doc_id, word) group-by, which would shuffle every word
+    * occurrence in the corpus at 100 TB.
+    */
+  def repetition(docs: DataFrame, maxTopWordFrac: Double = 0.2,
+                 maxDup2gramFrac: Double = 0.6): DataFrame =
+    Par.spread(docs).selectExpr("doc_id", "split(text, ' ') AS ws")
+      .filter("size(ws) >= 2")
+      .selectExpr(
+        "doc_id",
+        "size(ws) AS n_words",
+        """aggregate(array_sort(ws),
+          |  struct(CAST('' AS STRING) AS prev, 0 AS run, 0 AS mx),
+          |  (s, w) -> struct(
+          |    w AS prev,
+          |    CASE WHEN w = s.prev THEN s.run + 1 ELSE 1 END AS run,
+          |    GREATEST(s.mx,
+          |      CASE WHEN w = s.prev THEN s.run + 1 ELSE 1 END) AS mx),
+          |  s -> s.mx) AS top_word_n""".stripMargin,
+        """size(array_distinct(transform(sequence(0, size(ws) - 2),
+          |  i -> concat(ws[i], ' ', ws[i + 1])))) AS distinct_2grams""".stripMargin)
+      .selectExpr(
+        "doc_id", "n_words", "top_word_n",
+        "top_word_n / n_words AS top_word_frac",
+        "1 - distinct_2grams / (n_words - 1) AS dup_2gram_frac",
+        s"""CASE WHEN top_word_n / n_words <= $maxTopWordFrac
+           | AND 1 - distinct_2grams / (n_words - 1) <= $maxDup2gramFrac
+           |THEN 1 ELSE 0 END AS passes""".stripMargin)
+
+  /** PII redaction: mask long digit runs (phone/account-number shaped)
+    * and email-shaped tokens, reporting per-row hit counts alongside the
+    * redacted text. Pure narrow projection (the 100 TB shape: one
+    * codegen'd regexp pass, no shuffle). Patterns stay in the common
+    * RE2/Java subset so any engine applies the same masks.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    require(df.columns.contains(textCol), s"missing column $textCol")
+    val digits = "[0-9]{4,}"
+    val emails = "[a-zA-Z0-9.]+@[a-zA-Z0-9.]+"
+    df.withColumn("n_digit_runs",
+        size(expr(s"regexp_extract_all($textCol, '$digits', 0)")))
+      .withColumn("n_emails",
+        size(expr(s"regexp_extract_all($textCol, '$emails', 0)")))
+      .withColumn("redacted",
+        expr(s"regexp_replace(regexp_replace($textCol, '$emails', '<EMAIL>'), '$digits', '<NUM>')"))
+  }
 }

@@ -457,6 +457,61 @@ object PipelineQueries {
             |  AND len(list_filter(string_split(text, ' '), w -> w IN ($duckStop))) /
             |    len(string_split(text, ' ')) < 0.2""".stripMargin))
 
+  /** Gopher-style repetition rules (top-word fraction, duplicate-2-gram
+    * fraction + pass flag). The Spark side computes the top-word count
+    * INSIDE the row (sorted-run fold, zero shuffle); the oracle
+    * re-derives it relationally (unnest + group-by) — equality proves
+    * the narrow fold is exactly the mode count.
+    */
+  val textRepetition: QueryDef = QueryDef("text_repetition",
+    (s, dir) => TextAnalysis.repetition(docs(s, dir)),
+    Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           |           FROM documents),
+           |cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+           |top AS (SELECT doc_id, CAST(MAX(c) AS INT) AS top_word_n
+           |        FROM cnt GROUP BY doc_id),
+           |base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |g AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+           |        CAST(len(list_distinct(list_transform(
+           |          generate_series(1, len(ws) - 1),
+           |          i -> ws[i] || ' ' || ws[i + 1]))) AS INT) AS d2
+           |      FROM base WHERE len(ws) >= 2)
+           |SELECT g.doc_id, n_words, top_word_n,
+           |  top_word_n / n_words AS top_word_frac,
+           |  1 - d2 / (n_words - 1) AS dup_2gram_frac,
+           |  CASE WHEN top_word_n / n_words <= 0.2
+           |        AND 1 - d2 / (n_words - 1) <= 0.6
+           |  THEN 1 ELSE 0 END AS passes
+           |FROM g JOIN top ON g.doc_id = top.doc_id""".stripMargin))
+
+  /** PII redaction over synthesized contact strings (the testdata corpus
+    * carries no PII, so the fixture plants an email + phone-shaped
+    * digit runs per customer; c_name's own 9-digit serial is a third
+    * hit). Counts are raw-text hits; redaction masks emails first, then
+    * remaining long digit runs.
+    */
+  val piiRedact: QueryDef = QueryDef("pipeline_pii_redact",
+    (s, dir) => TextAnalysis.redactPii(
+      Tables.load(s, dir, "customer").selectExpr("c_custkey",
+        """concat(c_name, ' reachable at user', CAST(c_custkey AS STRING),
+          |'@example.com or +1', lpad(CAST(c_custkey % 100000000 AS STRING),
+          |8, '0'))  AS contact""".stripMargin),
+      "contact").select("c_custkey", "n_digit_runs", "n_emails", "redacted"),
+    Some("""WITH t AS (SELECT c_custkey,
+           |  c_name || ' reachable at user' || CAST(c_custkey AS VARCHAR)
+           |    || '@example.com or +1'
+           |    || lpad(CAST(c_custkey % 100000000 AS VARCHAR), 8, '0') AS contact
+           |  FROM customer)
+           |SELECT c_custkey,
+           |  CAST(len(regexp_extract_all(contact, '[0-9]{4,}')) AS INT)
+           |    AS n_digit_runs,
+           |  CAST(len(regexp_extract_all(contact, '[a-zA-Z0-9.]+@[a-zA-Z0-9.]+'))
+           |    AS INT) AS n_emails,
+           |  regexp_replace(regexp_replace(contact,
+           |    '[a-zA-Z0-9.]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+           |    '[0-9]{4,}', '<NUM>', 'g') AS redacted
+           |FROM t""".stripMargin))
+
   val textFingerprint: QueryDef = QueryDef("text_fingerprint",
     (s, dir) => TextAnalysis.fingerprint(docs(s, dir)),
     Some("""SELECT doc_id,
@@ -555,6 +610,37 @@ object PipelineQueries {
            |        ::BIGINT AS DOUBLE) / 281474976710656
            |  < CASE WHEN lang = 'en' THEN 0.8 ELSE 0.3 END""".stripMargin))
 
+  /** Temperature-weighted source mixing (τ = 0.5): per-language keep
+    * rates ∝ sqrt(count), scaled to keep ~half the corpus — big
+    * languages damped, small ones boosted. Rates are quantized to
+    * integer micro-units and membership is an integer hash-unit
+    * comparison, so the mix is bit-deterministic in any engine; the
+    * oracle re-derives rates AND membership and must land on identical
+    * per-language kept counts.
+    */
+  val sampleTemperature: QueryDef = QueryDef("sample_temperature_mix",
+    (s, dir) => graft.operators.Sampling.temperatureMix(
+        docs(s, dir).select("doc_id", "lang"), "lang", "doc_id", 0.5)
+      .groupBy("lang")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_kept"),
+        org.apache.spark.sql.functions.max("__r_units").as("rate_units")),
+    Some("""WITH c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+           |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+           |        list_aggregate(list_sort(list(CAST(sqrt(c) AS DOUBLE))),
+           |                       'sum') AS wsum
+           |      FROM c),
+           |r AS (SELECT lang, c,
+           |        CAST(ROUND(1000000 * LEAST(CAST(1.0 AS DOUBLE),
+           |          0.5 * n * (sqrt(c) / wsum) / c)) AS BIGINT) AS rate_units
+           |      FROM c, t),
+           |k AS (SELECT d.lang, d.doc_id, r.rate_units
+           |      FROM documents d JOIN r ON d.lang = r.lang
+           |      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12))
+           |              ::BIGINT % 1000000 < r.rate_units)
+           |SELECT lang, COUNT(*) AS n_kept, MAX(rate_units) AS rate_units
+           |FROM k GROUP BY lang""".stripMargin))
+
   /** Deterministic shuffle-and-shard: hash-assigned shard + within-shard
     * rank (|shards|-way parallel). The oracle exploits that fixed-width
     * hex sorts lexically in numeric order.
@@ -601,8 +687,9 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs, dedupNgram,
     dedupEmbedding, dedupEmbeddingBanded,
     annTopk, annIvf, annIvfKmeans, annIvfRecall, sampleStratified,
-    sampleWeighted, sampleShard, samplePack,
+    sampleWeighted, sampleTemperature, sampleShard, samplePack,
     decontaminate, dedupClusters, dedupClustersStar,
-    textStats, textLangid, textTokens, textQualityFilter, textFingerprint,
+    textStats, textLangid, textTokens, textQualityFilter, textRepetition,
+    textFingerprint, piiRedact,
     multimodal, corpusPrep)
 }

@@ -186,6 +186,53 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == Seq((1L, 64L)))
   }
 
+  test("repetition rules: top-word and dup-2-gram fractions, pass flag") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam ham"),          // top word 4/5, dup 2grams
+      (2L, "one two three four five six"),      // all distinct -> passes
+      (3L, "a b a b a b a b a b")               // alternating: 2grams repeat
+    ).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.repetition(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3), r.getDouble(4), r.getInt(5)))
+    // doc 1: 5 words, top=4 (0.8), 2grams: [spam spam]x3 [spam ham] -> 2/4 distinct
+    assert(got(0) == ((1L, 4, 0.8, 0.5, 0)))
+    // doc 2: top=1 (1/6 <= 0.2), 5 distinct 2grams of 5 -> dup 0.0
+    assert(got(1) == ((2L, 1, 1.0 / 6, 0.0, 1)))
+    // doc 3: top=5 (0.5), 2grams: 'a b'x5 'b a'x4 -> 2/9 distinct
+    assert(got(2) == ((3L, 5, 0.5, 1 - 2.0 / 9, 0)))
+  }
+
+  test("PII redaction masks emails first, then long digit runs") {
+    import spark.implicits._
+    val df = Seq((1L, "call 12345 or mail a.b123@mail.co x 123"))
+      .toDF("id", "t")
+    val r = operators.TextAnalysis.redactPii(df, "t").collect()(0)
+    assert(r.getInt(2) == 1, "one digit run >= 4")   // 12345 (123s are short)
+    assert(r.getInt(3) == 1, "one email")
+    assert(r.getString(4) == "call <NUM> or mail <EMAIL> x 123")
+  }
+
+  test("temperatureMix: sqrt-damped rates, deterministic nested membership") {
+    import spark.implicits._
+    // 90/10 split: sqrt damping boosts the small domain's keep rate.
+    val df = (1L to 100L).map(i => (i, if (i <= 90) "big" else "small"))
+      .toDF("doc_id", "dom")
+    val kept = operators.Sampling.temperatureMix(df, "dom", "doc_id", 0.5)
+    val rates = kept.select("dom", "__r_units").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // shares: sqrt(90)/(sqrt90+sqrt10)=0.75, sqrt(10)/...=0.25;
+    // rates: 0.5*100*0.75/90 = 0.4167, 0.5*100*0.25/10 = 1.25 -> capped 1.0
+    assert(rates("small") == 1000000L, s"small-domain rate capped: $rates")
+    assert(math.abs(rates("big") - 416667L) <= 1, s"big-domain rate: $rates")
+    // Capped domain keeps everything; membership is id-deterministic.
+    assert(kept.filter("dom = 'small'").count() == 10)
+    val twice = operators.Sampling.temperatureMix(df, "dom", "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(twice == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("duplicateClusters stays plan-bounded over many rounds (64-node path)") {
     // Label propagation needs diameter rounds to reach the minimum, so a
     // 12-iteration cap on a 63-edge path exercises many loop rounds
