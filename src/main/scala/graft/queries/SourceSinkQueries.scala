@@ -156,6 +156,25 @@ object SourceSinkQueries {
            |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
            |GROUP BY r_name""".stripMargin))
 
+  /** Optimizer introspection as rows (reference `sys_memo_expr` /
+    * `sys_memo_property`, `optimizer.cs:1239-1328`): the plan-phase
+    * trees of a representative join+agg query, SELECTable like any
+    * table. No DuckDB oracle (plan shape is engine-specific by nature —
+    * the driver records the rows-only check); `PlanIntrospectionSpec`
+    * asserts the semantics.
+    */
+  val sysPlanNodes: QueryDef = QueryDef("sys_plan_nodes",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      val probe = s.sql(
+        """SELECT n_name, COUNT(*) AS c FROM nation
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name <> 'EUROPE' GROUP BY n_name""".stripMargin)
+      graft.api.PlanIntrospection.nodes(s, probe)
+        .orderBy("phase", "ord")
+    },
+    None)
+
   /** DataFrame DSL façade (reference DataSet stmt.cs:957-1034): the same
     * query built through Read/filter/join/select, verified against plain
     * SQL.
@@ -332,7 +351,8 @@ object SourceSinkQueries {
       |HAVING COUNT(*) > 10 AND MAX(o_totalprice) > 0""".stripMargin)
 
   val defs: Seq[QueryDef] = Seq(
-    copyCsv, ddlInsert, analyze, statsInject, dsl, dslAgg, dslTopk, udfSqroot,
+    copyCsv, ddlInsert, analyze, statsInject, sysPlanNodes,
+    dsl, dslAgg, dslTopk, udfSqroot,
     udfTwoArg, udfVecDot, streamTumble, streamTumbleParquet,
     streamStaticEnrich, compactFiles,
     ddlPartitioned, ddlTempView,
