@@ -24,10 +24,12 @@ object SqlRunner {
   val maxShowRows = 50
 
   /** Split SQL text into statements: `;` terminates a statement except
-    * inside single-quoted strings ('' escapes) or `--`-to-EOL comments;
-    * comment-only and blank statements are dropped. (The reference splits
-    * naively on ';', which breaks on quoted semicolons — this runner
-    * keeps its file format but handles those.)
+    * inside single-quoted strings; `--`-to-EOL comments are stripped
+    * during the same quote-aware scan (so `--` INSIDE a string literal
+    * is content, not a comment); comment-only and blank statements are
+    * dropped. (The reference splits naively on ';', which breaks on
+    * quoted semicolons — this runner keeps its file format but handles
+    * those.)
     */
   def splitStatements(text: String): Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -38,24 +40,22 @@ object SqlRunner {
     while (i < text.length) {
       val c = text.charAt(i)
       if (inComment) {
-        cur.append(c)
-        if (c == '\n') inComment = false
+        // drop comment chars; keep the newline so tokens stay separated
+        if (c == '\n') { cur.append(c); inComment = false }
       } else if (inQuote) {
         cur.append(c)
         if (c == '\'') inQuote = false
       } else if (c == '\'') {
         cur.append(c); inQuote = true
       } else if (c == '-' && i + 1 < text.length && text.charAt(i + 1) == '-') {
-        cur.append(c); inComment = true
+        inComment = true; i += 1
       } else if (c == ';') {
         out += cur.result(); cur.clear()
       } else cur.append(c)
       i += 1
     }
     out += cur.result()
-    out.result()
-      .map(_.replaceAll("(?m)--.*$", "").trim)
-      .filter(_.nonEmpty)
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   /** Execute every statement in `path` against `spark`, returning
@@ -92,6 +92,9 @@ object SqlRunner {
 
   def main(args: Array[String]): Unit = {
     val (flags, positional) = args.partition(_.startsWith("--"))
+    val unknown = flags.filterNot(Set("--explain", "--out"))
+    require(unknown.isEmpty, s"unknown flag(s): ${unknown.mkString(" ")} " +
+      "(supported: --explain --out)")
     require(positional.length >= 2,
       "usage: SqlRunner <sfDir> <file.sql> [more.sql ...] [--explain] [--out]")
     val explain = flags.contains("--explain")
@@ -104,9 +107,19 @@ object SqlRunner {
     positional.drop(1).foreach { file =>
       val outputs = runFile(spark, file).map {
         case (n, sql, Right(df)) =>
-          val body = render(df, explain)
-          println(s"-- [$file:$n] $sql\n$body\n")
-          s"$n: $sql\n$body"
+          // render() executes the statement, so runtime errors (ANSI-mode
+          // div-by-zero, bad casts) land HERE, not at spark.sql() — catch
+          // them too: the batch must not abort (reference behavior).
+          try {
+            val body = render(df, explain)
+            println(s"-- [$file:$n] $sql\n$body\n")
+            s"$n: $sql\n$body"
+          } catch { case e: Exception =>
+            failures += 1
+            val err = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+            println(s"-- [$file:$n] $sql\nERROR: $err\n")
+            s"$n: $sql\nERROR: $err"
+          }
         case (n, sql, Left(err)) =>
           failures += 1
           println(s"-- [$file:$n] $sql\nERROR: $err\n")

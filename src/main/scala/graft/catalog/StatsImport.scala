@@ -2,6 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
+import org.apache.spark.sql.catalyst.plans.logical.{Histogram, HistogramBin}
 import org.apache.spark.sql.graftbridge.StatsBridge
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -36,7 +37,12 @@ import org.json4s.jackson.JsonMethods
   *
   * Only `rowCount` is required per table; `sizeInBytes` defaults to
   * rowCount (any positive number keeps the relation out of the "assume
-  * huge" default), and every column field is optional.
+  * huge" default), and every column field is optional. Equi-height
+  * histograms (what ANALYZE computes under
+  * `spark.sql.statistics.histogram.enabled`) round-trip too, as
+  * `"histogram": {"height": H, "bins": [{"lo":…, "hi":…, "ndv":…}]}` —
+  * so export→inject is lossless and filter-selectivity estimates match
+  * the ANALYZE path bin for bin.
   */
 object StatsImport {
 
@@ -47,7 +53,13 @@ object StatsImport {
     */
   def inject(spark: SparkSession, json: String): Seq[String] = {
     val root = JsonMethods.parse(json)
-    val JObject(tables) = (root \ "tables"): @unchecked
+    val tables = (root \ "tables") match {
+      case JObject(ts) => ts
+      case other => throw new IllegalArgumentException(
+        "stats JSON must carry a top-level \"tables\" object " +
+          s"""({"tables": {"<name>": {"rowCount": ..., ...}}}); """ +
+          s"got ${other.getClass.getSimpleName} for \"tables\"")
+    }
     tables.map { case (table, spec) =>
       StatsBridge.setTableStats(spark, table, toCatalogStats(spec))
       table
@@ -73,7 +85,12 @@ object StatsImport {
             cs.min.map(v => s""""min": ${quote(v)}"""),
             cs.max.map(v => s""""max": ${quote(v)}"""),
             cs.avgLen.map(v => s""""avgLen": $v"""),
-            cs.maxLen.map(v => s""""maxLen": $v""")).flatten
+            cs.maxLen.map(v => s""""maxLen": $v"""),
+            cs.histogram.map { h =>
+              val bins = h.bins.map(b =>
+                s"""{"lo": ${b.lo}, "hi": ${b.hi}, "ndv": ${b.ndv}}""")
+              s""""histogram": {"height": ${h.height}, "bins": [${bins.mkString(", ")}]}"""
+            }).flatten
           s"""${quote(c)}: {${fields.mkString(", ")}}"""
         }.mkString(", ")
         val rc = s.rowCount.map(v => s""""rowCount": $v, """).getOrElse("")
@@ -103,11 +120,35 @@ object StatsImport {
           max = str(c \ "max"),
           nullCount = bigInt(c \ "nullCount"),
           avgLen = long(c \ "avgLen"),
-          maxLen = long(c \ "maxLen"))
+          maxLen = long(c \ "maxLen"),
+          histogram = histogramOf(c \ "histogram"))
       }.toMap
       case _ => Map.empty[String, CatalogColumnStat]
     }
     CatalogStatistics(sizeInBytes = size, rowCount = rowCount, colStats = cols)
+  }
+
+  private def histogramOf(v: JValue): Option[Histogram] = v match {
+    case JObject(_) =>
+      val bins = (v \ "bins") match {
+        case JArray(bs) => bs.map { b =>
+          HistogramBin(
+            lo = dbl(b \ "lo").getOrElse(0.0),
+            hi = dbl(b \ "hi").getOrElse(0.0),
+            ndv = long(b \ "ndv").getOrElse(0L))
+        }.toArray
+        case _ => Array.empty[HistogramBin]
+      }
+      Some(Histogram(dbl(v \ "height").getOrElse(0.0), bins))
+    case _ => None
+  }
+
+  private def dbl(v: JValue): Option[Double] = v match {
+    case JDouble(d) => Some(d)
+    case JInt(i) => Some(i.toDouble)
+    case JLong(l) => Some(l.toDouble)
+    case JDecimal(d) => Some(d.toDouble)
+    case _ => None
   }
 
   private def bigInt(v: JValue): Option[BigInt] = v match {

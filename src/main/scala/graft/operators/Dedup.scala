@@ -216,6 +216,10 @@ object Dedup {
       converged = curSum == prevSum
       prevSum = curSum
     }
+    // The returned frame's lineage is just the final checkpoint, so the
+    // edge cache is no longer reachable from it — release it here rather
+    // than leaking one cached edge list per call.
+    sym.unpersist()
     labels.groupBy("lbl").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
       .select(col("lbl").as("cluster_id"), col("n_docs"))

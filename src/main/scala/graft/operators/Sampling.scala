@@ -87,8 +87,8 @@ object Sampling {
     */
   def temperatureMix(df: DataFrame, domain: String, id: String,
                      targetFrac: Double = 0.5): DataFrame = {
-    require(Seq("__units", "__r_units").forall(!df.columns.contains(_)),
-      "temperatureMix reserves __units/__r_units")
+    require(Seq("__units", "__r_units", "__dom").forall(!df.columns.contains(_)),
+      "temperatureMix reserves __units/__r_units/__dom")
     val counts = df.groupBy(col(domain)).agg(count(lit(1)).as("__c"))
     // One-row totals frame: n = Σc exact; wsum = Σ sqrt(c) folded in
     // sorted order (|domains| values — a scalar-sized aggregate).
@@ -98,11 +98,15 @@ object Sampling {
              |  CAST(0.0 AS DOUBLE), (s, x) -> s + x)""".stripMargin)
         .as("__wsum"))
     val rates = counts.crossJoin(broadcast(totals))
-      .select(col(domain),
+      .select(col(domain).as("__dom"),
         expr(s"""CAST(ROUND(1000000 * LEAST(CAST(1.0 AS DOUBLE),
                 |  $targetFrac * __n * (sqrt(__c) / __wsum) / __c)) AS BIGINT)"""
           .stripMargin).as("__r_units"))
-    df.join(broadcast(rates), domain)
+    // Null-safe join: a NULL domain is a domain like any other (groupBy
+    // already counted it as one group); a plain equi-join would silently
+    // drop those rows while their weight still inflated the denominator.
+    df.join(broadcast(rates), col(domain) <=> col("__dom"))
+      .drop("__dom")
       .withColumn("__units",
         expr(s"""pmod(CAST(conv(substring(md5(CAST($id AS STRING)), 1, 12),
                 |  16, 10) AS BIGINT), 1000000)""".stripMargin))

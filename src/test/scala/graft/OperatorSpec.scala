@@ -233,6 +233,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(twice == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("temperatureMix: NULL domain is sampled as its own domain, not dropped") {
+    import spark.implicits._
+    val df = (1L to 30L)
+      .map(i => (i, if (i <= 20) "known" else null))
+      .toDF("doc_id", "dom")
+    val kept = operators.Sampling.temperatureMix(df, "dom", "doc_id", 1.0)
+    // targetFrac 1.0 -> every domain's rate caps at or near 1.0; the
+    // NULL group must participate rather than being join-dropped.
+    assert(kept.filter("dom IS NULL").count() > 0,
+      "NULL-domain rows were dropped by the rates join")
+  }
+
   test("duplicateClusters stays plan-bounded over many rounds (64-node path)") {
     // Label propagation needs diameter rounds to reach the minimum, so a
     // 12-iteration cap on a 63-edge path exercises many loop rounds

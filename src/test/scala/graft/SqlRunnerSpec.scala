@@ -23,6 +23,12 @@ class SqlRunnerSpec extends AnyFunSuite {
     assert(split(1).startsWith("SELECT 1 AS x") && split(1).endsWith("FROM nation"))
   }
 
+  test("splitStatements: '--' inside a string literal is content, not a comment") {
+    val split = SqlRunner.splitStatements(
+      "SELECT 'a--b' AS s; SELECT 2 AS y -- real comment\n;")
+    assert(split == Seq("SELECT 'a--b' AS s", "SELECT 2 AS y"), split)
+  }
+
   test("runFile executes a TPC-H style batch; failures don't abort") {
     graft.catalog.Tables.registerAll(spark, sfDir)
     val sql =

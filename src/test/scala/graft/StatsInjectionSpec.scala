@@ -64,6 +64,13 @@ class StatsInjectionSpec extends AnyFunSuite {
     assert(injStats.rowCount.isDefined && injStats.rowCount == anStats.rowCount,
       s"injected rowCount ${injStats.rowCount} != analyzed ${anStats.rowCount}")
     assert(injStats.attributeStats.nonEmpty, "expected injected column stats")
+    // The session computes equi-height histograms under ANALYZE
+    // (statistics.histogram.enabled=true) — they must survive the
+    // export→inject round trip, not silently drop.
+    assert(anStats.attributeStats.exists(_._2.histogram.isDefined),
+      "precondition: ANALYZE produced histograms")
+    assert(injStats.attributeStats.exists(_._2.histogram.isDefined),
+      "histograms were lost in the export->inject round trip")
 
     // Same stats -> same CBO join order, away from the hostile FROM order.
     val an = hostileJoin("stan_")
