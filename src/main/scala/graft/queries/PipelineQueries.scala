@@ -104,6 +104,26 @@ object PipelineQueries {
             |SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
             |FROM fps GROUP BY fingerprint HAVING COUNT(*) > 1""".stripMargin))
 
+  /** STREAMING near-dup dedup: documents as an unbounded stream,
+    * SimHash fingerprint per doc, dropDuplicates("fp") state = one key
+    * per distinct fingerprint (hard-capped at 2^bits — the streaming
+    * dedup whose state cannot grow past the fingerprint space). Runs to
+    * completion via AvailableNow; the summary is fingerprint-set level
+    * (which DOC represents a family is arrival-order-dependent; the SET
+    * of families is not), so the batch oracle re-derives it exactly.
+    */
+  val streamNearDup: QueryDef = QueryDef("stream_neardup_simhash",
+    (s, dir) => graft.streaming.Streams.simhashDedupAvailableNow(s, dir),
+    Some(s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+            |              FROM documents),
+            |fps AS (SELECT DISTINCT concat(${duckSimhashFp(16)}) AS fp
+            |        FROM words)
+            |SELECT CAST(COUNT(*) AS BIGINT) AS n_families,
+            |  MIN(fp) AS mn_fp, MAX(fp) AS mx_fp,
+            |  CAST(SUM(('0x' || substr(md5(fp), 1, 12))::BIGINT) AS BIGINT)
+            |    AS fp_checksum
+            |FROM fps""".stripMargin))
+
   val dedupSimhashPairs: QueryDef = QueryDef("dedup_simhash_pairs",
     (s, dir) => Dedup.simHashNearPairs(docs(s, dir)),
     Some {
@@ -685,7 +705,7 @@ object PipelineQueries {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs, dedupNgram,
-    dedupEmbedding, dedupEmbeddingBanded,
+    dedupEmbedding, dedupEmbeddingBanded, streamNearDup,
     annTopk, annIvf, annIvfKmeans, annIvfRecall, sampleStratified,
     sampleWeighted, sampleTemperature, sampleShard, samplePack,
     decontaminate, dedupClusters, dedupClustersStar,

@@ -236,6 +236,47 @@ object Streams {
       .agg(count("*").as("n_users"))
   }
 
+  /** Streaming NEAR-dup dedup: the LLM-pipeline ingest shape — documents
+    * arrive as a stream, each gets a SimHash fingerprint (the codegen'd
+    * native expression, same as batch [[graft.operators.Dedup]]), and
+    * dropDuplicates on the fingerprint keeps the first representative of
+    * every near-dup family seen so far. State is one key per DISTINCT
+    * fingerprint (bounded by 2^bits regardless of stream length —
+    * fingerprint dedup is the rare case where global streaming state has
+    * a hard cap); at 100 TB ingest the state store holds fingerprints,
+    * never documents. The returned summary is fingerprint-SET level
+    * (count / min / max / order-insensitive hash-sum), so it is
+    * deterministic even though WHICH doc represents a family depends on
+    * arrival order.
+    */
+  def simhashDedupAvailableNow(
+      spark: SparkSession, dir: String, bits: Int = 16,
+      queryName: String = "graft_stream_neardup"): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        graft.functions.SimHashFingerprint(col("ws"), bits).as("fp"))
+      .dropDuplicates("fp")
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_stream_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).agg(
+      count("*").as("n_families"),
+      min("fp").as("mn_fp"),
+      max("fp").as("mx_fp"),
+      expr("""CAST(SUM(CAST(conv(substring(md5(fp), 1, 12), 16, 10)
+             |  AS BIGINT)) AS BIGINT)""".stripMargin).as("fp_checksum"))
+  }
+
   /** Custom-state records: per-user running aggregates maintained across
     * micro-batches.
     */
