@@ -323,18 +323,20 @@ object Dedup {
     * keys whose cardinality grows with corpus size, so this runs at
     * 100 TB train × small holdout with the holdout gram set broadcast.
     */
+  /** Distinct md5'd word `n`-grams per document: (idAs, g). */
+  private def wordGrams(df: DataFrame, idAs: String, n: Int): DataFrame =
+    Par.spread(df)
+      .select(col("doc_id").as(idAs), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col(idAs), explode(expr(
+        s"""array_distinct(transform(sequence(0, size(ws) - $n),
+           |  i -> md5(concat_ws(' ', slice(ws, i + 1, $n)))))""".stripMargin))
+        .as("g"))
+
   def contamination(train: DataFrame, holdout: DataFrame, n: Int = 8,
                     maxDf: Int = 100): DataFrame = {
-    def grams(df: DataFrame, idAs: String): DataFrame =
-      Par.spread(df)
-        .select(col("doc_id").as(idAs), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= n)
-        .select(col(idAs), explode(expr(
-          s"""array_distinct(transform(sequence(0, size(ws) - $n),
-             |  i -> md5(concat_ws(' ', slice(ws, i + 1, $n)))))""".stripMargin))
-          .as("g"))
-    val t = grams(train, "train_id")
-    val h = grams(holdout, "holdout_id")
+    val t = wordGrams(train, "train_id", n)
+    val h = wordGrams(holdout, "holdout_id", n)
     val hKept = h.join(
       h.groupBy("g").agg(countDistinct("holdout_id").as("df"))
         .filter(col("df") <= maxDf).select("g"),
