@@ -24,7 +24,8 @@ object Bench {
 
     val defs = Queries.all.filter(_.bench)
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val firstWarm = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val passes = scala.collection.mutable.LinkedHashMap[
+      String, scala.collection.mutable.ArrayBuffer[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def once(record: Boolean): Unit = {
       defs.foreach { d =>
@@ -34,7 +35,8 @@ object Bench {
           if (record) {
             val t = (System.nanoTime() - t0) / 1e9
             times(d.name) = times.get(d.name).fold(t)(math.min(_, t))
-            if (!firstWarm.contains(d.name)) firstWarm(d.name) = t
+            passes.getOrElseUpdate(d.name,
+              scala.collection.mutable.ArrayBuffer[Double]()) += t
           }
         } catch {
           case e: Throwable =>
@@ -48,9 +50,10 @@ object Bench {
         }
         }
       }
-      // Queries that .cache() internally (minhash/simhash reuse their
-      // signature frame 2-3x within one query — legitimate) would otherwise
-      // have later passes served from the CacheManager's plan match,
+      // Defensive: queries are expected to own their materializations
+      // (the LSH helpers localCheckpoint instead of cache since r7), but
+      // any future cache() slipping into a query would otherwise have
+      // later passes served from the CacheManager's plan match,
       // flattering min-of-3 into a cache-read benchmark. Drop all cached
       // plans between passes so every pass pays full recompute.
       spark.catalog.clearCache()
@@ -61,21 +64,26 @@ object Bench {
     // Recorded time = min over 3 warm passes: single-shot times on a
     // shared machine carry multi-second GC/scheduler spikes (observed
     // 1.3s vs 10.5s for the same plan); the min is the reproducible
-    // steady-state cost of the plan. first_warm_sec (pass 1 alone) is
-    // emitted too so the min's flattery is visible.
+    // steady-state cost of the plan. all_passes carries every warm pass
+    // time so a round-over-round delta is classifiable as noise vs
+    // regression from the artifact alone (a plan regression shifts all
+    // three passes; a scheduler spike inflates one).
     val c0 = System.nanoTime()
     once(record = false)
     val coldTotal = (System.nanoTime() - c0) / 1e9
     (1 to 3).foreach(_ => once(record = true))
-    errors.keys.foreach { k => times.remove(k); firstWarm.remove(k) }
+    errors.keys.foreach { k => times.remove(k); passes.remove(k) }
     val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val ps = passes.map { case (k, vs) =>
+      "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = times.values.sum
-    val firstWarmTotal = firstWarm.values.sum
+    val firstWarmTotal = passes.values.map(_.head).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"cold_sec":${f"$coldTotal%.3f"},"first_warm_sec":${f"$firstWarmTotal%.3f"},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"all_passes":$ps,"errors":$es,"cold_sec":${f"$coldTotal%.3f"},"first_warm_sec":${f"$firstWarmTotal%.3f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

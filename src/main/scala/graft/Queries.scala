@@ -29,7 +29,16 @@ object Queries {
       Extra2Queries.defs ++
       Extra3Queries.defs
 
-  lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
+  /** Runnable queries that by construction can have NO DuckDB oracle
+    * (plan introspection: the rows describe engine-specific plan shape).
+    * Kept out of [[all]] so the oracle gate scores only oracle-paired
+    * queries; their semantics are asserted by dedicated specs
+    * (PlanIntrospectionSpec) instead.
+    */
+  def introspection: Seq[QueryDef] = Seq(SourceSinkQueries.sysPlanNodes)
+
+  lazy val byName: Map[String, QueryDef] =
+    (all ++ introspection).map(d => d.name -> d).toMap
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in corpus")

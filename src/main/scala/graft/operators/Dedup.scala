@@ -90,10 +90,20 @@ object Dedup {
     * verification join. Buckets larger than `maxBucket` are excluded
     * from candidate generation (see [[capBuckets]]; testdata buckets
     * max out around 10, so the default cap is far from engaging there).
+    *
+    * The shingle frame is reused three times (bands + both sides of the
+    * verification join), so it is materialized ONCE via localCheckpoint —
+    * not cache(): a cached frame would outlive the call in the session's
+    * CacheManager (nothing inside the function may unpersist it while the
+    * returned plan still references it), forcing callers sweeping many
+    * corpora to clearCache() by hand. Checkpoint blocks are owned by the
+    * RDD and released by the ContextCleaner when the returned frame is
+    * dropped; repeated calls leave the SQL cache empty (asserted in
+    * OperatorSpec).
     */
   def minHashPairs(docs: DataFrame, k: Int = 8, bandRows: Int = 2,
                    threshold: Double = 0.8, maxBucket: Int = 500): DataFrame = {
-    val sh = shingled(docs).cache()
+    val sh = shingled(docs).localCheckpoint(eager = true)
     val bands = capBuckets(minHashBands(sh, k, bandRows), maxBucket)
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -132,6 +142,11 @@ object Dedup {
     * so a bucket-join on (slice idx, slice value) finds all such pairs
     * without comparing the corpus pairwise; the exact Hamming distance is
     * then verified per candidate.
+    *
+    * Fingerprints are reused by both sides of the chunk self-join, so
+    * they are materialized once via localCheckpoint — not cache() — for
+    * the same ownership reason as [[minHashPairs]]: no session cache
+    * entry outlives the call.
     */
   def simHashNearPairs(docs: DataFrame, bits: Int = 32, chunks: Int = 4,
                        maxHamming: Int = 1): DataFrame = {
@@ -139,7 +154,7 @@ object Dedup {
     val fps = Par.spread(docs).select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         graft.functions.SimHashFingerprint(col("ws"), bits).as("fp"))
-      .cache()
+      .localCheckpoint(eager = true)
     val w = bits / chunks
     val chunked = fps.select(col("doc_id"), col("fp"),
         posexplode(expr(
@@ -310,6 +325,16 @@ object Dedup {
       .select(col("lo").as("cluster_id"), col("n_docs"))
   }
 
+  /** Distinct md5'd word `n`-grams per document: (idAs, g). */
+  private def wordGrams(df: DataFrame, idAs: String, n: Int): DataFrame =
+    Par.spread(df)
+      .select(col("doc_id").as(idAs), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col(idAs), explode(expr(
+        s"""array_distinct(transform(sequence(0, size(ws) - $n),
+           |  i -> md5(concat_ws(' ', slice(ws, i + 1, $n)))))""".stripMargin))
+        .as("g"))
+
   /** Cross-corpus decontamination: training documents that share any
     * word n-gram with a holdout/eval set — the standard "is the test set
     * in the training data" sweep an LLM pipeline runs before training.
@@ -323,16 +348,6 @@ object Dedup {
     * keys whose cardinality grows with corpus size, so this runs at
     * 100 TB train × small holdout with the holdout gram set broadcast.
     */
-  /** Distinct md5'd word `n`-grams per document: (idAs, g). */
-  private def wordGrams(df: DataFrame, idAs: String, n: Int): DataFrame =
-    Par.spread(df)
-      .select(col("doc_id").as(idAs), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= n)
-      .select(col(idAs), explode(expr(
-        s"""array_distinct(transform(sequence(0, size(ws) - $n),
-           |  i -> md5(concat_ws(' ', slice(ws, i + 1, $n)))))""".stripMargin))
-        .as("g"))
-
   def contamination(train: DataFrame, holdout: DataFrame, n: Int = 8,
                     maxDf: Int = 100): DataFrame = {
     val t = wordGrams(train, "train_id", n)

@@ -159,9 +159,10 @@ object SourceSinkQueries {
   /** Optimizer introspection as rows (reference `sys_memo_expr` /
     * `sys_memo_property`, `optimizer.cs:1239-1328`): the plan-phase
     * trees of a representative join+agg query, SELECTable like any
-    * table. No DuckDB oracle (plan shape is engine-specific by nature —
-    * the driver records the rows-only check); `PlanIntrospectionSpec`
-    * asserts the semantics.
+    * table. Plan shape is engine-specific by nature, so no DuckDB oracle
+    * can exist; the query therefore lives in [[graft.Queries.introspection]]
+    * — outside the oracle-scored gate corpus — and
+    * `PlanIntrospectionSpec` asserts its semantics instead.
     */
   val sysPlanNodes: QueryDef = QueryDef("sys_plan_nodes",
     (s, dir) => {
@@ -351,7 +352,7 @@ object SourceSinkQueries {
       |HAVING COUNT(*) > 10 AND MAX(o_totalprice) > 0""".stripMargin)
 
   val defs: Seq[QueryDef] = Seq(
-    copyCsv, ddlInsert, analyze, statsInject, sysPlanNodes,
+    copyCsv, ddlInsert, analyze, statsInject,
     dsl, dslAgg, dslTopk, udfSqroot,
     udfTwoArg, udfVecDot, streamTumble, streamTumbleParquet,
     streamStaticEnrich, compactFiles,

@@ -48,6 +48,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.get((1L, 4L)).contains(0)) // identical text -> hamming 0
   }
 
+  test("LSH helpers own their materializations: no session cache entries survive") {
+    // The r6 contract gap: minHashPairs/simHashNearPairs used cache(),
+    // leaving one CacheManager entry per call that only clearCache()
+    // could release. Both now localCheckpoint instead — repeated sweeps
+    // must leave the SQL cache untouched, no manual cleanup required.
+    spark.catalog.clearCache()
+    (1 to 3).foreach { _ =>
+      Dedup.minHashPairs(docsDF, threshold = 0.5).collect()
+      Dedup.simHashNearPairs(docsDF).collect()
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "LSH helpers must not leave cached frames in the session")
+  }
+
   test("brute-force ANN top-k ranks the nearest vector first") {
     val s = spark
     import s.implicits._
