@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward stdin to the forked run in interactive sbt — SqlRunner --repl
+// reads it. (sbt's batch mode consumes stdin itself; for piped input run
+// the class directly: java -cp target/...:/opt/spark/jars/* graft.SqlRunner)
+connectInput := true
+run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

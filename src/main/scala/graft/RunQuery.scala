@@ -1,0 +1,31 @@
+package graft
+
+/** Run named corpus queries once-warm against a data dir and print JSON
+  * timings — the ad-hoc companion to [[Bench]] (which times the fixed
+  * `bench=true` headliner set): scale soaks and plan probes want
+  * arbitrary corpus queries on arbitrary dirs.
+  *
+  *   runMain graft.RunQuery <dir> <query> [query ...]
+  */
+object RunQuery {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: RunQuery <dir> <query> [query ...]")
+    val dir = args(0)
+    val names = args.drop(1).toSeq
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    spark.sparkContext.setLogLevel("WARN")
+    val times = names.map { n =>
+      val d = Queries.byName.getOrElse(n,
+        sys.error(s"unknown query $n"))
+      d.build(spark, dir).write.format("noop").mode("overwrite").save() // warm
+      val t0 = System.nanoTime()
+      d.build(spark, dir).write.format("noop").mode("overwrite").save()
+      n -> (System.nanoTime() - t0) / 1e9
+    }
+    val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"runquery":$qs,"dir":"$dir"}""")
+    spark.stop()
+  }
+}

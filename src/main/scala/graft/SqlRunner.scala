@@ -58,6 +58,61 @@ object SqlRunner {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Split `text` into the statements that are COMPLETE (terminated by
+    * an unquoted `;`) and the unfinished remainder — the incremental
+    * variant of [[splitStatements]] the REPL needs to know when to keep
+    * reading lines vs execute.
+    */
+  def completeStatements(text: String): (Seq[String], String) = {
+    var lastSemi = -1
+    var inQuote = false
+    var inComment = false
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inComment) { if (c == '\n') inComment = false }
+      else if (inQuote) { if (c == '\'') inQuote = false }
+      else if (c == '\'') inQuote = true
+      else if (c == '-' && i + 1 < text.length && text.charAt(i + 1) == '-') {
+        inComment = true; i += 1
+      } else if (c == ';') lastSemi = i
+      i += 1
+    }
+    if (lastSemi < 0) (Seq.empty, text)
+    else (splitStatements(text.substring(0, lastSemi + 1)),
+      text.substring(lastSemi + 1))
+  }
+
+  /** Interactive loop — the reference's REPL entry point
+    * (`/root/reference/qpmodel/Program.cs:180-351`: read a line, `q`/
+    * `exit` quits, otherwise execute and print). Lines accumulate until
+    * an unquoted `;` completes a statement (multi-line statements work);
+    * `exit` / `quit` / `q` alone on a fresh line ends the session.
+    * Errors print and the loop continues, exactly like the batch path.
+    *
+    * Testable core: lines in, rendered results out via `out`.
+    */
+  def repl(spark: SparkSession, lines: Iterator[String],
+           out: String => Unit, explain: Boolean = false): Unit = {
+    val buf = new StringBuilder
+    var n = 0
+    for (line <- lines) {
+      if (buf.toString.trim.isEmpty &&
+          Set("exit", "quit", "q").contains(line.trim.toLowerCase))
+        return
+      buf.append(line).append('\n')
+      val (done, rest) = completeStatements(buf.toString)
+      buf.clear(); buf.append(rest)
+      done.foreach { sql =>
+        n += 1
+        try out(s"-- [$n] $sql\n" + render(spark.sql(sql), explain))
+        catch { case e: Exception =>
+          out(s"-- [$n] $sql\nERROR: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    }
+  }
+
   /** Execute every statement in `path` against `spark`, returning
     * (1-based statement number, sql, Right(result) | Left(error)).
     * Failures don't abort the batch (reference behavior).
@@ -92,17 +147,27 @@ object SqlRunner {
 
   def main(args: Array[String]): Unit = {
     val (flags, positional) = args.partition(_.startsWith("--"))
-    val unknown = flags.filterNot(Set("--explain", "--out"))
+    val unknown = flags.filterNot(Set("--explain", "--out", "--repl"))
     require(unknown.isEmpty, s"unknown flag(s): ${unknown.mkString(" ")} " +
-      "(supported: --explain --out)")
-    require(positional.length >= 2,
-      "usage: SqlRunner <sfDir> <file.sql> [more.sql ...] [--explain] [--out]")
+      "(supported: --explain --out --repl)")
     val explain = flags.contains("--explain")
     val writeOut = flags.contains("--out")
+    val isRepl = flags.contains("--repl")
+    require(positional.length >= (if (isRepl) 1 else 2),
+      "usage: SqlRunner <sfDir> <file.sql> [more.sql ...] [--explain] [--out]" +
+        " | SqlRunner <sfDir> --repl [--explain]")
     val sfDir = positional(0)
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
     catalog.Tables.registerAll(spark, sfDir)
+    if (isRepl) {
+      println(s"graft SQL repl on $sfDir — end statements with ';', " +
+        "'exit' quits")
+      repl(spark, scala.io.Source.stdin.getLines(),
+        s => println(s + "\n"), explain)
+      println("[sqlrunner] repl done")
+      return
+    }
     var failures = 0
     positional.drop(1).foreach { file =>
       val outputs = runFile(spark, file).map {

@@ -46,4 +46,32 @@ class PlanIntrospectionSpec extends AnyFunSuite {
         |WHERE phase = 'physical' AND node = 'HashAggregate'"""
         .stripMargin).head().getLong(0) == 2)
   }
+
+  test("executed phase carries per-operator row counts (EXPLAIN ANALYZE parity)") {
+    // Known-cardinality probe: row counts are data-determined, hence
+    // exactly assertable (unlike node names, which are engine-specific).
+    val probe = spark.range(100).toDF("id").filter("id < 10")
+      .selectExpr("id % 2 AS k").groupBy("k").count()
+    val ex = graft.api.PlanIntrospection.executed(spark, probe)
+    ex.createOrReplaceTempView("sys_executed")
+    assert(spark.sql("SELECT DISTINCT phase FROM sys_executed")
+      .collect().map(_.getString(0)).toSeq == Seq("executed"))
+    def rowsOf(like: String): Seq[Long] = spark.sql(
+      s"""SELECT rows FROM sys_executed
+         |WHERE node LIKE '$like' AND rows IS NOT NULL""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    // Range emits all 100; the filter passes exactly 10; the FINAL
+    // aggregate emits the 2 parity groups (the partial also emits 2 per
+    // this probe's single-partition-worth of distinct keys — assert via
+    // the set of aggregate outputs containing 2).
+    assert(rowsOf("Range%") == Seq(100L))
+    assert(rowsOf("%Filter%").contains(10L))
+    assert(rowsOf("HashAggregate%").contains(2L))
+    // The profile covers operators inside materialized query stages —
+    // the final agg runs post-shuffle, so at least one stage must have
+    // been descended into for the assertions above to have seen it.
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM sys_executed WHERE node LIKE '%QueryStage%'")
+      .head().getLong(0) >= 1)
+  }
 }

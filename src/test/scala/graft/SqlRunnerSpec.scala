@@ -59,6 +59,30 @@ class SqlRunnerSpec extends AnyFunSuite {
     java.nio.file.Files.delete(f)
   }
 
+  test("repl: multi-line statements execute on ';', errors continue, exit quits") {
+    graft.catalog.Tables.registerAll(spark, sfDir)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val lines = Iterator(
+      "SELECT COUNT(*) AS n",      // statement spans two lines
+      "FROM nation;",
+      "SELECT broken FROM no_such_table;",
+      "SELECT 'a;b' AS s;",        // quoted semicolon survives
+      "exit",
+      "SELECT 1;")                 // never reached
+    SqlRunner.repl(spark, lines, out += _)
+    assert(out.length == 3, out)
+    assert(out(0).contains("25"), out(0))          // 25 nations
+    assert(out(1).contains("ERROR"), out(1))
+    assert(out(2).contains("a;b"), out(2))
+  }
+
+  test("completeStatements: unterminated input is remainder, not a statement") {
+    val (done, rest) = SqlRunner.completeStatements(
+      "SELECT 1; SELECT 'x;y' AS s; SELECT 2")
+    assert(done == Seq("SELECT 1", "SELECT 'x;y' AS s"))
+    assert(rest.trim == "SELECT 2")
+  }
+
   test("the corpus' SQL-text queries run as a batch file (CI smoke)") {
     // Every QueryDef whose build is pure SQL text over the catalog is
     // exactly what the runner exists for; feed a representative slice

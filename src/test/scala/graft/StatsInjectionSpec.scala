@@ -34,7 +34,7 @@ class StatsInjectionSpec extends AnyFunSuite {
   /** Join-tree leaf order of the optimized plan, as base table names. */
   private def leafOrder(df: DataFrame): Seq[String] = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val table = "(region|nation|customer|supplier|part|orders|lineitem)\\.parquet".r
+    val table = "(region|nation|customer|supplier|part|orders|lineitem|events)\\.parquet".r
     df.queryExecution.optimizedPlan.collectLeaves().flatMap {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
@@ -84,6 +84,43 @@ class StatsInjectionSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     // Identical results too (stats change plans, never answers).
     assert(rows(an) == rows(inj))
+  }
+
+  test("data-free planning: all 16 JOBench analogs plan like the ANALYZE path") {
+    // The reference plans its full JOBench corpus from imported stats
+    // with no data (`/root/reference/test/UnitTest.cs:357-381`). Same
+    // sweep here: ANALYZE one set of catalog tables, export the stats,
+    // create a FRESH set of external tables that are never analyzed,
+    // inject, and require every JOBench analog's optimized join-leaf
+    // order to be identical between the two — i.e. the CBO sees nothing
+    // less through injection than through a full ANALYZE scan.
+    val all = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events")
+    def create(prefix: String): Unit = all.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}$t")
+      spark.sql(
+        s"CREATE TABLE ${prefix}$t USING PARQUET LOCATION '$sfDir/$t.parquet'")
+    }
+    create("stanj_")
+    all.foreach(t =>
+      spark.sql(s"ANALYZE TABLE stanj_$t COMPUTE STATISTICS FOR ALL COLUMNS"))
+    val json = StatsImport.export(spark, all.map("stanj_" + _))
+    create("stinjj_")
+    StatsImport.inject(spark, json.replace("\"stanj_", "\"stinjj_"))
+
+    val tableRe = ("\\b(" + all.mkString("|") + ")\\b").r
+    def rewrite(sql: String, p: String): String =
+      tableRe.replaceAllIn(sql, m => p + m.group(1))
+    val defs = Queries.all.filter(_.name.startsWith("jobench_"))
+    assert(defs.size == 16, s"expected 16 JOBench analogs, got ${defs.size}")
+    defs.foreach { d =>
+      val sql = d.sqlText.getOrElse(fail(s"${d.name} has no SQL text"))
+      val anOrder = leafOrder(spark.sql(rewrite(sql, "stanj_")))
+      val injOrder = leafOrder(spark.sql(rewrite(sql, "stinjj_")))
+      assert(anOrder.nonEmpty, s"${d.name}: no recognizable join leaves")
+      assert(anOrder == injOrder,
+        s"${d.name}: injected-stats join order $injOrder != ANALYZE order $anOrder")
+    }
   }
 
   test("inject plans from hand-authored JSON without any ANALYZE") {

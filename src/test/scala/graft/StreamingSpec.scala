@@ -106,6 +106,92 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("RocksDB store: dropDuplicatesWithinWatermark evicts state past the watermark") {
+    // Production posture: the corpus-gate streams run AvailableNow over
+    // bounded input, so watermark eviction never actually fires there.
+    // This test drives a multi-batch MemoryStream under the RocksDB
+    // state store (what a 100 TB ingest would run) far enough that the
+    // watermark passes a key's state, then RE-SENDS the key: the second
+    // emission is only possible if the first key's state was evicted —
+    // behavioral proof, not a metric read.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    def ts(sec: Int) = java.sql.Timestamp.from(
+      Timestamp.valueOf("2020-05-12 08:00:00").toInstant.plusSeconds(sec))
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = mem.toDF().toDF("k", "ts")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("k")
+      .writeStream.format("memory").queryName("rocks_dedup")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_test_ckpt").toString)
+      .start()
+    try {
+      mem.addData((1L, ts(0)), (1L, ts(1)), (2L, ts(5)))
+      q.processAllAvailable()            // key 1 deduped within the batch
+      mem.addData((9L, ts(100)))
+      q.processAllAvailable()            // max event time -> 100
+      mem.addData((8L, ts(101)))
+      q.processAllAvailable()            // watermark 90: keys 1,2 evicted
+      mem.addData((1L, ts(95)))          // 95 > watermark, key 1 state gone
+      q.processAllAvailable()
+      val ks = s2.table("rocks_dedup").collect().map(_.getLong(0)).toSeq
+      assert(ks.count(_ == 1L) == 2,
+        s"key 1 must re-emit after its state was evicted; got $ks")
+      assert(ks.count(_ == 2L) == 1, s"key 2 emitted once; got $ks")
+      // And the run really used RocksDB, not the default HDFS-backed map.
+      val custom = q.lastProgress.stateOperators.apply(0).customMetrics
+      assert(custom.keySet().iterator().hasNext &&
+        custom.keySet().toArray.exists(_.toString.startsWith("rocksdb")),
+        s"expected rocksdb* state metrics, got ${custom.keySet()}")
+    } finally q.stop()
+  }
+
+  test("RocksDB store: SimHash ingest dedup streams multi-batch with bounded state") {
+    // The streaming near-dup path (SimHash fingerprint + dropDuplicates)
+    // under the production state store: families deduplicate across
+    // micro-batches, and state rows stay capped by the fingerprint
+    // space, not the stream length.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val fp = graft.functions.SimHashFingerprint(
+      org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.col("text"), " "), 16)
+    val q = mem.toDF().toDF("doc_id", "text")
+      .select($"doc_id", fp.as("fp"))
+      .dropDuplicates("fp")
+      .writeStream.format("memory").queryName("rocks_simhash")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_test_ckpt").toString)
+      .start()
+    try {
+      mem.addData((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different content about database engines"))
+      q.processAllAvailable()
+      // Batch 2: same two texts under new ids + one new family.
+      mem.addData((3L, "the quick brown fox jumps over the lazy dog"),
+        (4L, "completely different content about database engines"),
+        (5L, "spark catalyst optimizer rewrites logical plans"))
+      q.processAllAvailable()
+      val ids = s2.table("rocks_simhash").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 5L),
+        s"cross-batch fingerprint dups must be dropped; got $ids")
+      val st = q.lastProgress.stateOperators.apply(0)
+      assert(st.numRowsTotal == 3, s"state = one row per family, got ${st.numRowsTotal}")
+      assert(st.customMetrics.keySet().toArray
+        .exists(_.toString.startsWith("rocksdb")), "expected rocksdb metrics")
+    } finally q.stop()
+  }
+
   test("bounded stream scan over events parquet executes end-to-end") {
     val df = graft.streaming.Streams.tumbleAvailableNow(
       spark, sfDir, queryName = "test_stream_tumble")
