@@ -87,10 +87,18 @@ object ScaleGen {
       else s"""array_join(transform(split(text, ' '),
               |  (w, j) -> IF(j % 4 == $i % 4, concat(w, '_r$i'), w)), ' ')""".stripMargin
 
+    /** Rotation amount wraps at dim-1 so any replica count is safe; two
+      * replicas sharing a rotation (i and i + dim - 1) still differ in
+      * keys and text, and their equal vectors just model the repeated
+      * embeddings any real corpus carries.
+      */
     def rotateEmb(i: Int): String =
       if (i == 0) "embedding"
-      else s"""concat(slice(embedding, ${i + 1}, size(embedding) - $i),
-              |       slice(embedding, 1, $i))""".stripMargin
+      else {
+        val r = s"(pmod(${i - 1}, size(embedding) - 1) + 1)"
+        s"""concat(slice(embedding, $r + 1, size(embedding) - $r),
+           |       slice(embedding, 1, $r))""".stripMargin
+      }
 
     val tables: Seq[(String, DataFrame)] = Seq(
       "region" -> load("region"),

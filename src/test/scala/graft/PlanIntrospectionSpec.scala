@@ -47,6 +47,19 @@ class PlanIntrospectionSpec extends AnyFunSuite {
         .stripMargin).head().getLong(0) == 2)
   }
 
+  test("introspection queries stay out of the oracle-scored corpus") {
+    // The gate corpus must contain only oracle-paired queries (an
+    // oracle-less query permanently costs the correctness file an err
+    // row); plan introspection is runnable but lives in its own list.
+    assert(Queries.introspection.map(_.name).contains("sys_plan_nodes"))
+    assert(Queries.introspection.forall(_.oracle.isEmpty),
+      "introspection list is for oracle-less queries only")
+    assert(Queries.all.forall(_.oracle.isDefined),
+      "every scored query needs a DuckDB oracle")
+    assert(Queries.all.map(_.name).toSet
+      .intersect(Queries.introspection.map(_.name).toSet).isEmpty)
+  }
+
   test("executed phase carries per-operator row counts (EXPLAIN ANALYZE parity)") {
     // Known-cardinality probe: row counts are data-determined, hence
     // exactly assertable (unlike node names, which are engine-specific).
