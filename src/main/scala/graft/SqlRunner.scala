@@ -93,7 +93,8 @@ object SqlRunner {
     * Testable core: lines in, rendered results out via `out`.
     */
   def repl(spark: SparkSession, lines: Iterator[String],
-           out: String => Unit, explain: Boolean = false): Unit = {
+           out: String => Unit, explain: Boolean = false,
+           analyze: Boolean = false): Unit = {
     val buf = new StringBuilder
     var n = 0
     for (line <- lines) {
@@ -105,7 +106,7 @@ object SqlRunner {
       buf.clear(); buf.append(rest)
       done.foreach { sql =>
         n += 1
-        try out(s"-- [$n] $sql\n" + render(spark.sql(sql), explain))
+        try out(s"-- [$n] $sql\n" + render(spark.sql(sql), explain, analyze))
         catch { case e: Exception =>
           out(s"-- [$n] $sql\nERROR: ${e.getClass.getSimpleName}: ${e.getMessage}")
         }
@@ -129,11 +130,23 @@ object SqlRunner {
     }
   }
 
-  private def render(df: DataFrame, explain: Boolean): String = {
+  private def render(df: DataFrame, explain: Boolean,
+                     analyze: Boolean = false): String = {
     val plan = if (explain)
       df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode) + "\n"
     else ""
+    // EXPLAIN ANALYZE mode (reference `Plan.cs:125-141` prints the plan
+    // with PhysicProfiling row counters after execution): run the
+    // statement once discarding rows executor-side, then show the final
+    // adaptive plan with each operator's actual output rows.
+    val profile = if (analyze) {
+      df.queryExecution.toRdd.foreachPartition(_ => ())
+      graft.api.PlanIntrospection.executedProfile(df).map {
+        case (_, depth, node, rows) =>
+          "  " * depth + node + rows.map(r => s"  rows=$r").getOrElse("")
+      }.mkString("== executed profile ==\n", "\n", "\n")
+    } else ""
     val rows = df.limit(maxShowRows + 1).collect()
     val shown = rows.take(maxShowRows)
     val header = df.columns.mkString(", ")
@@ -142,20 +155,21 @@ object SqlRunner {
       case v => v.toString
     }.mkString(", ")).mkString("\n")
     val more = if (rows.length > maxShowRows) s"\n... (truncated at $maxShowRows rows)" else ""
-    s"$plan$header\n$body$more"
+    s"$plan$profile$header\n$body$more"
   }
 
   def main(args: Array[String]): Unit = {
     val (flags, positional) = args.partition(_.startsWith("--"))
-    val unknown = flags.filterNot(Set("--explain", "--out", "--repl"))
+    val unknown = flags.filterNot(Set("--explain", "--analyze", "--out", "--repl"))
     require(unknown.isEmpty, s"unknown flag(s): ${unknown.mkString(" ")} " +
-      "(supported: --explain --out --repl)")
+      "(supported: --explain --analyze --out --repl)")
     val explain = flags.contains("--explain")
+    val analyze = flags.contains("--analyze")
     val writeOut = flags.contains("--out")
     val isRepl = flags.contains("--repl")
     require(positional.length >= (if (isRepl) 1 else 2),
-      "usage: SqlRunner <sfDir> <file.sql> [more.sql ...] [--explain] [--out]" +
-        " | SqlRunner <sfDir> --repl [--explain]")
+      "usage: SqlRunner <sfDir> <file.sql> [more.sql ...] [--explain] [--analyze] [--out]" +
+        " | SqlRunner <sfDir> --repl [--explain] [--analyze]")
     val sfDir = positional(0)
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
@@ -164,7 +178,7 @@ object SqlRunner {
       println(s"graft SQL repl on $sfDir — end statements with ';', " +
         "'exit' quits")
       repl(spark, scala.io.Source.stdin.getLines(),
-        s => println(s + "\n"), explain)
+        s => println(s + "\n"), explain, analyze)
       println("[sqlrunner] repl done")
       return
     }
@@ -176,7 +190,7 @@ object SqlRunner {
           // div-by-zero, bad casts) land HERE, not at spark.sql() — catch
           // them too: the batch must not abort (reference behavior).
           try {
-            val body = render(df, explain)
+            val body = render(df, explain, analyze)
             println(s"-- [$file:$n] $sql\n$body\n")
             s"$n: $sql\n$body"
           } catch { case e: Exception =>

@@ -76,6 +76,20 @@ class SqlRunnerSpec extends AnyFunSuite {
     assert(out(2).contains("a;b"), out(2))
   }
 
+  test("repl --analyze prints the executed profile with operator row counts") {
+    graft.catalog.Tables.registerAll(spark, sfDir)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    SqlRunner.repl(spark,
+      Iterator("SELECT n_regionkey, COUNT(*) AS c FROM nation GROUP BY n_regionkey;"),
+      out += _, analyze = true)
+    assert(out.length == 1)
+    val body = out.head
+    assert(body.contains("== executed profile =="), body)
+    // The final aggregate actually emitted the 5 region groups.
+    assert(body.linesIterator.exists(l =>
+      l.trim.startsWith("HashAggregate") && l.endsWith("rows=5")), body)
+  }
+
   test("completeStatements: unterminated input is remainder, not a statement") {
     val (done, rest) = SqlRunner.completeStatements(
       "SELECT 1; SELECT 'x;y' AS s; SELECT 2")
