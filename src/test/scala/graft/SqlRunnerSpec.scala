@@ -97,6 +97,26 @@ class SqlRunnerSpec extends AnyFunSuite {
     assert(rest.trim == "SELECT 2")
   }
 
+  test("property: incremental splitting agrees with whole-text splitting") {
+    // For ANY input (quotes, comments, stray semicolons, newlines), the
+    // REPL's incremental completeStatements must produce exactly the
+    // statements batch splitStatements produces: done ++ split(remainder)
+    // == split(text). Raw ScalaCheck generators, fixed seeds (the
+    // scalatest bridge isn't in the offline cache).
+    import org.scalacheck.{Gen, rng}
+    val token = Gen.oneOf("SELECT", "1", "a", ";", "'", "--", "\n", " ",
+      "x;y", "'q;q'", "-", "abc")
+    val text = Gen.listOf(token).map(_.mkString)
+    val samples = (1 to 200).flatMap(i =>
+      text.apply(Gen.Parameters.default, rng.Seed(i.toLong)))
+    samples.foreach { t =>
+      val (done, rest) = SqlRunner.completeStatements(t)
+      assert(done ++ SqlRunner.splitStatements(rest) ==
+        SqlRunner.splitStatements(t),
+        s"mismatch on input: ${t.replace("\n", "\\n")}")
+    }
+  }
+
   test("the corpus' SQL-text queries run as a batch file (CI smoke)") {
     // Every QueryDef whose build is pure SQL text over the catalog is
     // exactly what the runner exists for; feed a representative slice
