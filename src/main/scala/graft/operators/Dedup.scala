@@ -44,10 +44,12 @@ object Dedup {
     * and keeps the join's per-bucket cost bounded. Capped buckets are
     * inspectable via [[hotBuckets]].
     */
-  private def capBuckets(bands: DataFrame, maxBucket: Int): DataFrame =
+  private def capBuckets(bands: DataFrame, maxBucket: Int,
+                         idxCol: String = "bidx",
+                         valCol: String = "bval"): DataFrame =
     bands
       .withColumn("__bn",
-        count(lit(1)).over(Window.partitionBy("bidx", "bval")))
+        count(lit(1)).over(Window.partitionBy(idxCol, valCol)))
       .filter(col("__bn") <= maxBucket)
       .drop("__bn")
 
@@ -143,23 +145,37 @@ object Dedup {
     * without comparing the corpus pairwise; the exact Hamming distance is
     * then verified per candidate.
     *
+    * SCALE: the bucket key space per chunk is 2^(bits/chunks) — a FIXED
+    * cardinality, so in-bucket pair generation grows quadratically once
+    * the corpus saturates it. Keep slices wide: the default (chunks=2
+    * over 32 bits → 2^16 buckets/chunk) is the minimum chunking for
+    * maxHamming=1 and 256× sparser than 8-bit slices — the r7 10×
+    * soak measured 4-chunk slicing going quadratic at 50k docs while
+    * 2-chunk stays linear. Use more chunks ONLY when maxHamming needs
+    * them, raising `bits` to keep bits/chunks ≥ 16. `maxBucket`
+    * additionally drops over-hot buckets (identical-fingerprint
+    * boilerplate families beyond what exact dedup should own), same
+    * contract as [[minHashPairs]]'s cap.
+    *
     * Fingerprints are reused by both sides of the chunk self-join, so
     * they are materialized once via localCheckpoint — not cache() — for
     * the same ownership reason as [[minHashPairs]]: no session cache
     * entry outlives the call.
     */
-  def simHashNearPairs(docs: DataFrame, bits: Int = 32, chunks: Int = 4,
-                       maxHamming: Int = 1): DataFrame = {
+  def simHashNearPairs(docs: DataFrame, bits: Int = 32, chunks: Int = 2,
+                       maxHamming: Int = 1, maxBucket: Int = 2000): DataFrame = {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
     val fps = Par.spread(docs).select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         graft.functions.SimHashFingerprint(col("ws"), bits).as("fp"))
       .localCheckpoint(eager = true)
     val w = bits / chunks
-    val chunked = fps.select(col("doc_id"), col("fp"),
-        posexplode(expr(
-          s"transform(sequence(0, ${chunks - 1}), c -> substring(fp, c * $w + 1, $w))")))
-      .toDF("doc_id", "fp", "cidx", "cval")
+    val chunked = capBuckets(
+      fps.select(col("doc_id"), col("fp"),
+          posexplode(expr(
+            s"transform(sequence(0, ${chunks - 1}), c -> substring(fp, c * $w + 1, $w))")))
+        .toDF("doc_id", "fp", "cidx", "cval"),
+      maxBucket, "cidx", "cval")
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.cidx") === col("b.cidx") && col("a.cval") === col("b.cval") &&

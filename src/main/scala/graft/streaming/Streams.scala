@@ -22,17 +22,37 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
-  /** Unbounded scan over the events table (schema as stored: ts arrives
-    * as nanos-long under the engine's nanosAsLong conf).
+  /** Unbounded scan over the events table. Layout- and type-tolerant
+    * like the batch path (`Tables.load`): the driver's testdata is one
+    * TIMESTAMP(NANOS) file (ts arrives as nanos-long under the engine's
+    * nanosAsLong conf and is floor-converted here), while Spark-written
+    * corpora (ScaleGen) are part-file DIRECTORIES with proper
+    * TIMESTAMP(MICROS) — those stream as-is.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // The file stream source wants a directory; glob-filter to the one
-    // table inside the sf dir.
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = tableStream(spark, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** Unbounded scan over one table of an sf dir, tolerant of both
+    * layouts: the driver's testdata is one FILE per table (the file
+    * stream source wants a directory, so stream the sf dir glob-filtered
+    * to that file name), while Spark-written corpora (ScaleGen) are
+    * part-file DIRECTORIES (streamed directly — a glob filter on the
+    * table name would silently exclude every part file).
+    */
+  private def tableStream(spark: SparkSession, dir: String,
+                          name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = spark.read.parquet(path).schema
+    if (new java.io.File(path).isDirectory)
+      spark.readStream.schema(schema).parquet(path)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$name.parquet")
+        .parquet(dir)
   }
 
   /** Tumbling-window aggregate over the stream, with a watermark bounding
@@ -252,10 +272,7 @@ object Streams {
   def simhashDedupAvailableNow(
       spark: SparkSession, dir: String, bits: Int = 16,
       queryName: String = "graft_stream_neardup"): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val q = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val q = tableStream(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         graft.functions.SimHashFingerprint(col("ws"), bits).as("fp"))

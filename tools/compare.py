@@ -19,7 +19,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 con = duckdb.connect()
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # Driver testdata is one file per table; ScaleGen corpora are
+    # Spark-written directories of part files — glob those.
+    import os
+    path = f"{sfdir}/{t}.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
 def canon(cols, rows):
     # Mirror the driver gate's strictness (ADVICE r2: the old lax canon
