@@ -26,7 +26,13 @@ object GraftSession {
     .config("spark.sql.cbo.enabled", "true")
     .config("spark.sql.cbo.joinReorder.enabled", "true")
     .config("spark.sql.statistics.histogram.enabled", "true")
-    .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    // Spark's default 10 MB, set explicitly as a documented choice: every
+    // dimension the corpus broadcasts is well under it, and a LARGER
+    // threshold only multiplies the blast radius of a CBO underestimate —
+    // the r7 10x soak caught a 9-relation join statically broadcasting a
+    // "small" intermediate that was really 1.3 GB (driver maxResultSize
+    // abort). Estimates err; the threshold is the failure bound.
+    .config("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString)
     .config("spark.sql.parquet.filterPushdown", "true")
     // events.parquet carries TIMESTAMP(NANOS); read as long, converted in
     // Tables.load (Spark has no native nanos timestamp).

@@ -23,18 +23,33 @@ class ReplicatedTableHints extends Rule[LogicalPlan] {
     */
   private val replicated = Set("region.parquet", "nation.parquet")
 
-  private def scansReplicated(plan: LogicalPlan): Boolean = plan.exists {
-    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-      fs.location.rootPaths.exists(p => replicated.contains(p.getName))
-    case _ => false
+  /** A join side is replicated iff it derives from replicated tables
+    * ONLY — every base relation under it is a replicated scan (the
+    * reference closes replication under local operators: any result
+    * computed purely from replicated inputs is itself computable on
+    * every node, `Catalog.cs:76-124`). An `exists`-style test here would
+    * be a scale-killer: after join reorder, a multi-join intermediate
+    * that merely CONTAINS nation/region would get force-broadcast
+    * regardless of its actual size — the r7 10× soak caught exactly
+    * that (a 9-relation query statically broadcasting a 1.3 GB
+    * intermediate into the driver because one leaf was nation).
+    */
+  private def onlyReplicated(plan: LogicalPlan): Boolean = {
+    val leaves = plan.collectLeaves()
+    leaves.nonEmpty && leaves.forall {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.nonEmpty &&
+          fs.location.rootPaths.forall(p => replicated.contains(p.getName))
+      case _ => false
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j: Join =>
       val lh = j.hint.leftHint.orElse(
-        if (scansReplicated(j.left)) Some(HintInfo(Some(BROADCAST))) else None)
+        if (onlyReplicated(j.left)) Some(HintInfo(Some(BROADCAST))) else None)
       val rh = j.hint.rightHint.orElse(
-        if (scansReplicated(j.right)) Some(HintInfo(Some(BROADCAST))) else None)
+        if (onlyReplicated(j.right)) Some(HintInfo(Some(BROADCAST))) else None)
       if ((lh, rh) == (j.hint.leftHint, j.hint.rightHint)) j
       else j.copy(hint = j.hint.copy(leftHint = lh, rightHint = rh))
   }
