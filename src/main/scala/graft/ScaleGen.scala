@@ -116,9 +116,12 @@ object ScaleGen {
           shift("l_suppkey", suppS, i))),
       "events" -> replicate(load("events"))(i =>
         Seq(shift("event_id", evtS, i), shift("user_id", custS, i))),
+      // n_chars recomputed after perturbation (as BIGINT, matching the
+      // source schema) so the metadata column stays true for every
+      // replica's rewritten text.
       "documents" -> replicate(load("documents"))(i =>
-        Seq(shift("doc_id", docS, i), "text" -> perturbText(i),
-          "n_chars" -> "n_chars")).withColumn("n_chars", length(col("text"))),
+        Seq(shift("doc_id", docS, i), "text" -> perturbText(i)))
+        .withColumn("n_chars", length(col("text")).cast("long")),
       "embeddings" -> replicate(load("embeddings"))(i =>
         Seq(shift("vec_id", vecS, i), "embedding" -> rotateEmb(i)))
     )

@@ -24,12 +24,13 @@ object SqlRunner {
   val maxShowRows = 50
 
   /** Split SQL text into statements: `;` terminates a statement except
-    * inside single-quoted strings; `--`-to-EOL comments are stripped
-    * during the same quote-aware scan (so `--` INSIDE a string literal
-    * is content, not a comment); comment-only and blank statements are
-    * dropped. (The reference splits naively on ';', which breaks on
-    * quoted semicolons — this runner keeps its file format but handles
-    * those.)
+    * inside single-quoted strings (backslash-escaped quotes — Spark's
+    * default literal syntax — stay inside the string); `--`-to-EOL
+    * comments are stripped during the same quote-aware scan (so `--`
+    * INSIDE a string literal is content, not a comment); comment-only
+    * and blank statements are dropped. (The reference splits naively on
+    * ';', which breaks on quoted semicolons — this runner keeps its
+    * file format but handles those.)
     */
   def splitStatements(text: String): Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -44,7 +45,9 @@ object SqlRunner {
         if (c == '\n') { cur.append(c); inComment = false }
       } else if (inQuote) {
         cur.append(c)
-        if (c == '\'') inQuote = false
+        if (c == '\\' && i + 1 < text.length) {
+          cur.append(text.charAt(i + 1)); i += 1
+        } else if (c == '\'') inQuote = false
       } else if (c == '\'') {
         cur.append(c); inQuote = true
       } else if (c == '-' && i + 1 < text.length && text.charAt(i + 1) == '-') {
@@ -71,7 +74,10 @@ object SqlRunner {
     while (i < text.length) {
       val c = text.charAt(i)
       if (inComment) { if (c == '\n') inComment = false }
-      else if (inQuote) { if (c == '\'') inQuote = false }
+      else if (inQuote) {
+        if (c == '\\') i += 1
+        else if (c == '\'') inQuote = false
+      }
       else if (c == '\'') inQuote = true
       else if (c == '-' && i + 1 < text.length && text.charAt(i + 1) == '-') {
         inComment = true; i += 1
@@ -139,7 +145,10 @@ object SqlRunner {
     // EXPLAIN ANALYZE mode (reference `Plan.cs:125-141` prints the plan
     // with PhysicProfiling row counters after execution): run the
     // statement once discarding rows executor-side, then show the final
-    // adaptive plan with each operator's actual output rows.
+    // adaptive plan with each operator's actual output rows. The row
+    // PREVIEW below is a second (limited) execution — profiling a
+    // statement costs one full run plus the capped display run, the
+    // same contract as the reference's EXPLAIN ANALYZE re-execution.
     val profile = if (analyze) {
       df.queryExecution.toRdd.foreachPartition(_ => ())
       graft.api.PlanIntrospection.executedProfile(df).map {
@@ -167,7 +176,9 @@ object SqlRunner {
     val analyze = flags.contains("--analyze")
     val writeOut = flags.contains("--out")
     val isRepl = flags.contains("--repl")
-    require(positional.length >= (if (isRepl) 1 else 2),
+    // REPL mode takes exactly the sfDir — extra .sql files would be
+    // silently ignored, so reject them loudly.
+    require(if (isRepl) positional.length == 1 else positional.length >= 2,
       "usage: SqlRunner <sfDir> <file.sql> [more.sql ...] [--explain] [--analyze] [--out]" +
         " | SqlRunner <sfDir> --repl [--explain] [--analyze]")
     val sfDir = positional(0)

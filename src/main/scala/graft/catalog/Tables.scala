@@ -20,7 +20,7 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Small dimension tables a broadcast join should always pick up.
-    * (Their parquet footprint is far below the 64 MB broadcast threshold,
+    * (Their parquet footprint is far below the 10 MB broadcast threshold,
     * so Catalyst broadcasts them automatically; plan tests assert it.)
     */
   val broadcastable: Set[String] = Set("region", "nation")

@@ -105,7 +105,9 @@ object Dedup {
     */
   def minHashPairs(docs: DataFrame, k: Int = 8, bandRows: Int = 2,
                    threshold: Double = 0.8, maxBucket: Int = 500): DataFrame = {
-    val sh = shingled(docs).localCheckpoint(eager = true)
+    // eager = false: materialize at the first ACTION, not at plan build —
+    // explain()/schema inspection of the returned frame must stay free.
+    val sh = shingled(docs).localCheckpoint(eager = false)
     val bands = capBuckets(minHashBands(sh, k, bandRows), maxBucket)
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -168,7 +170,8 @@ object Dedup {
     val fps = Par.spread(docs).select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         graft.functions.SimHashFingerprint(col("ws"), bits).as("fp"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false) // lazy for the same reason as minHashPairs
+
     val w = bits / chunks
     val chunked = capBuckets(
       fps.select(col("doc_id"), col("fp"),

@@ -15,7 +15,7 @@ import Sql._
   *
   * Scale posture: every query is a declarative `spark.sql` plan — filters
   * reach the parquet scan via pushdown, aggregates split partial/final,
-  * nation/region joins broadcast (< 64 MB threshold), and the big
+  * nation/region joins broadcast (< 10 MB threshold), and the big
   * fact-fact joins (orders ⋈ lineitem) shuffle on the join key where AQE
   * can coalesce / skew-split at runtime.
   */

@@ -47,7 +47,13 @@ object Streams {
                           name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val schema = spark.read.parquet(path).schema
-    if (new java.io.File(path).isDirectory)
+    // Resolve through the Hadoop filesystem, not java.io.File — on a
+    // non-local URI (hdfs://, s3a://) File.isDirectory is always false,
+    // which would silently take the glob branch and match zero files.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val isDir = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(hPath).isDirectory
+    if (isDir)
       spark.readStream.schema(schema).parquet(path)
     else
       spark.readStream.schema(schema)

@@ -42,7 +42,7 @@ class DistributionSpec extends AnyFunSuite {
         "SELECT n_name, COUNT(*) AS c FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"))
       assert(plan.contains("BroadcastHashJoin"), plan)
     } finally
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString)
   }
 
   test("roundrobin: repartition(n) produces a round-robin exchange") {
@@ -80,7 +80,7 @@ class DistributionSpec extends AnyFunSuite {
         s"bucketed join should not shuffle:\n$plan")
       assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
     } finally
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString)
   }
 
   test("exchange count: group-by on the join key reuses the join's shuffle") {
@@ -96,6 +96,6 @@ class DistributionSpec extends AnyFunSuite {
       val n = "Exchange hashpartitioning".r.findAllIn(plan).size
       assert(n == 2, s"expected 2 exchanges, got $n:\n$plan")
     } finally
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString)
   }
 }

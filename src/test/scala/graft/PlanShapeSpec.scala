@@ -180,7 +180,7 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(plan.contains("might_contain"), plan)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
-        (64L << 20).toString)
+        (10L << 20).toString)
       spark.conf.unset(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
     }

@@ -29,6 +29,15 @@ class SqlRunnerSpec extends AnyFunSuite {
     assert(split == Seq("SELECT 'a--b' AS s", "SELECT 2 AS y"), split)
   }
 
+  test("splitStatements: backslash-escaped quote stays inside the literal") {
+    // Spark's default literal syntax: 'don\'t; stop' is ONE string — the
+    // escaped quote must not close it, or the ; inside would split.
+    val split = SqlRunner.splitStatements(
+      """SELECT 'don\'t; stop' AS s; SELECT 2 AS y;""")
+    assert(split == Seq("""SELECT 'don\'t; stop' AS s""", "SELECT 2 AS y"),
+      split)
+  }
+
   test("runFile executes a TPC-H style batch; failures don't abort") {
     graft.catalog.Tables.registerAll(spark, sfDir)
     val sql =
@@ -105,7 +114,7 @@ class SqlRunnerSpec extends AnyFunSuite {
     // scalatest bridge isn't in the offline cache).
     import org.scalacheck.{Gen, rng}
     val token = Gen.oneOf("SELECT", "1", "a", ";", "'", "--", "\n", " ",
-      "x;y", "'q;q'", "-", "abc")
+      "x;y", "'q;q'", "-", "abc", "\\", "\\'", "'a\\';'")
     val text = Gen.listOf(token).map(_.mkString)
     val samples = (1 to 200).flatMap(i =>
       text.apply(Gen.Parameters.default, rng.Seed(i.toLong)))

@@ -8,7 +8,7 @@ round floats to 4 decimals) and diffs.
 
 Usage: python3 tools/compare.py [sfdir] [outdir]
 """
-import sys, json, glob, math
+import sys, json, glob, math, os
 import duckdb
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -21,7 +21,6 @@ con = duckdb.connect()
 for t in TABLES:
     # Driver testdata is one file per table; ScaleGen corpora are
     # Spark-written directories of part files — glob those.
-    import os
     path = f"{sfdir}/{t}.parquet"
     if os.path.isdir(path):
         path = f"{path}/*.parquet"
