@@ -48,8 +48,10 @@ object ScaleGen {
     val t0 = System.nanoTime()
     def load(name: String): DataFrame =
       graft.catalog.Tables.load(spark, src, name)
+    // max cast to long defensively: an INT32-keyed source parquet would
+    // otherwise hand back an Integer and getLong would throw.
     def stride(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).head().getLong(0) + 1
+      df.agg(max(col(key)).cast("long")).head().getLong(0) + 1
 
     val custS = stride(load("customer"), "c_custkey")
     val ordS = stride(load("orders"), "o_orderkey")

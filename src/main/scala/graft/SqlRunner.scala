@@ -177,7 +177,10 @@ object SqlRunner {
     val writeOut = flags.contains("--out")
     val isRepl = flags.contains("--repl")
     // REPL mode takes exactly the sfDir — extra .sql files would be
-    // silently ignored, so reject them loudly.
+    // silently ignored, so reject them loudly. Same for --out: the REPL
+    // prints to stdout and never writes parquet.
+    require(!(isRepl && writeOut),
+      "--out is not supported in --repl mode (REPL results go to stdout)")
     require(if (isRepl) positional.length == 1 else positional.length >= 2,
       "usage: SqlRunner <sfDir> <file.sql> [more.sql ...] [--explain] [--analyze] [--out]" +
         " | SqlRunner <sfDir> --repl [--explain] [--analyze]")

@@ -42,6 +42,42 @@ final class GraftContext(val spark: SparkSession, val dataDir: String) {
   }
 }
 
+object DataSet {
+  /** Split a comma-separated expression list at TOP level only: commas
+    * inside parentheses or SQL string literals belong to a function call
+    * (`substr(c_name, 1, 2)`) or a literal (`'a,b'`), not the list — a
+    * naive `split(",")` shatters them into bogus expressions. Each piece
+    * still goes through Catalyst's expression parser, which rejects
+    * anything malformed loudly.
+    */
+  private[api] def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        cur += c
+        // '' is an escaped quote inside a SQL string literal
+        if (c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+          cur += '\''; i += 1
+        } else if (c == '\'') inStr = false
+      } else c match {
+        case '\'' => inStr = true; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    out += cur.result().trim
+    out.result().filter(_.nonEmpty)
+  }
+}
+
 /** `DataSet` analog: string-expression relational verbs. */
 final class DataSet(val df: DataFrame) {
   def filter(cond: String): DataSet = new DataSet(df.filter(expr(cond)))
@@ -51,7 +87,7 @@ final class DataSet(val df: DataFrame) {
     new DataSet(df.join(other.df, expr(cond), joinType))
   def select(cols: String*): DataSet = new DataSet(df.selectExpr(cols: _*))
   def groupBy(keys: String, aggs: String*): DataSet =
-    new DataSet(df.groupBy(keys.split(",").map(_.trim).map(expr): _*)
+    new DataSet(df.groupBy(DataSet.splitTopLevel(keys).map(expr): _*)
       .agg(expr(aggs.head), aggs.tail.map(expr): _*))
   def orderBy(cols: String*): DataSet =
     // expr("c DESC") would parse DESC as a column alias, silently sorting

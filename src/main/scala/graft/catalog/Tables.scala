@@ -25,6 +25,21 @@ object Tables {
     */
   val broadcastable: Set[String] = Set("region", "nation")
 
+  // Fully-qualified root paths of every broadcastable table this catalog
+  // has loaded — the single source of truth the ReplicatedTableHints
+  // optimizer rule matches scan leaves against. Recording RESOLVED paths
+  // (not basenames) means a user table that merely happens to be named
+  // `nation.parquet` is never force-broadcast, and any future replicated
+  // dim added to `broadcastable` is picked up by the rule automatically.
+  private val replicatedRootPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.hadoop.fs.Path]()
+
+  /** Is `path` (a qualified scan root as Catalyst sees it) a replicated
+    * dimension this catalog loaded?
+    */
+  def isReplicatedRoot(path: org.apache.hadoop.fs.Path): Boolean =
+    replicatedRootPaths.contains(path)
+
   // Track the LAST-registered dir per session (weakly, so sessions can be
   // collected): re-registering the same dir re-reads 10 parquet footers
   // per query — pure overhead in a 50-query verify/bench loop — but a
@@ -43,6 +58,13 @@ object Tables {
     // conf must be live BEFORE the footer read below.
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (broadcastable(name)) {
+      // Qualify exactly as Spark's file index does (fs + working dir), so
+      // rule-side equality against LogicalRelation rootPaths is exact.
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      replicatedRootPaths.add(fs.makeQualified(p))
+    }
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" &&
         raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)

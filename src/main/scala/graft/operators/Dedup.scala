@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Lineage-truncating materialization for the iterative CC loops.
+    * `reliable = false` → localCheckpoint: blocks live on executors only —
+    * fastest, but under executor loss / dynamic allocation the truncated
+    * lineage cannot recompute them and the job fails. `reliable = true` →
+    * reliable checkpoint() to `spark.sparkContext.setCheckpointDir` (must
+    * be set by the caller — typically HDFS/object storage on a real
+    * cluster), which survives executor loss at the cost of a write per
+    * round. On a 100 TB run with dynamic allocation, pass reliable=true.
+    */
+  private def materialize(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliable=true needs spark.sparkContext.setCheckpointDir(...)")
+      df.checkpoint(eager = true)
+    } else df.localCheckpoint(eager = true)
+
   /** Exact dedup: group on a content hash, keep the minimum id.
     * One shuffle on md5(text) — the canonical 100 TB dedup shape.
     */
@@ -102,6 +118,12 @@ object Dedup {
     * RDD and released by the ContextCleaner when the returned frame is
     * dropped; repeated calls leave the SQL cache empty (asserted in
     * OperatorSpec).
+    *
+    * CLUSTER CAVEAT: localCheckpoint blocks live on executors only — under
+    * executor loss or dynamic allocation the truncated lineage cannot
+    * recompute them and the query fails (cache() would have recomputed).
+    * On a lossy cluster, run with dynamic allocation off for this stage,
+    * or materialize the shingle frame to reliable storage first.
     */
   def minHashPairs(docs: DataFrame, k: Int = 8, bandRows: Int = 2,
                    threshold: Double = 0.8, maxBucket: Int = 500): DataFrame = {
@@ -162,7 +184,8 @@ object Dedup {
     * Fingerprints are reused by both sides of the chunk self-join, so
     * they are materialized once via localCheckpoint — not cache() — for
     * the same ownership reason as [[minHashPairs]]: no session cache
-    * entry outlives the call.
+    * entry outlives the call. Same executor-loss/dynamic-allocation
+    * caveat as [[minHashPairs]] applies.
     */
   def simHashNearPairs(docs: DataFrame, bits: Int = 32, chunks: Int = 2,
                        maxHamming: Int = 1, maxBucket: Int = 2000): DataFrame = {
@@ -210,7 +233,8 @@ object Dedup {
     * the partially-converged labels (documented, not silent: the result
     * would still be a valid refinement, just not minimal).
     */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
+                        reliable: Boolean = false): DataFrame = {
     require(Seq("doc_a", "doc_b").forall(pairs.columns.contains(_)),
       "duplicateClusters expects doc_a/doc_b pair columns")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -227,11 +251,12 @@ object Dedup {
     // graph pays exponential driver cost before any data moves.
     // Checkpointing truncates lineage to the materialized RDD, keeping
     // per-round plan size O(1). Local (executor-block) checkpoints are
-    // the right trade on a static cluster; on one with lossy/dynamic
-    // executors swap in reliable checkpoint(). Superseded generations
+    // the right trade on a static cluster; `reliable = true` uses a
+    // reliable checkpoint() instead (see [[materialize]]) for clusters
+    // with executor loss / dynamic allocation. Superseded generations
     // are dropped by the ContextCleaner once unreferenced.
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint(eager = true)
+    var labels = materialize(sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")), reliable)
     // Labels only ever decrease, so the label SUM is a strictly
     // decreasing invariant until the fixed point: convergence detection
     // is one scalar aggregate per round, no old-vs-new join.
@@ -242,8 +267,8 @@ object Dedup {
       val msgs = sym
         .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
         .select(col("src").as("id"), col("lbl"))
-      val next = labels.select("id", "lbl").unionByName(msgs)
-        .groupBy("id").agg(min("lbl").as("lbl")).localCheckpoint(eager = true)
+      val next = materialize(labels.select("id", "lbl").unionByName(msgs)
+        .groupBy("id").agg(min("lbl").as("lbl")), reliable)
       val curSum = next.agg(sum("lbl")).head().getLong(0)
       labels = next
       iter += 1
@@ -289,20 +314,21 @@ object Dedup {
     * Spark stringifies it per job, which OOMs the driver after a few
     * rounds regardless of data size. Checkpointing truncates lineage to
     * the materialized RDD: per-round plan size stays O(1). Local
-    * checkpoints suit a static cluster; swap in reliable checkpoint()
-    * under executor loss/dynamic allocation.
+    * checkpoints suit a static cluster; pass `reliable = true` (with a
+    * checkpoint dir set) under executor loss/dynamic allocation.
     *
     * Output schema matches [[duplicateClusters]]: (cluster_id, n_docs)
     * for components of 2+ documents, cluster_id = smallest doc_id.
     */
-  def duplicateClustersStar(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def duplicateClustersStar(pairs: DataFrame, maxIters: Int = 25,
+                            reliable: Boolean = false): DataFrame = {
     require(Seq("doc_a", "doc_b").forall(pairs.columns.contains(_)),
       "duplicateClustersStar expects doc_a/doc_b pair columns")
-    var edges = pairs
+    var edges = materialize(pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
               least(col("doc_a"), col("doc_b")).as("lo"))
       .filter(col("hi") =!= col("lo"))
-      .distinct().localCheckpoint(eager = true)
+      .distinct(), reliable)
     // Exact old-vs-new comparison: count rows appearing in exactly one
     // of the two (distinct) edge sets. One union + one aggregate job per
     // round — same cost as a scalar signature, but collision-proof.
@@ -333,9 +359,10 @@ object Dedup {
         .unionByName(hooked.select(col("hi").as("n"), col("m")).distinct())
         .filter(col("n") =!= col("m"))
         .select(col("n").as("hi"), col("m").as("lo"))
-        .distinct().localCheckpoint(eager = true)
-      converged = changedEdges(small, edges) == 0L
-      edges = small
+        .distinct()
+      val smallM = materialize(small, reliable)
+      converged = changedEdges(smallM, edges) == 0L
+      edges = smallM
       iter += 1
     }
     // Fixed-point edges are (node, component-min) stars; the min node of

@@ -18,11 +18,6 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 class ReplicatedTableHints extends Rule[LogicalPlan] {
 
-  /** Parquet file names treated as replicated (the graft catalog's small
-    * dims, graft.catalog.Tables.broadcastable).
-    */
-  private val replicated = Set("region.parquet", "nation.parquet")
-
   /** A join side is replicated iff it derives from replicated tables
     * ONLY — every base relation under it is a replicated scan (the
     * reference closes replication under local operators: any result
@@ -36,10 +31,14 @@ class ReplicatedTableHints extends Rule[LogicalPlan] {
     */
   private def onlyReplicated(plan: LogicalPlan): Boolean = {
     val leaves = plan.collectLeaves()
+    // Membership delegates to the catalog (graft.catalog.Tables
+    // .broadcastable is the single source of truth) and matches the
+    // scan's RESOLVED root path, not its basename — a user table that
+    // merely happens to be called `nation.parquet` is never hinted.
     leaves.nonEmpty && leaves.forall {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         fs.location.rootPaths.nonEmpty &&
-          fs.location.rootPaths.forall(p => replicated.contains(p.getName))
+          fs.location.rootPaths.forall(graft.catalog.Tables.isReplicatedRoot)
       case _ => false
     }
   }

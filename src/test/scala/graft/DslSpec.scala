@@ -27,4 +27,26 @@ class DslSpec extends AnyFunSuite {
     assert(extended.contains("== Analyzed Logical Plan ==") &&
       extended.contains("== Physical Plan =="), extended)
   }
+
+  test("groupBy accepts function-call keys (top-level comma split)") {
+    val ctx = new GraftContext(spark, sfDir)
+    // substr(c_name, 1, 2) carries commas INSIDE the key expression; a
+    // naive comma split would shatter it into three bogus expressions.
+    val got = ctx.read("customer")
+      .groupBy("substr(c_name, 1, 2), c_nationkey % 2", "count(*) AS n")
+      .toDF
+    assert(got.columns.length == 3)
+    val oracle = ctx.sql(
+      """SELECT substr(c_name, 1, 2), c_nationkey % 2, count(*) AS n
+        |FROM customer GROUP BY 1, 2""".stripMargin)
+    assert(got.count() == oracle.count() && got.count() > 0)
+  }
+
+  test("groupBy splits string literals containing commas correctly") {
+    val ctx = new GraftContext(spark, sfDir)
+    val got = ctx.read("nation")
+      .groupBy("concat(n_name, 'x,y'), n_regionkey", "count(*) AS n")
+      .toDF
+    assert(got.columns.length == 3 && got.count() == 25)
+  }
 }

@@ -155,6 +155,47 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == Seq((1L, 5L), (10L, 2L)))
   }
 
+  test("duplicateClusters reliable=true without a checkpoint dir fails loudly") {
+    // Must run BEFORE the reliable-checkpoint test below: a SparkContext
+    // checkpoint dir can be set but never unset, and suites share the
+    // session. Guarded so it stays vacuously green if another suite set one.
+    import spark.implicits._
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+      intercept[IllegalArgumentException] {
+        operators.Dedup.duplicateClusters(pairs, 20, true)
+      }
+    }
+  }
+
+  test("CC loops run with reliable checkpoints when a checkpoint dir is set") {
+    // reliable = true swaps localCheckpoint for reliable checkpoint():
+    // blocks go to the checkpoint dir instead of executor memory, so on a
+    // dynamic-allocation cluster a lost executor cannot kill the
+    // truncated lineage. Results must be identical either way.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val hadCkpt = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+        .toDF("doc_a", "doc_b")
+      for (f <- Seq(
+          operators.Dedup.duplicateClusters(pairs, 20, true),
+          operators.Dedup.duplicateClustersStar(pairs, 25, true))) {
+        val got = f.orderBy("cluster_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(got == Seq((1L, 4L), (10L, 2L)))
+      }
+      // the reliable path actually wrote checkpoint data
+      assert(new java.io.File(dir).listFiles() != null &&
+        new java.io.File(dir).listFiles().nonEmpty)
+    } finally {
+      hadCkpt.foreach(spark.sparkContext.setCheckpointDir)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("duplicateClustersStar contracts a long chain in O(log n) rounds") {
     // A 16-node path is the adversarial case for label propagation
     // (diameter 15) and the motivating case for star contraction
