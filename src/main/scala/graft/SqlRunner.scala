@@ -151,9 +151,14 @@ object SqlRunner {
     // same contract as the reference's EXPLAIN ANALYZE re-execution.
     val profile = if (analyze) {
       df.queryExecution.toRdd.foreachPartition(_ => ())
-      graft.api.PlanIntrospection.executedProfile(df).map {
-        case (_, depth, node, rows) =>
-          "  " * depth + node + rows.map(r => s"  rows=$r").getOrElse("")
+      // est= precedes rows= so a reader scans planned-vs-actual left to
+      // right; est is the optimizer's cardinality (CBO rowCount or the
+      // size-derived fallback), rows the SQLMetrics actual.
+      graft.api.PlanIntrospection.estimateVsActual(df).map { p =>
+        val eq = if (p.estExact) "=" else "~"
+        "  " * p.depth + p.node +
+          p.estRows.map(e => s"  est$eq$e").getOrElse("") +
+          p.actualRows.map(r => s"  rows=$r").getOrElse("")
       }.mkString("== executed profile ==\n", "\n", "\n")
     } else ""
     val rows = df.limit(maxShowRows + 1).collect()

@@ -52,8 +52,14 @@ object PlanIntrospection {
   def executed(spark: SparkSession, df: DataFrame): DataFrame = {
     df.queryExecution.toRdd.foreachPartition(_ => ())
     import spark.implicits._
-    executedProfile(df).toDF("ord", "depth", "node", "rows")
-      .selectExpr("'executed' AS phase", "ord", "depth", "node", "rows")
+    estimateVsActual(df).map { p =>
+      // clamp: a size-derived estimate can exceed Long range in theory
+      (p.ord, p.depth, p.node,
+        p.estRows.map(b => b.min(BigInt(Long.MaxValue)).longValue),
+        p.actualRows)
+    }.toDF("ord", "depth", "node", "est_rows", "rows")
+      .selectExpr("'executed' AS phase", "ord", "depth", "node",
+        "est_rows", "rows")
   }
 
   /** Post-execution per-operator profile of an ALREADY-executed df:
@@ -61,15 +67,59 @@ object PlanIntrospection {
     * any action ran yields zeros — callers own the execution (see
     * [[executed]] for the run-and-profile wrapper).
     */
-  def executedProfile(df: DataFrame): Seq[(Int, Int, String, Option[Long])] = {
+  def executedProfile(df: DataFrame): Seq[(Int, Int, String, Option[Long])] =
+    estimateVsActual(df).map(p => (p.ord, p.depth, p.node, p.actualRows))
+
+  /** Estimated rows the optimizer planned a physical operator from —
+    * the CBO's rowCount when the estimation chain produced one, else the
+    * size-based fallback sizeInBytes / sizePerRow, which is the same
+    * quantity Spark's own broadcast-vs-shuffle decisions reduce to. None
+    * for physical-only nodes with no logical counterpart (e.g. exchanges
+    * inserted by EnsureRequirements, AQE readers).
+    *
+    * The reference renders per-member cost ESTIMATES in its memo system
+    * tables (`/root/reference/qpmodel/optimizer.cs:1239-1328`) but never
+    * places them next to execution feedback; at 100 TB the estimate
+    * ERROR is what silently picks a catastrophic join strategy, so the
+    * pairing (est, actual) is the auditable artifact — see PlanAudit's
+    * worst-miss column.
+    */
+  /** One executed operator's planned-vs-actual cardinality. `estExact`
+    * distinguishes a real CBO rowCount (propagated from injected /
+    * ANALYZE stats) from the size-derived fallback — the fallback
+    * compounds multiplicatively through joins, so its error factor
+    * measures "Spark had no row estimate here", not a CBO miss.
+    */
+  final case class OpProfile(ord: Int, depth: Int, node: String,
+      estRows: Option[BigInt], estExact: Boolean, actualRows: Option[Long])
+
+  private def estimatedRows(n: SparkPlan): (Option[BigInt], Boolean) =
+    n.logicalLink.map { l =>
+      val st = l.stats
+      st.rowCount match {
+        case Some(rc) => (Some(rc), true)
+        case None =>
+          val per = org.apache.spark.sql.catalyst.plans.logical.statsEstimation
+            .EstimationUtils.getSizePerRow(l.output)
+          (if (per > 0) Some(st.sizeInBytes / per) else None, false)
+      }
+    }.getOrElse((None, false))
+
+  /** Post-execution per-operator [[OpProfile]] rows — the optimizer's
+    * planned cardinality NEXT TO the SQLMetrics actual, per operator of
+    * the final adaptive plan. Callers own execution, same contract as
+    * [[executedProfile]].
+    */
+  def estimateVsActual(df: DataFrame): Seq[OpProfile] = {
     val finalPlan = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    val buf = scala.collection.mutable.ArrayBuffer[(Int, Int, String, Option[Long])]()
+    val buf = scala.collection.mutable.ArrayBuffer[OpProfile]()
     def go(n: SparkPlan, depth: Int): Unit = {
-      buf += ((buf.size, depth, n.nodeName,
-        n.metrics.get("numOutputRows").map(_.value)))
+      val (est, exact) = estimatedRows(n)
+      buf += OpProfile(buf.size, depth, n.nodeName, est, exact,
+        n.metrics.get("numOutputRows").map(_.value))
       // Query stages and nested adaptive plans hide their subtree behind
       // a leaf node — descend into the materialized plan so the profile
       // covers every executed operator.

@@ -87,4 +87,30 @@ class PlanIntrospectionSpec extends AnyFunSuite {
       "SELECT COUNT(*) FROM sys_executed WHERE node LIKE '%QueryStage%'")
       .head().getLong(0) >= 1)
   }
+
+  test("executed profile pairs optimizer estimates with actual row counts") {
+    // The estimate-vs-actual audit: every executed plan must carry at
+    // least one operator with BOTH a planned cardinality (CBO rowCount
+    // or the size-derived fallback) and a SQLMetrics actual — that
+    // pairing is what makes misestimates regression-testable. Range has
+    // exact stats, so its estimate must be exact: est=100, rows=100.
+    val probe = spark.range(100).toDF("id")
+      .selectExpr("id % 7 AS k").groupBy("k").count()
+    probe.queryExecution.toRdd.foreachPartition(_ => ())
+    val prof = graft.api.PlanIntrospection.estimateVsActual(probe)
+    val both = prof.collect {
+      case p if p.estRows.isDefined && p.actualRows.isDefined =>
+        (p.node, p.estRows.get, p.actualRows.get)
+    }
+    assert(both.nonEmpty, prof.mkString("\n"))
+    val range = both.filter(_._1.startsWith("Range"))
+    assert(range.nonEmpty && range.forall { case (_, est, act) =>
+      est == BigInt(100) && act == 100L }, both.mkString("\n"))
+
+    // The DataFrame surface exposes the same pairing as est_rows.
+    val ex = graft.api.PlanIntrospection.executed(spark, probe)
+    assert(ex.columns.toSeq ==
+      Seq("phase", "ord", "depth", "node", "est_rows", "rows"))
+    assert(ex.filter("est_rows IS NOT NULL AND rows IS NOT NULL").count() > 0)
+  }
 }
