@@ -26,6 +26,11 @@ import org.apache.spark.sql.functions._
   *    grow 10× without 10×-deep duplicate neighborhoods;
   *  - dims (nation, region) are copied as-is, exactly like a real 10×
   *    corpus: fact growth, stable dimensions.
+  *
+  * Mode `zipf` (4th arg) additionally plants a Zipf head on
+  * `l_orderkey` — three global hot keys carrying ~17.5% of all lineitem
+  * rows — for skew soaks (see the lineitem override below); all other
+  * tables are unchanged.
   */
 object ScaleGen {
 
@@ -33,18 +38,20 @@ object ScaleGen {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/root/repo/target/sf1"
     val replicas = if (args.length > 2) args(2).toInt else 10
+    val mode = if (args.length > 3) args(3) else "uniform"
+    require(Set("uniform", "zipf")(mode), s"unknown mode $mode")
     val spark = GraftSession.configure(
       SparkSession.builder()
         .master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, out, replicas)
+    generate(spark, src, out, replicas, mode)
     spark.stop()
   }
 
   def generate(spark: SparkSession, src: String, out: String,
-               replicas: Int): Unit = {
+               replicas: Int, mode: String = "uniform"): Unit = {
     val t0 = System.nanoTime()
     def load(name: String): DataFrame =
       graft.catalog.Tables.load(spark, src, name)
@@ -113,9 +120,26 @@ object ScaleGen {
         Seq(shift("p_partkey", partS, i))),
       "orders" -> replicate(load("orders"))(i =>
         Seq(shift("o_orderkey", ordS, i), shift("o_custkey", custS, i))),
+      // mode=zipf plants a Zipf head on l_orderkey: a deterministic hash
+      // bucket sends ~17.5% of ALL lineitem rows (across every replica)
+      // to three GLOBAL hot order keys — 10% to key 1, 5% to key 2,
+      // 2.5% to key 3 (orders of replica 0, so referential integrity
+      // holds) — while the remaining rows shift normally. This is the
+      // shuffle-killer shape at 100 TB: one join/group-by key carrying
+      // a double-digit percentage of the fact table, the case AQE's
+      // skew-join split and partial aggregation must absorb.
       "lineitem" -> replicate(load("lineitem"))(i =>
-        Seq(shift("l_orderkey", ordS, i), shift("l_partkey", partS, i),
-          shift("l_suppkey", suppS, i))),
+        if (mode == "zipf") {
+          val b = s"pmod(hash(l_orderkey, l_linenumber, $i), 1000)"
+          Seq("l_orderkey" ->
+            s"""CASE WHEN $b < 100 THEN 1L
+               |     WHEN $b < 150 THEN 2L
+               |     WHEN $b < 175 THEN 3L
+               |     ELSE l_orderkey + ${i.toLong * ordS}L END""".stripMargin,
+            shift("l_partkey", partS, i), shift("l_suppkey", suppS, i))
+        } else
+          Seq(shift("l_orderkey", ordS, i), shift("l_partkey", partS, i),
+            shift("l_suppkey", suppS, i))),
       "events" -> replicate(load("events"))(i =>
         Seq(shift("event_id", evtS, i), shift("user_id", custS, i))),
       // n_chars recomputed after perturbation (as BIGINT, matching the

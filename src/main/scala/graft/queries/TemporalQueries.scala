@@ -87,6 +87,28 @@ object TemporalQueries {
             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             |GROUP BY o_orderpriority""".stripMargin))
 
+  /** The UNSALTED twin of [[skewSalted]]: the same join left to AQE's
+    * runtime skew handling instead of explicit salting. Same oracle —
+    * both mitigation paths must produce the identical aggregate. On a
+    * Zipf-skewed corpus SkewSoak demonstrates the
+    * `SortMergeJoin(skew=true)` split firing on exactly this shape
+    * (sf10zipf, hot l_orderkey at 10% of the fact table); at uniform
+    * test scale it is an ordinary join.
+    */
+  val skewAqe: QueryDef = QueryDef("skew_aqe_join",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.table("lineitem").join(s.table("orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count("*").as("n"),
+          expr(dsum("l_extendedprice")).as("sum_price"))
+    },
+    Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+            |  ${dsum("l_extendedprice")} AS sum_price
+            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            |GROUP BY o_orderpriority""".stripMargin))
+
   /** Streaming session windows run to completion — same oracle as the
     * bounded window_session query (gaps-and-islands SQL).
     */
@@ -169,6 +191,6 @@ object TemporalQueries {
            |FROM lineitem GROUP BY l_returnflag""".stripMargin))
 
   val defs: Seq[QueryDef] = Seq(
-    joinAsof, joinRangeBinned, skewSalted, streamSession, streamDedup,
+    joinAsof, joinRangeBinned, skewSalted, skewAqe, streamSession, streamDedup,
     streamDedupWm, streamHop, streamStreamJoin, udafWavg)
 }

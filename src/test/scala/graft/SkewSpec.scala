@@ -28,4 +28,42 @@ class SkewSpec extends AnyFunSuite {
     val plan = finalPlan(Skew.saltedJoin(skewed, dim, "k", "dk", 8))
     assert(plan.contains("__salt") || plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("AQE skew-join split fires on a Zipf-skewed sort-merge join") {
+    // The runtime path that handles skew WITHOUT salting: AQE detects an
+    // oversized shuffle partition and splits it, marking the join node
+    // `skew=true`. Thresholds are scaled to the fixture (hot key ~6 MB
+    // of unsafe rows vs a 256 KB threshold) exactly as SkewSoak scales
+    // them to the sf1 corpus — the mechanism, not the absolute sizes, is
+    // the contract. Broadcast is disabled to force the shuffle join AQE
+    // must rescue; confs are restored so other suites see none of this.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "262144")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16384")
+      // 400k rows, 90% on hot key 0; right side too big to broadcast
+      // at -1 threshold, so the join is a shuffle join with one hot
+      // partition.
+      val left = spark.range(400000)
+        .selectExpr("IF(id % 10 = 0, id % 1000, 0L) AS k", "id AS v")
+      val right = spark.range(1000).selectExpr("id AS rk", "id * 2 AS w")
+      val joined = left.join(right, col("k") === col("rk"))
+      val plan = finalPlan(joined)
+      assert(plan.contains("skew=true"), plan)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
