@@ -44,17 +44,23 @@ object GraftSession {
     .config("spark.sql.streaming.checkpointLocation",
       "/root/repo/target/checkpoints")
 
-  /** Local session for tests / entry. Shuffle partitions = cores: at these
-    * scale factors extra partitions only add scheduling overhead, and AQE
-    * coalesces anyway; on a real cluster this conf is overridden by the
-    * submitter.
+  /** Local session for tests / entry. Shuffle partitions default to the
+    * core count: at the driver's scale factors extra partitions only add
+    * scheduling overhead, and AQE coalesces anyway. At SOAK scale the
+    * count must grow with the data — the r8 1000× soak OOM'd at 32
+    * partitions (600M-row SMJ ⇒ ~19M rows in one in-memory sort) and ran
+    * clean at 512 — so `SPARK_GRAFT_SHUFFLE_PARTITIONS` overrides it;
+    * AQE coalesces the excess at small scale, which is why
+    * over-provisioning the initial count is the right cluster default
+    * (partition count is a function of input size, never a constant).
     */
   def local(cores: Int = 32): SparkSession = {
     val s = configure(
       SparkSession.builder()
         .master(s"local[$cores]")
         .appName("graft")
-        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores.toString))
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
