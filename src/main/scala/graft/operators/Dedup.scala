@@ -234,7 +234,31 @@ object Dedup {
     * would still be a valid refinement, just not minimal).
     */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
-                        reliable: Boolean = false): DataFrame = {
+                        reliable: Boolean = false): DataFrame =
+    propagateLabels(pairs, maxIters, reliable)
+      .groupBy("lbl").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select(col("lbl").as("cluster_id"), col("n_docs"))
+
+  /** Per-document cluster MEMBERSHIP — (doc_id, cluster_id) for every
+    * document that participates in a near-dup component. This is the
+    * frame a dedup pipeline actually joins against to DROP losers
+    * (keep rows where doc_id = cluster_id or doc_id not in members);
+    * [[duplicateClusters]] is its per-cluster aggregate. Every
+    * edge-connected document is in a 2+ component by construction, so
+    * no singleton filter is needed.
+    */
+  def duplicateClusterMembers(pairs: DataFrame, maxIters: Int = 20,
+                              reliable: Boolean = false): DataFrame =
+    propagateLabels(pairs, maxIters, reliable)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+
+  /** Min-label propagation to the fixed point: (id, lbl) per node of
+    * the pair graph, lbl = smallest doc_id in the node's component.
+    * Shared engine of [[duplicateClusters]] / [[duplicateClusterMembers]].
+    */
+  private def propagateLabels(pairs: DataFrame, maxIters: Int,
+                              reliable: Boolean): DataFrame = {
     require(Seq("doc_a", "doc_b").forall(pairs.columns.contains(_)),
       "duplicateClusters expects doc_a/doc_b pair columns")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -279,9 +303,7 @@ object Dedup {
     // edge cache is no longer reachable from it — release it here rather
     // than leaking one cached edge list per call.
     sym.unpersist()
-    labels.groupBy("lbl").agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") > 1)
-      .select(col("lbl").as("cluster_id"), col("n_docs"))
+    labels
   }
 
   /** Connected components by alternating large-star / small-star edge

@@ -291,6 +291,33 @@ object PipelineQueries {
             |SELECT lbl AS cluster_id, COUNT(*) AS n_docs
             |FROM lbl GROUP BY lbl HAVING COUNT(*) > 1""".stripMargin))
 
+  /** Per-document membership of the same components — the
+    * (doc_id, cluster_id) frame a pipeline joins against to DROP
+    * near-dup losers (`dedup_clusters` is its per-cluster aggregate).
+    * Oracle: the identical recursive closure WITHOUT the final
+    * aggregation, so every document's label is individually certified.
+    */
+  val dedupClusterMembers: QueryDef = QueryDef("dedup_cluster_members",
+    (s, dir) =>
+      Dedup.duplicateClusterMembers(Dedup.minHashPairs(plantedCorpus(s, dir))),
+    Some(s"""WITH RECURSIVE corpus AS ($plantedCorpusSql),
+            |${duckShingles("corpus")},
+            |$duckMinhashCand,
+            |pairs AS (
+            |  SELECT doc_a, doc_b
+            |  FROM cand JOIN sh a ON a.doc_id = doc_a
+            |            JOIN sh b ON b.doc_id = doc_b
+            |  WHERE len(list_intersect(a.s, b.s)) /
+            |    len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+            |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+            |      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+            |tc(a, b) AS (
+            |  SELECT src, dst FROM e
+            |  UNION
+            |  SELECT tc.a, e.dst FROM tc JOIN e ON tc.b = e.src),
+            |lbl AS (SELECT a AS id, LEAST(a, MIN(b)) AS lbl FROM tc GROUP BY a)
+            |SELECT id AS doc_id, lbl AS cluster_id FROM lbl""".stripMargin))
+
   /** Same components, computed by large-star/small-star contraction
     * (O(log n) rounds vs propagation's O(diameter)) — certified against
     * the SAME recursive-transitive-closure oracle as `dedup_clusters`,
@@ -708,7 +735,7 @@ object PipelineQueries {
     dedupEmbedding, dedupEmbeddingBanded, streamNearDup,
     annTopk, annIvf, annIvfKmeans, annIvfRecall, sampleStratified,
     sampleWeighted, sampleTemperature, sampleShard, samplePack,
-    decontaminate, dedupClusters, dedupClustersStar,
+    decontaminate, dedupClusters, dedupClusterMembers, dedupClustersStar,
     textStats, textLangid, textTokens, textQualityFilter, textRepetition,
     textFingerprint, piiRedact,
     multimodal, corpusPrep)

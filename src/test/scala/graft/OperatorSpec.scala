@@ -155,6 +155,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == Seq((1L, 5L), (10L, 2L)))
   }
 
+  test("duplicateClusterMembers labels every edge-connected doc") {
+    // Membership is the droppable frame: every doc of the 1-2-3-4-5
+    // chain maps to component min 1; the disjoint pair to 10. No
+    // singleton rows (docs without edges never enter the graph).
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = operators.Dedup.duplicateClusterMembers(pairs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("duplicateClusters reliable=true without a checkpoint dir fails loudly") {
     // Must run BEFORE the reliable-checkpoint test below: a SparkContext
     // checkpoint dir can be set but never unset, and suites share the
