@@ -21,7 +21,10 @@ object RunQuery {
       d.build(spark, dir).write.format("noop").mode("overwrite").save() // warm
       val t0 = System.nanoTime()
       d.build(spark, dir).write.format("noop").mode("overwrite").save()
-      n -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // streamed per query so a crash mid-soak keeps the partial results
+      println(f"""[runquery] $n $sec%.3f""")
+      n -> sec
     }
     val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -45,6 +45,37 @@ class DistributionSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString)
   }
 
+  test("replicated rule matches resolved paths, not basenames") {
+    // r8 single-sourcing regression: a USER table that merely happens to
+    // be stored as `nation.parquet` in some other directory must NOT be
+    // force-broadcast — the rule consults the catalog's resolved roots
+    // (Tables.isReplicatedRoot), not file names.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fake-dim")
+    try {
+      (1L to 1000L).map(i => (i, s"row_$i")).toDF("k", "v")
+        .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+      val fake = spark.read.parquet(s"$dir/nation.parquet")
+      val c = Tables.load(spark, sfDir, "customer")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = finalPlan(c.join(fake, col("c_custkey") === col("k")))
+        // threshold off + no hint → must be a shuffle join, proving the
+        // rule did NOT hint the impostor nation.parquet
+        assert(!plan.contains("BroadcastHashJoin"), plan)
+        // while the REAL nation (registered path) still gets the hint
+        val real = Tables.load(spark, sfDir, "nation")
+        val plan2 = finalPlan(c.join(real,
+          col("c_nationkey") === col("n_nationkey")))
+        assert(plan2.contains("BroadcastHashJoin"), plan2)
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          (10L << 20).toString)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("roundrobin: repartition(n) produces a round-robin exchange") {
     val df = Tables.load(spark, sfDir, "orders").repartition(8)
     df.write.format("noop").mode("overwrite").save()
