@@ -147,6 +147,48 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Incremental near-dup sweep: match an INCOMING batch against an
+    * EXISTING corpus without ever pairing corpus × corpus — the shape a
+    * continuously-crawling pipeline runs per ingest. Both sides are
+    * shingled and banded with the same MinHash-LSH as [[minHashPairs]];
+    * the candidate join is incoming-bands ⋈ existing-bands only (shuffle
+    * keyed on band value, cost bounded by |incoming| × bucket size, never
+    * |existing|²), and only candidates pay the exact-Jaccard
+    * verification. Returns (new_id, old_id, jaccard ≥ threshold); new
+    * docs absent from the result are clean to append.
+    *
+    * Only the EXISTING side is hot-bucket capped: a boilerplate cluster
+    * in the accumulated corpus is the quadratic risk, while the incoming
+    * batch is small by definition — and capping the incoming side would
+    * silently admit a new doc that near-duplicates 500+ old ones, the
+    * single worst doc to let in.
+    */
+  def incrementalNearDups(existing: DataFrame, incoming: DataFrame,
+                          k: Int = 8, bandRows: Int = 2,
+                          threshold: Double = 0.8,
+                          maxBucket: Int = 500): DataFrame = {
+    // Same lazy-localCheckpoint rationale (and cluster caveat) as
+    // minHashPairs: each side's shingle frame feeds its bands AND the
+    // verification join.
+    val shE = shingled(existing).localCheckpoint(eager = false)
+    val shN = shingled(incoming).localCheckpoint(eager = false)
+    val bandsE = capBuckets(minHashBands(shE, k, bandRows), maxBucket)
+    val bandsN = minHashBands(shN, k, bandRows)
+    val cand = bandsN.as("n")
+      .join(bandsE.as("e"),
+        col("n.bidx") === col("e.bidx") && col("n.bval") === col("e.bval"))
+      .select(col("n.doc_id").as("new_id"), col("e.doc_id").as("old_id"))
+      .distinct()
+    cand
+      .join(shN.select(col("doc_id").as("new_id"), col("s").as("sn")), "new_id")
+      .join(shE.select(col("doc_id").as("old_id"), col("s").as("so")), "old_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sn"), col("so"))) /
+          size(array_union(col("sn"), col("so"))))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "old_id", "jaccard")
+  }
+
   /** SimHash near-dup clustering: `bits`-dimensional signed fingerprint
     * over word hashes; identical fingerprints cluster together (single
     * shuffle on the fingerprint — scale-equivalent to exact dedup).

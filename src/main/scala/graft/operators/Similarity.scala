@@ -25,20 +25,23 @@ object Similarity {
     */
   private def cosine = vec.cosineQ _
 
-  /** Rank the scored (q_id, vec_id, cos_sim) rows down to top-k per query
-    * with the native bounded-heap aggregate (graft.functions.BoundedTopK):
-    * a k-bounded heap per input partition (partial, corpus parallelism),
-    * k-sized heap-union at final — the shuffle carries |queries| × k rows,
-    * not the full scored set. The previous `row_number() OVER (PARTITION
-    * BY q_id)` form funneled every scored row into |queries| partitions
-    * and sorted them — 10 tasks each sorting 10 TB at scale.
+  /** Rank the scored (q_id, vec_id, <scoreCol>) rows down to top-k per
+    * query with the native bounded-heap aggregate
+    * (graft.functions.BoundedTopK): a k-bounded heap per input partition
+    * (partial, corpus parallelism), k-sized heap-union at final — the
+    * shuffle carries |queries| × k rows, not the full scored set. The
+    * previous `row_number() OVER (PARTITION BY q_id)` form funneled every
+    * scored row into |queries| partitions and sorted them — 10 tasks each
+    * sorting 10 TB at scale. Ties break (score desc, id asc) — the
+    * oracle's ORDER BY.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private def rankTopK(scored: DataFrame, k: Int,
+                       scoreCol: String = "cos_sim"): DataFrame =
     scored.groupBy("q_id")
-      .agg(topk(col("cos_sim"), col("vec_id"), k).as("tk"))
+      .agg(topk(col(scoreCol), col("vec_id"), k).as("tk"))
       .select(col("q_id"), posexplode(col("tk")))
       .select(col("q_id"), (col("pos") + 1).as("rnk"),
-        col("col.nn_id"), col("col.cos_sim"))
+        col("col.nn_id"), col("col.cos_sim").as(scoreCol))
 
   /** Brute-force cosine top-k: corpus scan × broadcast queries.
     * The exact baseline every approximate variant is measured against.
@@ -152,6 +155,123 @@ object Similarity {
 
     val scored = asg2.join(broadcast(probes),
         col("cid") === col("p_cid") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", cosine(col("q_emb"), col("embedding")))
+    rankTopK(scored, k)
+  }
+
+  /** Exact quantized-dot top-k: brute force under the inner-product
+    * metric — the control ANN-by-dot variants (PQ/ADC) are measured
+    * against, since ADC approximates the dot product, not the cosine.
+    */
+  def dotTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      vec.quantize(col("embedding")).as("q_qe")))
+    val scored = corpus
+      .select(col("vec_id"), vec.quantize(col("embedding")).as("qe"))
+      .join(q, col("vec_id") =!= col("q_id"))
+      .withColumn("dotq", vec.dot(col("q_qe"), col("qe")))
+    rankTopK(scored, k, scoreCol = "dotq")
+  }
+
+  /** Product-quantization codebook: one broadcast row. For each of the
+    * `m` subspaces (contiguous `dim/m`-dim slices of the QUANTIZED
+    * embedding), the codewords are the subvectors of the `ks` smallest
+    * vec_ids — deterministically seeded, exactly like `ivfKmeansTopK`'s
+    * seeds (a production build would train each sub-codebook with k-means
+    * on a sample; the encode / ADC machinery below is what matters at
+    * scale and is identical either way). Layout:
+    * `array<struct<j, cws: array<struct<cid, cw>>>>`, both levels
+    * sort_array'd so position = index (element_at(cb, j+1) is subspace j,
+    * element_at(cws, cid+1) is codeword cid).
+    */
+  private def pqCodebook(qc: DataFrame, m: Int, ks: Int, subDim: Int): DataFrame =
+    qc.filter(col("vec_id") < ks)
+      .select(col("vec_id").cast("int").as("cid"),
+        posexplode(expr(s"transform(sequence(0, ${m - 1}), " +
+          s"j -> slice(qe, j * $subDim + 1, $subDim))")))
+      .toDF("cid", "j", "cw")
+      .groupBy("j")
+      .agg(sort_array(collect_list(struct(col("cid"), col("cw")))).as("cws"))
+      .agg(sort_array(collect_list(struct(col("j"), col("cws")))).as("cb"))
+
+  /** Product-quantization top-k (asymmetric distance computation): encode
+    * the corpus once as `m` one-byte-ish codes (argmin L2 to the subspace
+    * codebook, ties to the smaller cid), then score each (query, vector)
+    * pair as `sum_j LUT_q[j][code_j]` where `LUT_q[j][cid] = dot(q_sub_j,
+    * codeword)` is an m×ks table computed ONCE per query against the
+    * broadcast codebook.
+    *
+    * Scale shape — this is the 100 TB memory path for ANN:
+    *   - the codebook is K×dim numbers, broadcast; the corpus is never
+    *     shuffled — encoding is a NARROW projection, and at rest the
+    *     encoded corpus is m bytes/vector vs 4·dim (a 32× footprint drop
+    *     at m=8, dim=64: the difference between spilling and RAM-resident
+    *     at 10^11 vectors);
+    *   - ADC scoring reads m array lookups per corpus vector instead of a
+    *     dim-length dot product — O(m) per candidate;
+    *   - the final rank is the bounded-heap `topk` partial aggregate
+    *     (shuffle = |queries| × k rows).
+    * Everything runs on the integral quantized grid (exact integer sums
+    * < 2^53), so codes, LUTs, ADC scores and rankings are bit-identical
+    * across engines and partitionings — the DuckDB oracle re-derives all
+    * of it. Reference ANN surface: qpmodel has none — training-data
+    * pipeline extension per the build brief.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ks: Int = 16, dim: Int = 64): DataFrame = {
+    val subDim = dim / m
+    require(m * subDim == dim, s"m=$m must divide dim=$dim")
+    val qc = corpus.select(col("vec_id"), vec.quantize(col("embedding")).as("qe"))
+    val cb = pqCodebook(qc, m, ks, subDim)
+
+    // Encode: codes[j] = argmin_cid L2(sub_j, cw) — array_min over
+    // struct(d2, cid) is lexicographic, i.e. min distance then min cid.
+    val enc = qc.crossJoin(broadcast(cb))
+      .withColumn("codes", expr(
+        s"""transform(cb, e ->
+           |  array_min(transform(e.cws, c -> struct(
+           |    aggregate(zip_with(slice(qe, e.j * $subDim + 1, $subDim), c.cw,
+           |      (a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v) AS d2,
+           |    c.cid AS cid))).cid)""".stripMargin))
+      .select("vec_id", "codes")
+
+    // Per-query lookup tables against the same broadcast codebook:
+    // lut[j+1][cid+1] = dot(q_sub_j, codeword cid of subspace j).
+    val qlut = queries
+      .select(col("vec_id").as("q_id"), vec.quantize(col("embedding")).as("q_qe"))
+      .crossJoin(broadcast(cb))
+      .withColumn("lut", expr(
+        s"""transform(cb, e -> transform(e.cws, c ->
+           |  aggregate(zip_with(slice(q_qe, e.j * $subDim + 1, $subDim), c.cw,
+           |    (a, b) -> a * b), 0D, (acc, v) -> acc + v)))""".stripMargin))
+      .select(col("q_id"), col("lut"))
+
+    // ADC scan: m table lookups per (vector, query), never a full dot.
+    val scored = enc.crossJoin(broadcast(qlut))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc_dot", expr(
+        s"""aggregate(sequence(0, ${m - 1}), 0D, (acc, j) ->
+           |  acc + element_at(element_at(lut, j + 1),
+           |                   element_at(codes, j + 1) + 1))""".stripMargin))
+    rankTopK(scored, k, scoreCol = "adc_dot")
+  }
+
+  /** PQ shortlist + exact re-rank — the production ANN serving shape:
+    * ADC ranks the whole corpus cheaply down to a `shortlist` of
+    * candidates per query (O(m) per vector), then only those candidates
+    * pay the exact cosine against the raw embeddings, and the top `k`
+    * survive. The expensive exact pass touches |queries| × shortlist
+    * rows — independent of corpus size.
+    */
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                   shortlist: Int = 10, m: Int = 8, ks: Int = 16,
+                   dim: Int = 64): DataFrame = {
+    val short = pqTopK(corpus, queries, shortlist, m, ks, dim)
+      .select(col("q_id"), col("nn_id").as("vec_id"))
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb")))
+    val scored = short.join(corpus.select("vec_id", "embedding"), "vec_id")
+      .join(q, "q_id")
       .withColumn("cos_sim", cosine(col("q_emb"), col("embedding")))
     rankTopK(scored, k)
   }

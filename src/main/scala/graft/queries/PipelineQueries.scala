@@ -159,6 +159,57 @@ object PipelineQueries {
             |FROM cand JOIN grams ga ON ga.doc_id = doc_a
             |          JOIN grams gb ON gb.doc_id = doc_b""".stripMargin))
 
+  /** Incremental ingest dedup: every 7th document re-arrives (as
+    * doc_id + 20000) and is matched against the full existing corpus —
+    * incoming-bands ⋈ existing-bands only, never corpus × corpus. Each
+    * re-arrival is guaranteed to hit its source (jaccard 1.0) plus any
+    * of the source's natural near-dups, so the sweep has real positives
+    * by construction. The oracle re-derives both sides' MinHash bands
+    * with a side tag and joins across sides only.
+    */
+  val dedupIncremental: QueryDef = QueryDef("dedup_incremental",
+    (s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalNearDups(d,
+        d.filter("doc_id % 7 = 0").selectExpr("doc_id + 20000 AS doc_id", "text"))
+    },
+    Some {
+      val hashes = (0 until 8).map(i =>
+        s"  list_min(list_transform(hs, h -> substr(h, ${4 * i + 1}, 4))) AS h$i")
+        .mkString(",\n")
+      val bands = (0 until 4).map(b =>
+        s"SELECT side, doc_id, $b AS bidx, h${2 * b} || h${2 * b + 1} AS bval FROM mh")
+        .mkString("\n  UNION ALL ")
+      s"""WITH allw AS (
+         |  SELECT 'e' AS side, doc_id, string_split(text, ' ') AS ws FROM documents
+         |  UNION ALL
+         |  SELECT 'n' AS side, doc_id + 20000 AS doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |sh AS (SELECT side, doc_id,
+         |  list_distinct(list_transform(generate_series(1, len(ws) - 2),
+         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+         |  FROM allw WHERE len(ws) >= 3),
+         |md AS (SELECT side, doc_id, list_transform(s, w -> md5(w)) AS hs FROM sh),
+         |mh AS (SELECT side, doc_id,
+         |$hashes
+         |FROM md),
+         |bands AS (
+         |  $bands),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS old_id
+         |  FROM bands n JOIN bands e
+         |    ON n.bidx = e.bidx AND n.bval = e.bval
+         |  WHERE n.side = 'n' AND e.side = 'e')
+         |SELECT new_id, old_id,
+         |  len(list_intersect(a.s, b.s)) /
+         |    len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |FROM cand
+         |JOIN sh a ON a.side = 'n' AND a.doc_id = new_id
+         |JOIN sh b ON b.side = 'e' AND b.doc_id = old_id
+         |WHERE len(list_intersect(a.s, b.s)) /
+         |    len(list_distinct(list_concat(a.s, b.s))) >= 0.8""".stripMargin
+    })
+
   /** DuckDB mirror of vec.quantize: integral 2^-20 grid as exact doubles.
     * Dot products over quantized vectors are exact integer sums —
     * order-independent and bit-identical to the Spark side's VecDot.
@@ -447,6 +498,108 @@ object PipelineQueries {
          |  ON brute.q_id = ivf.q_id AND brute.vec_id = ivf.vec_id""".stripMargin
     })
 
+  /** DuckDB mirror of Similarity.pqTopK: quantize, slice into m=8
+    * subspaces, seed sub-codebooks from the 16 smallest vec_ids, encode
+    * by argmin L2 (ties to the smaller cid), then ADC-score as the sum
+    * over subspaces of dot(query subvector, assigned codeword). Every
+    * distance/score is an exact integer sum on the quantized grid, so
+    * codes and rankings are bit-identical to the Spark side.
+    */
+  private def duckPqCtes(m: Int = 8, ks: Int = 16, subDim: Int = 8): String =
+    s"""c AS (SELECT vec_id, ${duckQuant.format("embedding")} AS qe FROM embeddings),
+       |sub AS (SELECT vec_id, j,
+       |          qe[j * $subDim + 1 : j * $subDim + $subDim] AS sv
+       |        FROM c, (SELECT unnest(generate_series(0, ${m - 1})) AS j) js),
+       |cb AS (SELECT j, CAST(vec_id AS INT) AS cid, sv AS cw
+       |       FROM sub WHERE vec_id < $ks),
+       |encr AS (SELECT s.vec_id, s.j, cb.cid,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.j
+       |             ORDER BY list_sum(list_transform(generate_series(1, $subDim),
+       |               i -> (s.sv[i] - cb.cw[i]) * (s.sv[i] - cb.cw[i]))),
+       |               cb.cid) AS rn
+       |         FROM sub s JOIN cb ON s.j = cb.j),
+       |enc AS (SELECT vec_id, j, cid FROM encr WHERE rn = 1),
+       |qq AS (SELECT vec_id AS q_id, qe FROM c WHERE vec_id < 10),
+       |qsub AS (SELECT vec_id AS q_id, j, sv FROM sub WHERE vec_id < 10),
+       |adc AS (SELECT q.q_id, e.vec_id,
+       |          SUM(list_sum(list_transform(generate_series(1, $subDim),
+       |            i -> q.sv[i] * cb.cw[i]))) AS adc_dot
+       |        FROM enc e JOIN cb ON e.j = cb.j AND e.cid = cb.cid
+       |        JOIN qsub q ON q.j = e.j
+       |        WHERE e.vec_id <> q.q_id
+       |        GROUP BY q.q_id, e.vec_id),
+       |pqranked AS (SELECT q_id, vec_id, adc_dot,
+       |               row_number() OVER (PARTITION BY q_id
+       |                 ORDER BY adc_dot DESC, vec_id) AS rnk
+       |             FROM adc)""".stripMargin
+
+  /** PQ/ADC approximate top-k — the 100 TB ANN memory path (m bytes per
+    * vector at rest instead of 4·dim; O(m) table lookups per candidate
+    * instead of a dim-length dot).
+    */
+  val annPq: QueryDef = QueryDef("ann_pq_topk",
+    (s, dir) => Similarity.pqTopK(embs(s, dir), annQueries(s, dir), 3),
+    Some(s"""WITH ${duckPqCtes()}
+            |SELECT q_id, rnk, vec_id AS nn_id, adc_dot
+            |FROM pqranked WHERE rnk <= 3""".stripMargin))
+
+  /** PQ shortlist (ADC top-10) + exact cosine re-rank to top-3 — the
+    * production serving shape: the exact pass touches only
+    * |queries| × shortlist rows, independent of corpus size.
+    */
+  val annPqRerank: QueryDef = QueryDef("ann_pq_rerank",
+    (s, dir) => Similarity.pqRerankTopK(embs(s, dir), annQueries(s, dir), 3),
+    Some {
+      val cos = duckCos.format("qq.qe", "e.qe", "qq.qe", "qq.qe", "e.qe", "e.qe")
+      s"""WITH ${duckPqCtes()},
+         |rr AS (SELECT p.q_id, p.vec_id, $cos AS cos_sim
+         |       FROM pqranked p
+         |       JOIN c e ON e.vec_id = p.vec_id
+         |       JOIN qq ON qq.q_id = p.q_id
+         |       WHERE p.rnk <= 10),
+         |rrk AS (SELECT q_id, vec_id, cos_sim,
+         |          row_number() OVER (PARTITION BY q_id
+         |            ORDER BY cos_sim DESC, vec_id) AS rnk
+         |        FROM rr)
+         |SELECT q_id, rnk, vec_id AS nn_id, cos_sim
+         |FROM rrk WHERE rnk <= 3""".stripMargin
+    })
+
+  /** Recall@3 of PQ/ADC against the exact inner-product answer (ADC
+    * approximates the dot, so exact-dot — not cosine — is the control).
+    * Fully deterministic on both sides, so the meta-metric hash-verifies.
+    */
+  val annPqRecall: QueryDef = QueryDef("ann_pq_recall",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val exact = Similarity.dotTopK(embs(s, dir), annQueries(s, dir), 3)
+        .select(col("q_id"), col("nn_id"))
+      val pq = Similarity.pqTopK(embs(s, dir), annQueries(s, dir), 3)
+        .select(col("q_id"), col("nn_id"), lit(1).as("hit"))
+      exact.join(pq, Seq("q_id", "nn_id"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("n_true"), col("n_hit"),
+          (col("n_hit") / col("n_true")).cast("double").as("recall"))
+    },
+    Some(s"""WITH ${duckPqCtes()},
+            |dscored AS (SELECT q_id, e.vec_id,
+            |              list_dot_product(qq.qe, e.qe) AS dotv
+            |            FROM c e, qq WHERE e.vec_id <> qq.q_id),
+            |dranked AS (SELECT q_id, vec_id,
+            |              row_number() OVER (PARTITION BY q_id
+            |                ORDER BY dotv DESC, vec_id) AS rnk
+            |            FROM dscored),
+            |dtop AS (SELECT q_id, vec_id FROM dranked WHERE rnk <= 3),
+            |ptop AS (SELECT q_id, vec_id FROM pqranked WHERE rnk <= 3)
+            |SELECT COUNT(*) AS n_true,
+            |  CAST(SUM(CASE WHEN ptop.q_id IS NOT NULL THEN 1 ELSE 0 END)
+            |       AS BIGINT) AS n_hit,
+            |  CAST(SUM(CASE WHEN ptop.q_id IS NOT NULL THEN 1 ELSE 0 END)
+            |       AS DOUBLE) / COUNT(*) AS recall
+            |FROM dtop LEFT JOIN ptop
+            |  ON dtop.q_id = ptop.q_id AND dtop.vec_id = ptop.vec_id""".stripMargin))
+
   // -------------------------------------------------------- text analysis
 
   private val duckStop = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
@@ -732,8 +885,10 @@ object PipelineQueries {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs, dedupNgram,
+    dedupIncremental,
     dedupEmbedding, dedupEmbeddingBanded, streamNearDup,
-    annTopk, annIvf, annIvfKmeans, annIvfRecall, sampleStratified,
+    annTopk, annIvf, annIvfKmeans, annIvfRecall,
+    annPq, annPqRerank, annPqRecall, sampleStratified,
     sampleWeighted, sampleTemperature, sampleShard, samplePack,
     decontaminate, dedupClusters, dedupClusterMembers, dedupClustersStar,
     textStats, textLangid, textTokens, textQualityFilter, textRepetition,
