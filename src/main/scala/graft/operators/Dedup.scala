@@ -137,8 +137,15 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
+    // shuffle_hash on the pairs side: the shingle frame is CORPUS-sized
+    // (and its exploded arrays are 10-20× the compressed-parquet estimate
+    // Spark sizes it by, so in the 10-100 MB-file window the planner
+    // would pick it as a broadcast build — measured in the 10× soak).
+    // SHJ builds per-partition maps from the bounded pairs side and
+    // streams the shingles; neither side is ever broadcast.
+    cand.hint("shuffle_hash")
       .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .hint("shuffle_hash")
       .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("sa"), col("sb"))) /
@@ -179,8 +186,11 @@ object Dedup {
         col("n.bidx") === col("e.bidx") && col("n.bval") === col("e.bval"))
       .select(col("n.doc_id").as("new_id"), col("e.doc_id").as("old_id"))
       .distinct()
-    cand
+    // Same shuffle_hash rationale as minHashPairs: shE is corpus-sized
+    // and must stream, never build a broadcast.
+    cand.hint("shuffle_hash")
       .join(shN.select(col("doc_id").as("new_id"), col("s").as("sn")), "new_id")
+      .hint("shuffle_hash")
       .join(shE.select(col("doc_id").as("old_id"), col("s").as("so")), "old_id")
       .withColumn("jaccard",
         size(array_intersect(col("sn"), col("so"))) /
@@ -482,8 +492,10 @@ object Dedup {
     val grams = docs.selectExpr("doc_id",
       s"""array_distinct(transform(sequence(1, length(text) - ${n - 1}),
          |  i -> substring(text, i, $n))) AS g""".stripMargin)
-    cand
+    // Same shuffle_hash rationale as minHashPairs' verification join.
+    cand.hint("shuffle_hash")
       .join(grams.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+      .hint("shuffle_hash")
       .join(grams.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("ga"), col("gb"))) /

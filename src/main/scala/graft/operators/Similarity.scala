@@ -266,8 +266,15 @@ object Similarity {
   def pqRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                    shortlist: Int = 10, m: Int = 8, ks: Int = 16,
                    dim: Int = 64): DataFrame = {
-    val short = pqTopK(corpus, queries, shortlist, m, ks, dim)
-      .select(col("q_id"), col("nn_id").as("vec_id"))
+    // The shortlist is |queries| × shortlist rows BY CONSTRUCTION —
+    // independent of corpus size — so it is the broadcast side, always.
+    // Without the hint, Spark's file-size estimate broadcasts the CORPUS
+    // whenever its parquet compresses under the threshold (floats
+    // compress ~10×: a 5 MB file decompressed to a 50 MB hashed
+    // relation in the 10× soak, and at 100 TB it would be a driver
+    // OOM); the corpus must stream.
+    val short = broadcast(pqTopK(corpus, queries, shortlist, m, ks, dim)
+      .select(col("q_id"), col("nn_id").as("vec_id")))
     val q = broadcast(queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb")))
     val scored = short.join(corpus.select("vec_id", "embedding"), "vec_id")
