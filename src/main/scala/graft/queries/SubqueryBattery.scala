@@ -311,6 +311,52 @@ object SubqueryBattery {
        |    AND bo.v > (SELECT ${davg("s3.s_acctbal")} FROM supplier s3
        |                WHERE s3.s_nationkey = bo.k))""".stripMargin)
 
+  /** CORRELATED NOT IN — null-aware anti join whose subquery body also
+    * references the outer row (`a2 not in (select b2 from b where
+    * b2 = a1)`): the null-aware and decorrelation machineries compose.
+    */
+  val notInCorr: QueryDef = sameSql("subq_not_in_corr",
+    """SELECT c_custkey FROM customer c
+      |WHERE c_custkey <= 400
+      |  AND c.c_nationkey NOT IN (SELECT s.s_nationkey FROM supplier s
+      |                            WHERE s.s_acctbal > c.c_acctbal)""".stripMargin)
+
+  /** Doubly-negated EXISTS (`not not not not exists (...)` in the
+    * reference, normalized here to nested NOT) — the negation normalizer
+    * must fold before decorrelation picks semi vs anti.
+    */
+  val notNotExists: QueryDef = sameSql("subq_not_not_exists",
+    """SELECT COUNT(*) AS cnt FROM customer c
+      |WHERE NOT (NOT EXISTS (SELECT 1 FROM orders o
+      |                       WHERE o.o_custkey = c.c_custkey
+      |                         AND o.o_totalprice > 300000))
+      |  AND c.c_acctbal > 0""".stripMargin)
+
+  /** Correlated scalar whose BODY is a disjunction of the correlation
+    * and a comparison against a nested uncorrelated scalar (`a.a1 =
+    * (select b1 from b bo where b2 = a2 or b1 = (select ...) and ...)`).
+    * The OR blocks filter pushdown into the subquery, so decorrelation
+    * must carry the whole disjunctive filter into the single join.
+    */
+  val scalarOrNested: QueryDef = sameSql("subq_scalar_or_nested",
+    """SELECT n_nationkey FROM nation n
+      |WHERE n.n_nationkey = (
+      |  SELECT MIN(s.s_nationkey) FROM supplier s
+      |  WHERE s.s_nationkey = n.n_nationkey
+      |     OR s.s_suppkey = (SELECT MAX(s2.s_suppkey) FROM supplier s2))""".stripMargin)
+
+  /** Triple-nested aggregate-of-aggregate derived chain (`select sum(a1)
+    * from (select sum(a1) from (select sum(a1) from a) b(a1)) c(a1)`):
+    * each level re-aggregates a 1-row input; the aliases shadow the
+    * source column at every level.
+    */
+  val aggNest3: QueryDef = sameSql("subq_agg_nest3",
+    """SELECT CAST(SUM(a1) AS BIGINT) AS s3 FROM (
+      |  SELECT SUM(a1) FROM (
+      |    SELECT SUM(c_custkey) FROM customer
+      |  ) b(a1)
+      |) c(a1)""".stripMargin)
+
   val defs: Seq[QueryDef] = Seq(
     inHaving, existsOrExists, corrInequality, scalarBothSides, threeLevel,
     inDerived, scalarInExpr, semiAntiMix,
@@ -318,5 +364,6 @@ object SubqueryBattery {
     existsChain3, inCorrExtra, scalarTwoLevelCorr, twoCorrScalars,
     selectListGroupBy, selectListNull, corrHaving, bothSidesOr,
     corrAggSelect, inExistsNested, aggDerivedScalarFilter, joinPlusScalar,
-    derivedRenameChain, corrBetween, existsAggBody, scalarDerivedMiddle)
+    derivedRenameChain, corrBetween, existsAggBody, scalarDerivedMiddle,
+    notInCorr, notNotExists, scalarOrNested, aggNest3)
 }
