@@ -179,14 +179,21 @@ object Similarity {
     * vec_ids — deterministically seeded, exactly like `ivfKmeansTopK`'s
     * seeds (a production build would train each sub-codebook with k-means
     * on a sample; the encode / ADC machinery below is what matters at
-    * scale and is identical either way). Layout:
+    * scale and is identical either way). Codeword ids are DENSE 0-based
+    * ranks of the seed vec_ids, not the vec_ids themselves: the ADC
+    * lookup below indexes by position (element_at(cws, cid+1)), so gapped
+    * or non-zero-based corpus ids must not leak into cid or every lookup
+    * shifts onto the wrong codeword. Layout:
     * `array<struct<j, cws: array<struct<cid, cw>>>>`, both levels
     * sort_array'd so position = index (element_at(cb, j+1) is subspace j,
     * element_at(cws, cid+1) is codeword cid).
     */
   private def pqCodebook(qc: DataFrame, m: Int, ks: Int, subDim: Int): DataFrame =
     qc.filter(col("vec_id") < ks)
-      .select(col("vec_id").cast("int").as("cid"),
+      .withColumn("cid",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("vec_id")) - 1).cast("int")) // ≤ ks rows: 1 partition is fine
+      .select(col("cid"),
         posexplode(expr(s"transform(sequence(0, ${m - 1}), " +
           s"j -> slice(qe, j * $subDim + 1, $subDim))")))
       .toDF("cid", "j", "cw")

@@ -51,24 +51,34 @@ object PipelineQueries {
       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
       |  FROM words WHERE len(ws) >= 3)""".stripMargin
 
-  private def duckMinhashCand: String = {
-    val hashes = (0 until 8).map(i =>
-      s"  list_min(list_transform(hs, h -> substr(h, ${4 * i + 1}, 4))) AS h$i")
-      .mkString(",\n")
-    val bands = (0 until 4).map(b =>
-      s"SELECT doc_id, $b AS bidx, h${2 * b} || h${2 * b + 1} AS bval FROM mh")
-      .mkString("\n  UNION ALL ")
+  /** The 8 minhash slices (4 hex chars each) of the per-shingle md5 —
+    * the single source of the signature scheme shared by every minhash
+    * oracle (pair sweep, n-gram refine, clusters, incremental).
+    */
+  private val duckMinhashSlices: String = (0 until 8).map(i =>
+    s"  list_min(list_transform(hs, h -> substr(h, ${4 * i + 1}, 4))) AS h$i")
+    .mkString(",\n")
+
+  /** The 4 two-slice band rows per doc, with `keyCols` carried through
+    * (e.g. "doc_id" or "side, doc_id").
+    */
+  private def duckBandSelects(keyCols: String): String = (0 until 4).map(b =>
+    s"SELECT $keyCols, $b AS bidx, h${2 * b} || h${2 * b + 1} AS bval FROM mh")
+    .mkString("\n  UNION ALL ")
+
+  private def duckMinhashCand: String =
     s"""md AS (SELECT doc_id, list_transform(s, w -> md5(w)) AS hs FROM sh),
        |mh AS (SELECT doc_id,
-       |$hashes
+       |$duckMinhashSlices
        |FROM md),
-       |bands AS (
-       |  $bands),
+       |bands0 AS (
+       |  ${duckBandSelects("doc_id")}),
+       |bands AS (SELECT * FROM bands0
+       |  QUALIFY count(*) OVER (PARTITION BY bidx, bval) <= 500),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id)""".stripMargin
-  }
 
   val dedupMinhash: QueryDef = QueryDef("dedup_minhash",
     (s, dir) => Dedup.minHashPairs(docs(s, dir)),
@@ -160,30 +170,29 @@ object PipelineQueries {
             |          JOIN grams gb ON gb.doc_id = doc_b""".stripMargin))
 
   /** Incremental ingest dedup: every 7th document re-arrives (as
-    * doc_id + 20000) and is matched against the full existing corpus —
-    * incoming-bands ⋈ existing-bands only, never corpus × corpus. Each
-    * re-arrival is guaranteed to hit its source (jaccard 1.0) plus any
-    * of the source's natural near-dups, so the sweep has real positives
-    * by construction. The oracle re-derives both sides' MinHash bands
-    * with a side tag and joins across sides only.
+    * doc_id + 10^9 — an offset past any soak corpus's id range, so
+    * incoming ids never collide with existing ones even at 1000×) and is
+    * matched against the full existing corpus — incoming-bands ⋈
+    * existing-bands only, never corpus × corpus. Each re-arrival is
+    * guaranteed to hit its source (jaccard 1.0) plus any of the source's
+    * natural near-dups, so the sweep has real positives by construction.
+    * The oracle re-derives both sides' MinHash bands with a side tag,
+    * caps the existing side's buckets like the operator does, and joins
+    * across sides only.
     */
   val dedupIncremental: QueryDef = QueryDef("dedup_incremental",
     (s, dir) => {
       val d = docs(s, dir)
       Dedup.incrementalNearDups(d,
-        d.filter("doc_id % 7 = 0").selectExpr("doc_id + 20000 AS doc_id", "text"))
+        d.filter("doc_id % 7 = 0")
+          .selectExpr("doc_id + 1000000000 AS doc_id", "text"))
     },
     Some {
-      val hashes = (0 until 8).map(i =>
-        s"  list_min(list_transform(hs, h -> substr(h, ${4 * i + 1}, 4))) AS h$i")
-        .mkString(",\n")
-      val bands = (0 until 4).map(b =>
-        s"SELECT side, doc_id, $b AS bidx, h${2 * b} || h${2 * b + 1} AS bval FROM mh")
-        .mkString("\n  UNION ALL ")
       s"""WITH allw AS (
          |  SELECT 'e' AS side, doc_id, string_split(text, ' ') AS ws FROM documents
          |  UNION ALL
-         |  SELECT 'n' AS side, doc_id + 20000 AS doc_id, string_split(text, ' ') AS ws
+         |  SELECT 'n' AS side, doc_id + 1000000000 AS doc_id,
+         |         string_split(text, ' ') AS ws
          |  FROM documents WHERE doc_id % 7 = 0),
          |sh AS (SELECT side, doc_id,
          |  list_distinct(list_transform(generate_series(1, len(ws) - 2),
@@ -191,15 +200,17 @@ object PipelineQueries {
          |  FROM allw WHERE len(ws) >= 3),
          |md AS (SELECT side, doc_id, list_transform(s, w -> md5(w)) AS hs FROM sh),
          |mh AS (SELECT side, doc_id,
-         |$hashes
+         |$duckMinhashSlices
          |FROM md),
          |bands AS (
-         |  $bands),
+         |  ${duckBandSelects("side, doc_id")}),
+         |ebands AS (SELECT doc_id, bidx, bval FROM bands WHERE side = 'e'
+         |  QUALIFY count(*) OVER (PARTITION BY bidx, bval) <= 500),
+         |nbands AS (SELECT doc_id, bidx, bval FROM bands WHERE side = 'n'),
          |cand AS (
          |  SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS old_id
-         |  FROM bands n JOIN bands e
-         |    ON n.bidx = e.bidx AND n.bval = e.bval
-         |  WHERE n.side = 'n' AND e.side = 'e')
+         |  FROM nbands n JOIN ebands e
+         |    ON n.bidx = e.bidx AND n.bval = e.bval)
          |SELECT new_id, old_id,
          |  len(list_intersect(a.s, b.s)) /
          |    len(list_distinct(list_concat(a.s, b.s))) AS jaccard
@@ -499,18 +510,25 @@ object PipelineQueries {
     })
 
   /** DuckDB mirror of Similarity.pqTopK: quantize, slice into m=8
-    * subspaces, seed sub-codebooks from the 16 smallest vec_ids, encode
-    * by argmin L2 (ties to the smaller cid), then ADC-score as the sum
-    * over subspaces of dot(query subvector, assigned codeword). Every
-    * distance/score is an exact integer sum on the quantized grid, so
-    * codes and rankings are bit-identical to the Spark side.
+    * subspaces, seed sub-codebooks from the 16 smallest vec_ids (cid =
+    * dense 0-based rank of the seed's vec_id, mirroring pqCodebook's
+    * positional contract), encode by argmin L2 (ties to the smaller
+    * cid), then ADC-score as the sum over subspaces of dot(query
+    * subvector, assigned codeword). Every distance/score is an exact
+    * integer sum on the quantized grid, so codes and rankings are
+    * bit-identical to the Spark side. `subDim` is derived (64 / m) so
+    * the slicing can never silently disagree with the subspace count.
     */
-  private def duckPqCtes(m: Int = 8, ks: Int = 16, subDim: Int = 8): String =
+  private def duckPqCtes(m: Int = 8, ks: Int = 16): String = {
+    require(64 % m == 0, s"m=$m must divide the embedding dim 64")
+    val subDim = 64 / m
     s"""c AS (SELECT vec_id, ${duckQuant.format("embedding")} AS qe FROM embeddings),
        |sub AS (SELECT vec_id, j,
        |          qe[j * $subDim + 1 : j * $subDim + $subDim] AS sv
        |        FROM c, (SELECT unnest(generate_series(0, ${m - 1})) AS j) js),
-       |cb AS (SELECT j, CAST(vec_id AS INT) AS cid, sv AS cw
+       |cb AS (SELECT j,
+       |         CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1
+       |              AS INT) AS cid, sv AS cw
        |       FROM sub WHERE vec_id < $ks),
        |encr AS (SELECT s.vec_id, s.j, cb.cid,
        |           row_number() OVER (PARTITION BY s.vec_id, s.j
@@ -532,6 +550,7 @@ object PipelineQueries {
        |               row_number() OVER (PARTITION BY q_id
        |                 ORDER BY adc_dot DESC, vec_id) AS rnk
        |             FROM adc)""".stripMargin
+  }
 
   /** PQ/ADC approximate top-k — the 100 TB ANN memory path (m bytes per
     * vector at rest instead of 4·dim; O(m) table lookups per candidate

@@ -104,9 +104,9 @@ class PipelineSpec extends AnyFunSuite {
   test("PQ with a lossy codebook still ranks by nearest codeword") {
     val s = spark
     import s.implicits._
-    // Codebook seeds = vecs 0,1 only. Vec 2 encodes to whichever seed
-    // subvector is L2-closest; query 0's ADC ranking must put vec 1
-    // (shares codeword direction with the query) first.
+    // Codebook seeds = vecs 0,1 only. Vecs 2 and 3 encode to whichever
+    // seed subvector is L2-closest; querying vec 1, the ADC ranking must
+    // put vec 2 (encodes to codeword 1, the query's own direction) first.
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
       (1L, Array(0.0f, 1.0f, 0.0f, 1.0f)),
@@ -142,6 +142,28 @@ class PipelineSpec extends AnyFunSuite {
     val rrRecall = (brute & rr).size.toDouble / brute.size
     assert(rrRecall >= recall - 0.1,
       s"rerank recall $rrRecall fell below ADC recall $recall")
+  }
+
+  test("PQ codebook ids are dense ranks, not raw vec_ids") {
+    val s = spark
+    import s.implicits._
+    // Gapped, non-zero-based ids below ks: with ks = |corpus| the
+    // codebook is lossless, so PQ must still reproduce exact-dot top-k.
+    // Raw-vec_id cids would index past the codeword arrays (NULL scores)
+    // or onto the wrong codeword.
+    val emb = Seq(
+      (3L, Array(1.0f, 0.0f, 0.2f, 0.1f)),
+      (7L, Array(0.9f, 0.2f, 0.1f, 0.0f)),
+      (11L, Array(0.0f, 1.0f, 0.7f, 0.3f)),
+      (15L, Array(0.4f, 0.5f, 0.0f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val q = emb.filter("vec_id <= 7")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rnk", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val pq = Similarity.pqTopK(emb, q, 3, m = 2, ks = 16, dim = 4)
+    val exact = Similarity.dotTopK(emb, q, 3)
+    assert(key(pq) == key(exact))
   }
 
   test("incremental dedup matches incoming docs across sides only") {
