@@ -188,7 +188,8 @@ object Similarity {
     * sort_array'd so position = index (element_at(cb, j+1) is subspace j,
     * element_at(cws, cid+1) is codeword cid).
     */
-  private def pqCodebook(qc: DataFrame, m: Int, ks: Int, subDim: Int): DataFrame =
+  private def pqSeedsFlat(qc: DataFrame, m: Int, ks: Int,
+                          subDim: Int): DataFrame =
     qc.filter(col("vec_id") < ks)
       .withColumn("cid",
         (row_number().over(org.apache.spark.sql.expressions.Window
@@ -197,9 +198,18 @@ object Similarity {
         posexplode(expr(s"transform(sequence(0, ${m - 1}), " +
           s"j -> slice(qe, j * $subDim + 1, $subDim))")))
       .toDF("cid", "j", "cw")
+
+  /** Nest a flat (j, cid, cw) codeword frame into the one-row broadcast
+    * layout the encode/LUT expressions index positionally.
+    */
+  private def pqNest(flat: DataFrame): DataFrame =
+    flat
       .groupBy("j")
       .agg(sort_array(collect_list(struct(col("cid"), col("cw")))).as("cws"))
       .agg(sort_array(collect_list(struct(col("j"), col("cws")))).as("cb"))
+
+  private def pqCodebook(qc: DataFrame, m: Int, ks: Int, subDim: Int): DataFrame =
+    pqNest(pqSeedsFlat(qc, m, ks, subDim))
 
   /** Product-quantization top-k (asymmetric distance computation): encode
     * the corpus once as `m` one-byte-ish codes (argmin L2 to the subspace
@@ -229,8 +239,14 @@ object Similarity {
     val subDim = dim / m
     require(m * subDim == dim, s"m=$m must divide dim=$dim")
     val qc = corpus.select(col("vec_id"), vec.quantize(col("embedding")).as("qe"))
-    val cb = pqCodebook(qc, m, ks, subDim)
+    pqAdc(qc, queries, pqCodebook(qc, m, ks, subDim), k, m, subDim)
+  }
 
+  /** Encode + ADC-score + rank against a given broadcast codebook — the
+    * shared tail of [[pqTopK]] (seeded) and [[pqKmeansTopK]] (trained).
+    */
+  private def pqAdc(qc: DataFrame, queries: DataFrame, cb: DataFrame,
+                    k: Int, m: Int, subDim: Int): DataFrame = {
     // Encode: codes[j] = argmin_cid L2(sub_j, cw) — array_min over
     // struct(d2, cid) is lexicographic, i.e. min distance then min cid.
     val enc = qc.crossJoin(broadcast(cb))
@@ -261,6 +277,56 @@ object Similarity {
            |  acc + element_at(element_at(lut, j + 1),
            |                   element_at(codes, j + 1) + 1))""".stripMargin))
     rankTopK(scored, k, scoreCol = "adc_dot")
+  }
+
+  /** PQ top-k with a TRAINED codebook: one Lloyd refinement of the
+    * seeded sub-codebooks before encode/ADC — assign every subvector to
+    * its nearest seed codeword (argmin L2, ties to the smaller cid),
+    * recompute each codeword as the FLOOR of the per-dimension mean of
+    * its members (floor keeps the codeword on the integral quantized
+    * grid, so every downstream distance/score stays an exact integer sum
+    * the oracle reproduces), and keep the seed codeword for any cluster
+    * left empty (cids must stay dense — the ADC lookup is positional).
+    *
+    * Scale shape: training adds ONE narrow pass over the corpus (the
+    * assignment is a broadcast-codebook projection, the Lloyd means one
+    * (j, cid, dim)-keyed aggregation — 3 small shuffles of m×ks×subDim
+    * groups); everything else is [[pqTopK]]'s machinery unchanged. A
+    * production build would iterate on a SAMPLE instead of the full
+    * corpus; one full-corpus step keeps the oracle exactly re-derivable.
+    */
+  def pqKmeansTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                   m: Int = 8, ks: Int = 16, dim: Int = 64): DataFrame = {
+    val subDim = dim / m
+    require(m * subDim == dim, s"m=$m must divide dim=$dim")
+    val qc = corpus.select(col("vec_id"), vec.quantize(col("embedding")).as("qe"))
+    val flat0 = pqSeedsFlat(qc, m, ks, subDim)
+    val cb0 = pqNest(flat0)
+    // Assign every (vector, subspace) to its nearest seed codeword.
+    val asg = qc.crossJoin(broadcast(cb0))
+      .select(col("vec_id"), posexplode(expr(
+        s"""transform(cb, e -> struct(
+           |  slice(qe, e.j * $subDim + 1, $subDim) AS sv,
+           |  array_min(transform(e.cws, c -> struct(
+           |    aggregate(zip_with(slice(qe, e.j * $subDim + 1, $subDim), c.cw,
+           |      (a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v) AS d2,
+           |    c.cid AS cid))).cid AS cid))""".stripMargin)))
+      .select(col("pos").as("j"), col("col.cid").as("cid"), col("col.sv").as("sv"))
+    // Lloyd step: floor per-dim mean back onto the integer grid.
+    val cent = asg
+      .select(col("j"), col("cid"), posexplode(col("sv"))).toDF("j", "cid", "d", "v")
+      .groupBy("j", "cid", "d").agg(floor(sum("v") / count(lit(1))).as("fd"))
+      .groupBy("j", "cid")
+      // CAST back to double: Spark's FLOOR yields BIGINT, but codewords
+      // must stay array<double> to match the seed frame and zip_with math.
+      .agg(expr("transform(array_sort(collect_list(struct(d, fd))), " +
+        "e -> CAST(e.fd AS DOUBLE))").as("cw"))
+    // Empty clusters keep their seed codeword so cids stay dense.
+    val flat1 = flat0.as("s")
+      .join(cent.as("c"), Seq("j", "cid"), "left")
+      .select(col("j"), col("cid"),
+        coalesce(col("c.cw"), col("s.cw")).as("cw"))
+    pqAdc(qc, queries, pqNest(flat1), k, m, subDim)
   }
 
   /** PQ shortlist + exact re-rank — the production ANN serving shape:

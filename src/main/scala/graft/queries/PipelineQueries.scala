@@ -80,6 +80,26 @@ object PipelineQueries {
        |  FROM bands a JOIN bands b
        |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** The hot-bucket audit behind the LSH cap: band buckets whose size
+    * exceeds the threshold — exactly the rows [[Dedup.minHashPairs]] at
+    * the same parameters would exclude from candidate generation. The
+    * production cap (500) never engages on the gate corpora, so the
+    * query audits at a low threshold that returns real rows; at 100 TB
+    * this is the report a pipeline operator reads before deciding
+    * whether the capped families need a dedicated exact-dedup pass.
+    */
+  val dedupHotBuckets: QueryDef = QueryDef("dedup_hot_buckets",
+    (s, dir) => Dedup.hotBuckets(docs(s, dir), maxBucket = 1),
+    Some(s"""WITH ${duckShingles()},
+            |md AS (SELECT doc_id, list_transform(s, w -> md5(w)) AS hs FROM sh),
+            |mh AS (SELECT doc_id,
+            |$duckMinhashSlices
+            |FROM md),
+            |bands AS (
+            |  ${duckBandSelects("doc_id")})
+            |SELECT bidx, bval, count(*) AS bucket_size
+            |FROM bands GROUP BY bidx, bval HAVING count(*) > 1""".stripMargin))
+
   val dedupMinhash: QueryDef = QueryDef("dedup_minhash",
     (s, dir) => Dedup.minHashPairs(docs(s, dir)),
     Some(s"""WITH ${duckShingles()},
@@ -519,18 +539,24 @@ object PipelineQueries {
     * bit-identical to the Spark side. `subDim` is derived (64 / m) so
     * the slicing can never silently disagree with the subspace count.
     */
-  private def duckPqCtes(m: Int = 8, ks: Int = 16): String = {
-    require(64 % m == 0, s"m=$m must divide the embedding dim 64")
-    val subDim = 64 / m
+  private def duckPqHead(m: Int, subDim: Int): String =
     s"""c AS (SELECT vec_id, ${duckQuant.format("embedding")} AS qe FROM embeddings),
        |sub AS (SELECT vec_id, j,
        |          qe[j * $subDim + 1 : j * $subDim + $subDim] AS sv
-       |        FROM c, (SELECT unnest(generate_series(0, ${m - 1})) AS j) js),
-       |cb AS (SELECT j,
+       |        FROM c, (SELECT unnest(generate_series(0, ${m - 1})) AS j) js)""".stripMargin
+
+  /** The seeded codeword set (dense 0-based cids), named `name`. */
+  private def duckPqSeeds(name: String, ks: Int): String =
+    s"""$name AS (SELECT j,
        |         CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1
        |              AS INT) AS cid, sv AS cw
-       |       FROM sub WHERE vec_id < $ks),
-       |encr AS (SELECT s.vec_id, s.j, cb.cid,
+       |       FROM sub WHERE vec_id < $ks)""".stripMargin
+
+  /** Encode + ADC + rank against the codebook CTE named `cb` — the
+    * shared tail of the seeded and k-means-trained PQ oracles.
+    */
+  private def duckPqTail(subDim: Int): String =
+    s"""encr AS (SELECT s.vec_id, s.j, cb.cid,
        |           row_number() OVER (PARTITION BY s.vec_id, s.j
        |             ORDER BY list_sum(list_transform(generate_series(1, $subDim),
        |               i -> (s.sv[i] - cb.cw[i]) * (s.sv[i] - cb.cw[i]))),
@@ -550,6 +576,40 @@ object PipelineQueries {
        |               row_number() OVER (PARTITION BY q_id
        |                 ORDER BY adc_dot DESC, vec_id) AS rnk
        |             FROM adc)""".stripMargin
+
+  private def duckPqCtes(m: Int = 8, ks: Int = 16): String = {
+    require(64 % m == 0, s"m=$m must divide the embedding dim 64")
+    val subDim = 64 / m
+    s"""${duckPqHead(m, subDim)},
+       |${duckPqSeeds("cb", ks)},
+       |${duckPqTail(subDim)}""".stripMargin
+  }
+
+  /** The k-means-trained variant: assign every subvector to its nearest
+    * seed codeword, take one Lloyd step (floor of the per-dim mean back
+    * onto the integer grid), keep the seed codeword for empty clusters,
+    * then the same encode/ADC tail.
+    */
+  private def duckPqKmeansCtes(m: Int = 8, ks: Int = 16): String = {
+    require(64 % m == 0, s"m=$m must divide the embedding dim 64")
+    val subDim = 64 / m
+    s"""${duckPqHead(m, subDim)},
+       |${duckPqSeeds("cb0", ks)},
+       |asgr AS (SELECT s.vec_id, s.j, s.sv, cb0.cid,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.j
+       |             ORDER BY list_sum(list_transform(generate_series(1, $subDim),
+       |               i -> (s.sv[i] - cb0.cw[i]) * (s.sv[i] - cb0.cw[i]))),
+       |               cb0.cid) AS rn
+       |         FROM sub s JOIN cb0 ON s.j = cb0.j),
+       |asg AS (SELECT j, cid, sv FROM asgr WHERE rn = 1),
+       |cent AS (SELECT j, cid, list(fd ORDER BY d) AS cw FROM (
+       |           SELECT j, cid, d,
+       |                  CAST(FLOOR(SUM(sv[d]) / COUNT(*)) AS DOUBLE) AS fd
+       |           FROM asg, (SELECT unnest(generate_series(1, $subDim)) AS d) dims
+       |           GROUP BY j, cid, d) GROUP BY j, cid),
+       |cb AS (SELECT s.j, s.cid, COALESCE(c.cw, s.cw) AS cw
+       |       FROM cb0 s LEFT JOIN cent c ON c.j = s.j AND c.cid = s.cid),
+       |${duckPqTail(subDim)}""".stripMargin
   }
 
   /** PQ/ADC approximate top-k — the 100 TB ANN memory path (m bytes per
@@ -559,6 +619,16 @@ object PipelineQueries {
   val annPq: QueryDef = QueryDef("ann_pq_topk",
     (s, dir) => Similarity.pqTopK(embs(s, dir), annQueries(s, dir), 3),
     Some(s"""WITH ${duckPqCtes()}
+            |SELECT q_id, rnk, vec_id AS nn_id, adc_dot
+            |FROM pqranked WHERE rnk <= 3""".stripMargin))
+
+  /** PQ/ADC with a TRAINED codebook — one Lloyd refinement of the
+    * sub-codebooks on the integral grid before encoding; the closest
+    * shape to production PQ (which iterates the same step on a sample).
+    */
+  val annPqKmeans: QueryDef = QueryDef("ann_pq_kmeans",
+    (s, dir) => Similarity.pqKmeansTopK(embs(s, dir), annQueries(s, dir), 3),
+    Some(s"""WITH ${duckPqKmeansCtes()}
             |SELECT q_id, rnk, vec_id AS nn_id, adc_dot
             |FROM pqranked WHERE rnk <= 3""".stripMargin))
 
@@ -903,11 +973,11 @@ object PipelineQueries {
            |FROM c""".stripMargin))
 
   val defs: Seq[QueryDef] = Seq(
-    dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs, dedupNgram,
-    dedupIncremental,
+    dedupExact, dedupMinhash, dedupHotBuckets, dedupSimhash,
+    dedupSimhashPairs, dedupNgram, dedupIncremental,
     dedupEmbedding, dedupEmbeddingBanded, streamNearDup,
     annTopk, annIvf, annIvfKmeans, annIvfRecall,
-    annPq, annPqRerank, annPqRecall, sampleStratified,
+    annPq, annPqKmeans, annPqRerank, annPqRecall, sampleStratified,
     sampleWeighted, sampleTemperature, sampleShard, samplePack,
     decontaminate, dedupClusters, dedupClusterMembers, dedupClustersStar,
     textStats, textLangid, textTokens, textQualityFilter, textRepetition,

@@ -144,6 +144,31 @@ class PipelineSpec extends AnyFunSuite {
       s"rerank recall $rrRecall fell below ADC recall $recall")
   }
 
+  test("PQ k-means: lossless codebook is a Lloyd fixed point") {
+    val s = spark
+    import s.implicits._
+    // ks = |corpus|: every cluster has exactly its seed as member, the
+    // floor-mean of a single integral subvector is itself, so the trained
+    // codebook equals the seeded one and PQ must match exact-dot top-k.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.2f, 0.1f)),
+      (1L, Array(0.9f, 0.2f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.7f, 0.3f)),
+      (3L, Array(0.4f, 0.5f, 0.0f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val q = emb.filter("vec_id < 2")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rnk", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val trained = Similarity.pqKmeansTopK(emb, q, 3, m = 2, ks = 4, dim = 4)
+    val exact = Similarity.dotTopK(emb, q, 3)
+    assert(key(trained) == key(exact))
+    // Lossy case must still run and produce a full ranking (2 codewords,
+    // clusters of 2 — the Lloyd step moves both codewords).
+    val lossy = Similarity.pqKmeansTopK(emb, q, 2, m = 2, ks = 2, dim = 4)
+    assert(lossy.count() == 4) // 2 queries × top-2
+  }
+
   test("PQ codebook ids are dense ranks, not raw vec_ids") {
     val s = spark
     import s.implicits._
