@@ -103,6 +103,17 @@ object Similarity {
     * Reference ANN surface: qpmodel has none — this is the training-data
     * pipeline extension mandated by the build brief.
     */
+  /** Assign each row's quantized embedding `qe` to its nearest centroid
+    * in the broadcast one-row `cents` array: argmax over (cos, -cid) ==
+    * ORDER BY cos DESC, cid ASC — the oracle's tie-break.
+    */
+  private def coarseAssign(df: DataFrame, cents: DataFrame): DataFrame =
+    df.crossJoin(broadcast(cents))
+      .withColumn("__s", transform(col("cents"),
+        c => struct(cosQ(col("qe"), c("ce")).as("cs"), (-c("cid")).as("ncid"))))
+      .withColumn("cid", -array_max(col("__s")).getField("ncid"))
+      .drop("cents", "__s")
+
   def ivfKmeansTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                     numCentroids: Int = 8, nprobe: Int = 2,
                     dim: Int = 64): DataFrame = {
@@ -112,16 +123,7 @@ object Similarity {
       .select(col("vec_id").cast("int").as("cid"), col("qe").as("ce"))
       .agg(sort_array(collect_list(struct(col("cid"), col("ce")))).as("cents"))
 
-    // argmax over the broadcast centroid array: max of (cos, -cid) ==
-    // ORDER BY cos DESC, cid ASC — the oracle's tie-break.
-    def assign(df: DataFrame, cents: DataFrame): DataFrame =
-      df.crossJoin(broadcast(cents))
-        .withColumn("__s", transform(col("cents"),
-          c => struct(cosQ(col("qe"), c("ce")).as("cs"), (-c("cid")).as("ncid"))))
-        .withColumn("cid", -array_max(col("__s")).getField("ncid"))
-        .drop("cents", "__s")
-
-    val asg1 = assign(qc, seedArr)
+    val asg1 = coarseAssign(qc, seedArr)
     // One Lloyd step: centroid = floor(per-dim mean) back onto the integer
     // grid. Sums of quantized components are exact (|q| ~ 2^21, n ~ corpus
     // per cluster — far below 2^53), so the division inputs are
@@ -139,7 +141,7 @@ object Similarity {
       .agg(sort_array(collect_list(struct(col("cid"), col("ce")))).as("cents"))
       .cache()
 
-    val asg2 = assign(qc, centArr).select("vec_id", "embedding", "cid")
+    val asg2 = coarseAssign(qc, centArr).select("vec_id", "embedding", "cid")
 
     // Each query probes its nprobe nearest centroids: sort the same scored
     // array by (-cos, cid) ascending == cos DESC, cid ASC; take nprobe.
@@ -242,14 +244,11 @@ object Similarity {
     pqAdc(qc, queries, pqCodebook(qc, m, ks, subDim), k, m, subDim)
   }
 
-  /** Encode + ADC-score + rank against a given broadcast codebook — the
-    * shared tail of [[pqTopK]] (seeded) and [[pqKmeansTopK]] (trained).
+  /** Encode: codes[j] = argmin_cid L2(sub_j, cw) — array_min over
+    * struct(d2, cid) is lexicographic, i.e. min distance then min cid.
     */
-  private def pqAdc(qc: DataFrame, queries: DataFrame, cb: DataFrame,
-                    k: Int, m: Int, subDim: Int): DataFrame = {
-    // Encode: codes[j] = argmin_cid L2(sub_j, cw) — array_min over
-    // struct(d2, cid) is lexicographic, i.e. min distance then min cid.
-    val enc = qc.crossJoin(broadcast(cb))
+  private def pqEncode(qc: DataFrame, cb: DataFrame, subDim: Int): DataFrame =
+    qc.crossJoin(broadcast(cb))
       .withColumn("codes", expr(
         s"""transform(cb, e ->
            |  array_min(transform(e.cws, c -> struct(
@@ -258,9 +257,11 @@ object Similarity {
            |    c.cid AS cid))).cid)""".stripMargin))
       .select("vec_id", "codes")
 
-    // Per-query lookup tables against the same broadcast codebook:
-    // lut[j+1][cid+1] = dot(q_sub_j, codeword cid of subspace j).
-    val qlut = queries
+  /** Per-query lookup tables against the broadcast codebook:
+    * lut[j+1][cid+1] = dot(q_sub_j, codeword cid of subspace j).
+    */
+  private def pqLut(queries: DataFrame, cb: DataFrame, subDim: Int): DataFrame =
+    queries
       .select(col("vec_id").as("q_id"), vec.quantize(col("embedding")).as("q_qe"))
       .crossJoin(broadcast(cb))
       .withColumn("lut", expr(
@@ -269,13 +270,66 @@ object Similarity {
            |    (a, b) -> a * b), 0D, (acc, v) -> acc + v)))""".stripMargin))
       .select(col("q_id"), col("lut"))
 
-    // ADC scan: m table lookups per (vector, query), never a full dot.
-    val scored = enc.crossJoin(broadcast(qlut))
+  /** The ADC score: m table lookups per (vector, query), never a full dot. */
+  private def adcDot(m: Int) = expr(
+    s"""aggregate(sequence(0, ${m - 1}), 0D, (acc, j) ->
+       |  acc + element_at(element_at(lut, j + 1),
+       |                   element_at(codes, j + 1) + 1))""".stripMargin)
+
+  /** Encode + ADC-score + rank against a given broadcast codebook — the
+    * shared tail of [[pqTopK]] (seeded) and [[pqKmeansTopK]] (trained).
+    */
+  private def pqAdc(qc: DataFrame, queries: DataFrame, cb: DataFrame,
+                    k: Int, m: Int, subDim: Int): DataFrame = {
+    val scored = pqEncode(qc, cb, subDim)
+      .crossJoin(broadcast(pqLut(queries, cb, subDim)))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adc_dot", expr(
-        s"""aggregate(sequence(0, ${m - 1}), 0D, (acc, j) ->
-           |  acc + element_at(element_at(lut, j + 1),
-           |                   element_at(codes, j + 1) + 1))""".stripMargin))
+      .withColumn("adc_dot", adcDot(m))
+    rankTopK(scored, k, scoreCol = "adc_dot")
+  }
+
+  /** IVF-PQ: the billion-scale production ANN index shape — a coarse
+    * quantizer routes each vector to an inverted list and each query to
+    * its `nprobe` nearest lists, and PQ/ADC scores ONLY the probed
+    * lists' vectors. Composes [[ivfKmeansTopK]]'s seeded coarse stage
+    * with [[pqTopK]]'s encode/ADC fine stage (one GLOBAL codebook — the
+    * non-residual IVFADC variant, which keeps the oracle derivation to
+    * one codebook; per-list residual codebooks are the classical
+    * refinement).
+    *
+    * Scale shape on top of PQ's: the ADC scan shrinks from the whole
+    * corpus to |probed lists| ≈ (nprobe / numCentroids) of it, and the
+    * probe join is keyed on the coarse cid — at rest the index is
+    * m bytes + one int per vector, the serving cost per query is
+    * nprobe list scans of O(m) lookups each.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                numCentroids: Int = 8, nprobe: Int = 2,
+                m: Int = 8, ks: Int = 16, dim: Int = 64): DataFrame = {
+    val subDim = dim / m
+    require(m * subDim == dim, s"m=$m must divide dim=$dim")
+    val qc = corpus.select(col("vec_id"), vec.quantize(col("embedding")).as("qe"))
+    // Coarse: seeded centroids; each corpus vector files under one list.
+    val seedArr = qc.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").cast("int").as("cid"), col("qe").as("ce"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("ce")))).as("cents"))
+    val lists = coarseAssign(qc, seedArr).select(col("vec_id"), col("cid"))
+    // Each query probes its nprobe nearest centroids (cos DESC, cid ASC).
+    val probes = queries
+      .select(col("vec_id").as("q_id"), vec.quantize(col("embedding")).as("qe"))
+      .crossJoin(broadcast(seedArr))
+      .withColumn("__s", transform(col("cents"),
+        c => struct((-cosQ(col("qe"), c("ce"))).as("ncs"), c("cid").as("cid"))))
+      .select(col("q_id"),
+        explode(transform(slice(array_sort(col("__s")), 1, nprobe),
+          x => x.getField("cid"))).as("p_cid"))
+    // Fine: global PQ codebook; ADC only inside probed lists.
+    val cb = pqCodebook(qc, m, ks, subDim)
+    val scored = pqEncode(qc, cb, subDim)
+      .join(lists, "vec_id")
+      .join(broadcast(probes.join(pqLut(queries, cb, subDim), "q_id")),
+        col("cid") === col("p_cid") && col("vec_id") =!= col("q_id"))
+      .withColumn("adc_dot", adcDot(m))
     rankTopK(scored, k, scoreCol = "adc_dot")
   }
 

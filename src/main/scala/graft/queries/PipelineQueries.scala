@@ -612,6 +612,64 @@ object PipelineQueries {
        |${duckPqTail(subDim)}""".stripMargin
   }
 
+  /** IVF-PQ mirror: seeded coarse centroids route vectors to lists and
+    * queries to nprobe lists (argmax cosine, ties to the smaller cid —
+    * raw centroid ids are pure JOIN keys here, never positional), then
+    * the PQ encode/ADC runs restricted to probed lists.
+    */
+  private def duckIvfPqCtes(numCent: Int = 8, nprobe: Int = 2,
+                            m: Int = 8, ks: Int = 16): String = {
+    require(64 % m == 0, s"m=$m must divide the embedding dim 64")
+    val subDim = 64 / m
+    def cosOf(a: String, b: String) = duckCos.format(a, b, a, a, b, b)
+    s"""${duckPqHead(m, subDim)},
+       |${duckPqSeeds("cb", ks)},
+       |coarse AS (SELECT CAST(vec_id AS INT) AS ccid, qe AS ce FROM c
+       |           WHERE vec_id < $numCent),
+       |lasgr AS (SELECT a.vec_id, s.ccid,
+       |            row_number() OVER (PARTITION BY a.vec_id
+       |              ORDER BY ${cosOf("a.qe", "s.ce")} DESC, s.ccid) AS rn
+       |          FROM c a CROSS JOIN coarse s),
+       |lists AS (SELECT vec_id, ccid FROM lasgr WHERE rn = 1),
+       |qq AS (SELECT vec_id AS q_id, qe FROM c WHERE vec_id < 10),
+       |cpr AS (SELECT q.q_id, s.ccid,
+       |          row_number() OVER (PARTITION BY q.q_id
+       |            ORDER BY ${cosOf("q.qe", "s.ce")} DESC, s.ccid) AS rn
+       |        FROM qq q CROSS JOIN coarse s),
+       |probes AS (SELECT q_id, ccid FROM cpr WHERE rn <= $nprobe),
+       |encr AS (SELECT s.vec_id, s.j, cb.cid,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.j
+       |             ORDER BY list_sum(list_transform(generate_series(1, $subDim),
+       |               i -> (s.sv[i] - cb.cw[i]) * (s.sv[i] - cb.cw[i]))),
+       |               cb.cid) AS rn
+       |         FROM sub s JOIN cb ON s.j = cb.j),
+       |enc AS (SELECT vec_id, j, cid FROM encr WHERE rn = 1),
+       |qsub AS (SELECT vec_id AS q_id, j, sv FROM sub WHERE vec_id < 10),
+       |adc AS (SELECT q.q_id, e.vec_id,
+       |          SUM(list_sum(list_transform(generate_series(1, $subDim),
+       |            i -> q.sv[i] * cb.cw[i]))) AS adc_dot
+       |        FROM enc e JOIN cb ON e.j = cb.j AND e.cid = cb.cid
+       |        JOIN lists l ON l.vec_id = e.vec_id
+       |        JOIN probes p ON p.ccid = l.ccid
+       |        JOIN qsub q ON q.j = e.j AND q.q_id = p.q_id
+       |        WHERE e.vec_id <> p.q_id
+       |        GROUP BY q.q_id, e.vec_id),
+       |pqranked AS (SELECT q_id, vec_id, adc_dot,
+       |               row_number() OVER (PARTITION BY q_id
+       |                 ORDER BY adc_dot DESC, vec_id) AS rnk
+       |             FROM adc)""".stripMargin
+  }
+
+  /** IVF-PQ top-k — coarse lists + PQ codes, the billion-scale serving
+    * index: at rest m bytes + one int per vector, per query nprobe list
+    * scans of O(m) lookups.
+    */
+  val annIvfPq: QueryDef = QueryDef("ann_ivf_pq",
+    (s, dir) => Similarity.ivfPqTopK(embs(s, dir), annQueries(s, dir), 3),
+    Some(s"""WITH ${duckIvfPqCtes()}
+            |SELECT q_id, rnk, vec_id AS nn_id, adc_dot
+            |FROM pqranked WHERE rnk <= 3""".stripMargin))
+
   /** PQ/ADC approximate top-k — the 100 TB ANN memory path (m bytes per
     * vector at rest instead of 4·dim; O(m) table lookups per candidate
     * instead of a dim-length dot).
@@ -977,7 +1035,8 @@ object PipelineQueries {
     dedupSimhashPairs, dedupNgram, dedupIncremental,
     dedupEmbedding, dedupEmbeddingBanded, streamNearDup,
     annTopk, annIvf, annIvfKmeans, annIvfRecall,
-    annPq, annPqKmeans, annPqRerank, annPqRecall, sampleStratified,
+    annPq, annPqKmeans, annPqRerank, annPqRecall, annIvfPq,
+    sampleStratified,
     sampleWeighted, sampleTemperature, sampleShard, samplePack,
     decontaminate, dedupClusters, dedupClusterMembers, dedupClustersStar,
     textStats, textLangid, textTokens, textQualityFilter, textRepetition,

@@ -144,6 +144,37 @@ class PipelineSpec extends AnyFunSuite {
       s"rerank recall $rrRecall fell below ADC recall $recall")
   }
 
+  test("IVF-PQ: probing all lists reproduces plain PQ exactly") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.2f, 0.1f)),
+      (1L, Array(0.9f, 0.2f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.7f, 0.3f)),
+      (3L, Array(0.4f, 0.5f, 0.0f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val q = emb.filter("vec_id < 2")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rnk", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // nprobe = numCentroids: every list probed → identical to pqTopK.
+    val all = Similarity.ivfPqTopK(emb, q, 3, numCentroids = 2, nprobe = 2,
+      m = 2, ks = 4, dim = 4)
+    val pq = Similarity.pqTopK(emb, q, 3, m = 2, ks = 4, dim = 4)
+    assert(key(all) == key(pq))
+    // nprobe = 1: results must be a SUBSET of the full ADC ranking's
+    // pairs (the probe prunes lists, never invents candidates).
+    val one = Similarity.ivfPqTopK(emb, q, 3, numCentroids = 2, nprobe = 1,
+      m = 2, ks = 4, dim = 4)
+    val onePairs = one.select("q_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqPairs = Similarity.pqTopK(emb, q, 4, m = 2, ks = 4, dim = 4)
+      .select("q_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(onePairs.subsetOf(pqPairs))
+    assert(onePairs.nonEmpty)
+  }
+
   test("PQ k-means: lossless codebook is a Lloyd fixed point") {
     val s = spark
     import s.implicits._
