@@ -162,13 +162,24 @@ object Dedup {
     * keyed on band value, cost bounded by |incoming| × bucket size, never
     * |existing|²), and only candidates pay the exact-Jaccard
     * verification. Returns (new_id, old_id, jaccard ≥ threshold); new
-    * docs absent from the result are clean to append.
+    * docs absent from the result have no near-dup in the EXISTING corpus.
     *
-    * Only the EXISTING side is hot-bucket capped: a boilerplate cluster
-    * in the accumulated corpus is the quadratic risk, while the incoming
-    * batch is small by definition — and capping the incoming side would
-    * silently admit a new doc that near-duplicates 500+ old ones, the
-    * single worst doc to let in.
+    * INTRA-BATCH GAP (by design): incoming docs are never paired against
+    * each other — two near-identical docs arriving in the same batch that
+    * match nothing existing are BOTH admitted. A complete ingest runs
+    * [[minHashPairs]] over the incoming batch first (cheap: |incoming|²
+    * is bounded by batch size, not corpus size), then this sweep against
+    * the corpus.
+    *
+    * Only the EXISTING side is hot-bucket capped, and the trade-off is:
+    * an existing boilerplate cluster of 500+ docs is exactly the hot
+    * bucket the cap drops, so a NEW member of that cluster generates no
+    * candidates here and is admitted. Those clusters are the province of
+    * the periodic exact-dedup / cluster-collapse pass (audit them with
+    * [[hotBuckets]]); the cap's job is only to bound the per-ingest
+    * quadratic term. Capping the incoming side instead would buy nothing
+    * (the batch is small by definition) while making the gap
+    * batch-dependent.
     */
   def incrementalNearDups(existing: DataFrame, incoming: DataFrame,
                           k: Int = 8, bandRows: Int = 2,
@@ -284,6 +295,17 @@ object Dedup {
     * join). maxIters caps pathological chains; hitting the cap returns
     * the partially-converged labels (documented, not silent: the result
     * would still be a valid refinement, just not minimal).
+    *
+    * SCALE: propagation is the SMALL-GRAPH / BOUNDED-DIAMETER variant.
+    * Its round count tracks the component diameter and each round pays
+    * fixed job-scheduling + checkpoint overhead that compounds at scale:
+    * the 1000× soak (600M-row corpus, BASELINE.md) measured a 3-decade
+    * scaling exponent of 0.68 with the last decade at 12.2×, vs 0.61 for
+    * [[duplicateClustersStar]], whose star-contraction halves long chains
+    * each round (O(log d) rounds). Prefer `duplicateClustersStar` for
+    * full-corpus sweeps; the two are proven row-identical by
+    * `ScaleInvariants`. Propagation remains the simpler choice for
+    * per-batch graphs (LSH dup groups are near-cliques — diameter ≤ 2-3).
     */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
                         reliable: Boolean = false): DataFrame =
@@ -467,16 +489,27 @@ object Dedup {
     * train_id. Never all-pairs; both shuffles are hash-partitioned on
     * keys whose cardinality grows with corpus size, so this runs at
     * 100 TB train × small holdout with the holdout gram set broadcast.
+    *
+    * The holdout-gram broadcast is EXPLICIT, not estimate-driven: the
+    * `Generate` under each gram explode wrecks plan-time cardinality
+    * (PLANS.md measured est 8.9e9 vs 720 actual on this shape), so any
+    * size-based join choice here is a coin flip that only AQE's runtime
+    * stats would rescue. Holdout/eval sets are small BY CONTRACT (the
+    * benchmark suite, not a corpus), so `broadcast()` pins the one plan
+    * that is right at every scale — the 100 TB train gram frame streams
+    * map-side and is never shuffled for the probe. If a caller ever
+    * passes a corpus-sized "holdout", that misuse surfaces as a
+    * broadcast-size error, not a silent slow plan.
     */
   def contamination(train: DataFrame, holdout: DataFrame, n: Int = 8,
                     maxDf: Int = 100): DataFrame = {
     val t = wordGrams(train, "train_id", n)
     val h = wordGrams(holdout, "holdout_id", n)
     val hKept = h.join(
-      h.groupBy("g").agg(countDistinct("holdout_id").as("df"))
-        .filter(col("df") <= maxDf).select("g"),
+      broadcast(h.groupBy("g").agg(countDistinct("holdout_id").as("df"))
+        .filter(col("df") <= maxDf).select("g")),
       "g")
-    t.join(hKept, "g")
+    t.join(broadcast(hKept), "g")
       .groupBy("train_id")
       .agg(countDistinct("g").as("n_shared_grams"),
         countDistinct("holdout_id").as("n_holdout_docs"))
