@@ -188,10 +188,15 @@ object JobenchPlan {
              sqlDir: String = "/root/reference/jobench",
              expectDir: String = "/root/reference/test/regress/expect/jobench")
       : Seq[Audit] = {
+    // register() leaves the session on USE jobench (the query texts use
+    // unqualified IMDB table names); restore the default database after —
+    // the session is shared, and a leaked current-database breaks every
+    // later unqualified reference to the testdata views.
+    val prevDb = spark.catalog.currentDatabase
     graft.catalog.Jobench.register(spark)
-    sqlFiles(sqlDir).map { case (name, sql) =>
+    try sqlFiles(sqlDir).map { case (name, sql) =>
       audit(spark, name, sql, referenceShape(expectDir, name))
-    }
+    } finally spark.sql(s"USE $prevDb")
   }
 
   def main(args: Array[String]): Unit = {

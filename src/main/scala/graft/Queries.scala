@@ -13,6 +13,7 @@ object Queries {
       Tpch3Queries.defs ++
       TpcdsQueries.defs ++
       Tpcds2Queries.defs ++
+      Tpcds3Queries.defs ++
       JobenchQueries.defs ++
       NistQueries.defs ++
       TemporalQueries.defs ++

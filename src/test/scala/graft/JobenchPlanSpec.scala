@@ -48,8 +48,8 @@ class JobenchPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("stats injection is live: title scans at its IMDB cardinality") {
-    spark.sql("USE jobench")
-    val rc = spark.table("title").queryExecution.optimizedPlan.stats.rowCount
+    val rc = spark.table("jobench.title")
+      .queryExecution.optimizedPlan.stats.rowCount
     assert(rc.contains(BigInt(2528312)))
   }
 }

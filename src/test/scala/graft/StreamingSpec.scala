@@ -198,4 +198,117 @@ class StreamingSpec extends AnyFunSuite {
     assert(df.count() > 0)
     assert(df.columns.toSeq == Seq("w_start", "cnt", "sum_v"))
   }
+
+  // ---- Late / out-of-order data under watermarks ----------------------
+  // The semantics a 100 TB streaming job stakes state-size bounds on:
+  // an event older than (max event time seen - delay) is DROPPED before
+  // aggregation; an out-of-order event still inside the delay is MERGED.
+
+  test("watermark drops a late event from an already-finalized tumbling window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Timestamp]
+    val q = mem.toDF().withColumnRenamed("value", "a0")
+      .withWatermark("a0", "10 seconds")
+      .groupBy(expr("window(a0, '60 seconds')")).count()
+      .selectExpr("window.start AS ws", "count")
+      .writeStream.format("memory").queryName("late_tumble")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_test_ckpt").toString)
+      .start()
+    try {
+      // Batch 1: two rows in the 07:00 window, one at 07:02:30 that
+      // advances the watermark to 07:02:20 (> the 07:00 window's end).
+      mem.addData(
+        Timestamp.valueOf("2020-05-12 07:00:05"),
+        Timestamp.valueOf("2020-05-12 07:00:10"),
+        Timestamp.valueOf("2020-05-12 07:02:30"))
+      q.processAllAvailable()
+      // Batch 2: one LATE row for the closed 07:00 window (07:00:30 <
+      // watermark — must be dropped, not merged) + one fresh row.
+      mem.addData(
+        Timestamp.valueOf("2020-05-12 07:00:30"),
+        Timestamp.valueOf("2020-05-12 07:02:40"))
+      q.processAllAvailable()
+      val got = spark.table("late_tumble").collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      // The finalized 07:00 window appends count=2 — NOT 3: the late row
+      // never reached the aggregation.
+      assert(got == Map(Timestamp.valueOf("2020-05-12 07:00:00") -> 2L), got)
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped == 1, s"expected exactly the one late row dropped, got $dropped")
+    } finally q.stop()
+  }
+
+  test("watermark drops a late event from a finalized session window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Timestamp]
+    val q = mem.toDF().withColumnRenamed("value", "a0")
+      .withWatermark("a0", "10 seconds")
+      .withColumn("k", lit(1))
+      .groupBy($"k", session_window($"a0", "10 seconds")).count()
+      .selectExpr("session_window.start AS ss", "count")
+      .writeStream.format("memory").queryName("late_session")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_test_ckpt").toString)
+      .start()
+    try {
+      // Session [07:00:00, 07:00:15) of two events; 07:05:00 pushes the
+      // watermark to 07:04:50, finalizing it.
+      mem.addData(
+        Timestamp.valueOf("2020-05-12 07:00:00"),
+        Timestamp.valueOf("2020-05-12 07:00:05"),
+        Timestamp.valueOf("2020-05-12 07:05:00"))
+      q.processAllAvailable()
+      // 07:00:07 would EXTEND that session were it on time — late, dropped.
+      mem.addData(Timestamp.valueOf("2020-05-12 07:00:07"))
+      q.processAllAvailable()
+      val got = spark.table("late_session").collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      assert(got == Map(Timestamp.valueOf("2020-05-12 07:00:00") -> 2L), got)
+    } finally q.stop()
+  }
+
+  test("out-of-order event INSIDE the watermark delay is merged, not dropped") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Timestamp]
+    val q = mem.toDF().withColumnRenamed("value", "a0")
+      .withWatermark("a0", "10 minutes")
+      .groupBy(expr("window(a0, '60 seconds')")).count()
+      .selectExpr("window.start AS ws", "count")
+      .writeStream.format("memory").queryName("late_merged")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_test_ckpt").toString)
+      .start()
+    try {
+      mem.addData(
+        Timestamp.valueOf("2020-05-12 07:00:05"),
+        Timestamp.valueOf("2020-05-12 07:02:30"))  // watermark: 06:52:30
+      q.processAllAvailable()
+      // 07:00:30 arrives out of order but AFTER the watermark — the 10
+      // minute delay is the contract that it still counts.
+      mem.addData(Timestamp.valueOf("2020-05-12 07:00:30"))
+      q.processAllAvailable()
+      // Advance the watermark past the 07:00 window to force emission.
+      mem.addData(Timestamp.valueOf("2020-05-12 07:20:00"))
+      q.processAllAvailable()
+      mem.addData(Timestamp.valueOf("2020-05-12 07:40:00"))
+      q.processAllAvailable()
+      val got = spark.table("late_merged").collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      // 07:00:05 (batch 1) + 07:00:30 (out-of-order, in-delay) = 2; a
+      // wrongly-dropped late row would leave the window at 1.
+      assert(got.get(Timestamp.valueOf("2020-05-12 07:00:00")).contains(2L),
+        s"in-delay row must be merged: $got")
+    } finally q.stop()
+  }
 }
