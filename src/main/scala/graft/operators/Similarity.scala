@@ -333,6 +333,80 @@ object Similarity {
     rankTopK(scored, k, scoreCol = "adc_dot")
   }
 
+  /** Residual IVF-PQ — true IVFADC: PQ encodes each vector's RESIDUAL
+    * against its coarse centroid (`qe − ce`, exact on the integer grid)
+    * instead of the raw vector, and the score adds the coarse term back:
+    * `dot(q, x) ≈ dot(q, ce_x) + ADC_q(codes(x − ce_x))`. Residuals
+    * concentrate near the origin with far less spread than raw vectors,
+    * so the same `m × ks` code budget quantizes them with lower error —
+    * the standard accuracy win of IVFADC (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011, §IV.B) —
+    * gated here by `SimilaritySpec`'s recall comparison against
+    * [[ivfPqTopK]] at the identical budget.
+    *
+    * Scale shape adds only [[ivfKmeansTopK]]'s coarse Lloyd step to
+    * [[ivfPqTopK]]'s plan (one K×dim partial-sum aggregate — see that
+    * method's scaladoc for why the centroid mean is required, not
+    * optional, under residual encoding): residual computation is one
+    * broadcast-join narrow projection (the centroid table is
+    * `numCentroids` rows); the LUT stays per-query-only (it scores the
+    * residual codewords against the RAW query — the `dot(q, ce)` probe
+    * offset, |queries| × nprobe numbers, carries the coarse part), so
+    * nothing new shuffles and the corpus is still never broadcast. One
+    * global residual codebook (shared across lists) keeps the code
+    * budget and the oracle derivation identical to the non-residual
+    * variant; per-list codebooks are the classical further refinement.
+    */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        numCentroids: Int = 8, nprobe: Int = 2,
+                        m: Int = 8, ks: Int = 16, dim: Int = 64): DataFrame = {
+    val subDim = dim / m
+    require(m * subDim == dim, s"m=$m must divide dim=$dim")
+    val qc = corpus.select(col("vec_id"), vec.quantize(col("embedding")).as("qe"))
+    val seedArr = qc.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").cast("int").as("cid"), col("qe").as("ce"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("ce")))).as("cents"))
+    // One coarse Lloyd step (same floor-mean-on-the-integer-grid as
+    // ivfKmeansTopK) is LOAD-BEARING here, not an optional refinement:
+    // residuals only concentrate when the centroid is near its list's
+    // MEAN. Against raw seed vectors E‖x − c‖² ≈ ‖x‖² + ‖c‖² (unrelated
+    // vectors), i.e. residuals GROW and measured recall drops below the
+    // non-residual variant (0.17 vs 0.27 on the sf0.001 gate data).
+    val asg1 = coarseAssign(qc, seedArr)
+    val sums = (1 to dim).map(d => sum(element_at(col("qe"), d)).as(s"s$d"))
+    val centFlat = asg1.groupBy("cid")
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("cid"), array((1 to dim).map(d =>
+        floor(col(s"s$d") / col("n")).cast("double")): _*).as("ce"))
+    val centArr = centFlat
+      .agg(sort_array(collect_list(struct(col("cid"), col("ce")))).as("cents"))
+      .cache()
+    // Residual on the quantized grid: integer − integer is exact, so
+    // codebook training, encoding and ADC stay oracle-reproducible.
+    val resid = coarseAssign(qc, centArr)
+      .join(broadcast(centFlat), "cid")
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("qe"), col("ce"), (a, b) => a - b).as("qe"))
+    val cb = pqCodebook(resid.select("vec_id", "qe"), m, ks, subDim)
+    // Probe selection as in ivfPqTopK (cos DESC, cid ASC), each probe
+    // carrying its dot(q, ce) offset for the score reconstruction.
+    val probes = queries
+      .select(col("vec_id").as("q_id"), vec.quantize(col("embedding")).as("qe"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("__s", transform(col("cents"),
+        c => struct((-cosQ(col("qe"), c("ce"))).as("ncs"), c("cid").as("cid"),
+          vec.dot(col("qe"), c("ce")).as("qd"))))
+      .select(col("q_id"),
+        explode(slice(array_sort(col("__s")), 1, nprobe)).as("p"))
+      .select(col("q_id"), col("p.cid").as("p_cid"), col("p.qd").as("q_ce_dot"))
+    val scored = pqEncode(resid.select("vec_id", "qe"), cb, subDim)
+      .join(resid.select("vec_id", "cid"), "vec_id")
+      .join(broadcast(probes.join(pqLut(queries, cb, subDim), "q_id")),
+        col("cid") === col("p_cid") && col("vec_id") =!= col("q_id"))
+      .withColumn("adc_dot", col("q_ce_dot") + adcDot(m))
+    rankTopK(scored, k, scoreCol = "adc_dot")
+  }
+
   /** PQ top-k with a TRAINED codebook: one Lloyd refinement of the
     * seeded sub-codebooks before encode/ADC — assign every subvector to
     * its nearest seed codeword (argmin L2, ties to the smaller cid),

@@ -670,6 +670,85 @@ object PipelineQueries {
             |SELECT q_id, rnk, vec_id AS nn_id, adc_dot
             |FROM pqranked WHERE rnk <= 3""".stripMargin))
 
+  /** Residual IVF-PQ mirror (true IVFADC): the codebook is seeded from
+    * and encodes RESIDUALS (qe − assigned coarse centroid, exact integer
+    * grid), the LUT scores residual codewords against the RAW query, and
+    * each probe adds its dot(q, ce) offset back into the score.
+    */
+  private def duckIvfPqResidualCtes(numCent: Int = 8, nprobe: Int = 2,
+                                    m: Int = 8, ks: Int = 16): String = {
+    require(64 % m == 0, s"m=$m must divide the embedding dim 64")
+    val subDim = 64 / m
+    def cosOf(a: String, b: String) = duckCos.format(a, b, a, a, b, b)
+    s"""${duckPqHead(m, subDim)},
+       |seeds AS (SELECT CAST(vec_id AS INT) AS ccid, qe AS ce FROM c
+       |          WHERE vec_id < $numCent),
+       |la1 AS (SELECT a.vec_id, a.qe, s.ccid,
+       |          row_number() OVER (PARTITION BY a.vec_id
+       |            ORDER BY ${cosOf("a.qe", "s.ce")} DESC, s.ccid) AS rn
+       |        FROM c a CROSS JOIN seeds s),
+       |lasg1 AS (SELECT vec_id, qe, ccid FROM la1 WHERE rn = 1),
+       |coarse AS (SELECT ccid, list(fd ORDER BY d) AS ce FROM (
+       |             SELECT ccid, d, FLOOR(SUM(qe[d]) / COUNT(*)) AS fd
+       |             FROM lasg1, (SELECT unnest(generate_series(1, 64)) AS d) dims
+       |             GROUP BY ccid, d) GROUP BY ccid),
+       |lasgr AS (SELECT a.vec_id, s.ccid,
+       |            row_number() OVER (PARTITION BY a.vec_id
+       |              ORDER BY ${cosOf("a.qe", "s.ce")} DESC, s.ccid) AS rn
+       |          FROM c a CROSS JOIN coarse s),
+       |lists AS (SELECT vec_id, ccid FROM lasgr WHERE rn = 1),
+       |rc AS (SELECT c.vec_id, l.ccid,
+       |         list_transform(generate_series(1, 64),
+       |           i -> c.qe[i] - co.ce[i]) AS qe
+       |       FROM c JOIN lists l ON l.vec_id = c.vec_id
+       |       JOIN coarse co ON co.ccid = l.ccid),
+       |rsub AS (SELECT vec_id, j,
+       |           qe[j * $subDim + 1 : j * $subDim + $subDim] AS sv
+       |         FROM rc, (SELECT unnest(generate_series(0, ${m - 1})) AS j) js),
+       |cb AS (SELECT j,
+       |         CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1
+       |              AS INT) AS cid, sv AS cw
+       |       FROM rsub WHERE vec_id < $ks),
+       |encr AS (SELECT s.vec_id, s.j, cb.cid,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.j
+       |             ORDER BY list_sum(list_transform(generate_series(1, $subDim),
+       |               i -> (s.sv[i] - cb.cw[i]) * (s.sv[i] - cb.cw[i]))),
+       |               cb.cid) AS rn
+       |         FROM rsub s JOIN cb ON s.j = cb.j),
+       |enc AS (SELECT vec_id, j, cid FROM encr WHERE rn = 1),
+       |qq AS (SELECT vec_id AS q_id, qe FROM c WHERE vec_id < 10),
+       |qsub AS (SELECT vec_id AS q_id, j, sv FROM sub WHERE vec_id < 10),
+       |cpr AS (SELECT q.q_id, s.ccid,
+       |          list_dot_product(q.qe, s.ce) AS qdot,
+       |          row_number() OVER (PARTITION BY q.q_id
+       |            ORDER BY ${cosOf("q.qe", "s.ce")} DESC, s.ccid) AS rn
+       |        FROM qq q CROSS JOIN coarse s),
+       |probes AS (SELECT q_id, ccid, qdot FROM cpr WHERE rn <= $nprobe),
+       |adc AS (SELECT q.q_id, e.vec_id,
+       |          p.qdot + SUM(list_sum(list_transform(generate_series(1, $subDim),
+       |            i -> q.sv[i] * cb.cw[i]))) AS adc_dot
+       |        FROM enc e JOIN cb ON e.j = cb.j AND e.cid = cb.cid
+       |        JOIN lists l ON l.vec_id = e.vec_id
+       |        JOIN probes p ON p.ccid = l.ccid
+       |        JOIN qsub q ON q.j = e.j AND q.q_id = p.q_id
+       |        WHERE e.vec_id <> p.q_id
+       |        GROUP BY q.q_id, e.vec_id, p.qdot),
+       |pqranked AS (SELECT q_id, vec_id, adc_dot,
+       |               row_number() OVER (PARTITION BY q_id
+       |                 ORDER BY adc_dot DESC, vec_id) AS rnk
+       |             FROM adc)""".stripMargin
+  }
+
+  /** Residual IVF-PQ top-k — the true-IVFADC accuracy refinement at the
+    * identical m × ks code budget; recall-vs-non-residual gated by
+    * SimilaritySpec.
+    */
+  val annIvfPqResidual: QueryDef = QueryDef("ann_ivf_pq_residual",
+    (s, dir) => Similarity.ivfPqResidualTopK(embs(s, dir), annQueries(s, dir), 3),
+    Some(s"""WITH ${duckIvfPqResidualCtes()}
+            |SELECT q_id, rnk, vec_id AS nn_id, adc_dot
+            |FROM pqranked WHERE rnk <= 3""".stripMargin))
+
   /** PQ/ADC approximate top-k — the 100 TB ANN memory path (m bytes per
     * vector at rest instead of 4·dim; O(m) table lookups per candidate
     * instead of a dim-length dot).
@@ -1035,7 +1114,7 @@ object PipelineQueries {
     dedupSimhashPairs, dedupNgram, dedupIncremental,
     dedupEmbedding, dedupEmbeddingBanded, streamNearDup,
     annTopk, annIvf, annIvfKmeans, annIvfRecall,
-    annPq, annPqKmeans, annPqRerank, annPqRecall, annIvfPq,
+    annPq, annPqKmeans, annPqRerank, annPqRecall, annIvfPq, annIvfPqResidual,
     sampleStratified,
     sampleWeighted, sampleTemperature, sampleShard, samplePack,
     decontaminate, dedupClusters, dedupClusterMembers, dedupClustersStar,

@@ -175,6 +175,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(onePairs.nonEmpty)
   }
 
+  test("residual IVF-PQ: recall vs exact dot >= non-residual at the same code budget") {
+    val emb = graft.catalog.Tables.load(spark, sfDir, "embeddings")
+    val q = emb.filter("vec_id < 10")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.dotTopK(emb, q, 3))
+    val plain = pairs(Similarity.ivfPqTopK(emb, q, 3))
+    val resid = pairs(Similarity.ivfPqResidualTopK(emb, q, 3))
+    val rPlain = (exact & plain).size.toDouble / exact.size
+    val rResid = (exact & resid).size.toDouble / exact.size
+    // Same coarse stage, same probed lists, same m × ks budget — encoding
+    // residuals (tighter spread around the origin) plus the exact
+    // dot(q, ce) offset must not lose to raw-vector encoding.
+    assert(rResid >= rPlain,
+      s"residual recall $rResid < non-residual $rPlain")
+  }
+
   test("PQ k-means: lossless codebook is a Lloyd fixed point") {
     val s = spark
     import s.implicits._
