@@ -175,6 +175,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(onePairs.nonEmpty)
   }
 
+  test("residual IVF-PQ beats non-residual on CLUSTERED embeddings") {
+    // The testdata embeddings are near-random (no cluster structure), so
+    // the corpus gate above can only assert parity. This fixture is the
+    // case IVFADC exists for: tight clusters around well-separated
+    // centers, where the coarse stage absorbs the center and the PQ
+    // codebook spends its whole budget on the small residual offsets.
+    val s = spark
+    import s.implicits._
+    val dim = 8
+    val centers = (0 until 4).map { c =>
+      Array.tabulate(dim)(d => if (d == c * 2) 100.0f else 0.0f)
+    }
+    // id % 4 = cluster, so PQ seeds (vec_id < ks) span all clusters for
+    // BOTH variants; offsets are deterministic and member-unique.
+    val emb = (0 until 120).map { id =>
+      val c = id % 4
+      val v = centers(c).clone()
+      (0 until dim).foreach { d =>
+        v(d) += ((id * 7 + d * 3) % 11 - 5) * 0.9f
+      }
+      (id.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter("vec_id < 8")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.dotTopK(emb, q, 3))
+    val plain = pairs(Similarity.ivfPqTopK(emb, q, 3,
+      numCentroids = 4, nprobe = 2, m = 4, ks = 8, dim = dim))
+    val resid = pairs(Similarity.ivfPqResidualTopK(emb, q, 3,
+      numCentroids = 4, nprobe = 2, m = 4, ks = 8, dim = dim))
+    val rPlain = (exact & plain).size.toDouble / exact.size
+    val rResid = (exact & resid).size.toDouble / exact.size
+    info(f"clustered recall@3: residual $rResid%.3f vs plain $rPlain%.3f")
+    assert(rResid > rPlain,
+      s"residual must strictly win on clustered data: $rResid vs $rPlain")
+  }
+
   test("residual IVF-PQ: recall vs exact dot >= non-residual at the same code budget") {
     val emb = graft.catalog.Tables.load(spark, sfDir, "embeddings")
     val q = emb.filter("vec_id < 10")
