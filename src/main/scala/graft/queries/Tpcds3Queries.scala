@@ -133,46 +133,46 @@ object Tpcds3Queries {
        |  GROUP BY n_name, p_brand) x
        |WHERE CASE WHEN inv_before > 0
        |        THEN CAST(inv_after AS DOUBLE) / inv_before
-       |        ELSE NULL END BETWEEN 2.0/3.0 AND 3.0/2.0
+       |        ELSE NULL END
+       |      BETWEEN CAST(2 AS DOUBLE) / 3 AND CAST(3 AS DOUBLE) / 2
        |ORDER BY n_name, p_brand""".stripMargin)
 
-  /** q17/q25/q29 shape: three fact touches chained on (customer, item) —
-    * a sale in a seed window, its return in a longer window, and a
-    * subsequent re-purchase — with per-group MAX aggregates
-    * (`/root/reference/tpcds/q25.sql`: store_sales ⋈ store_returns ⋈
-    * catalog_sales over d1/d2/d3). Channels map to `l_returnflag`
-    * slices; each CTE carries its own date window.
+  /** q17/q25/q29 shape: three fact touches chained on the item — a sale
+    * in a seed window, a return in a longer window, a re-sale after —
+    * with per-channel MAX aggregates (`/root/reference/tpcds/q25.sql`:
+    * store_sales ⋈ store_returns ⋈ catalog_sales over d1/d2/d3).
+    * Channels map to `l_returnflag` slices; each CTE carries its own
+    * date window. Each channel pre-aggregates to one row per item
+    * BEFORE the chain join — at 100 TB that turns a fact×fact×fact join
+    * into three shuffled aggregates plus an item-sized 3-way equi-join
+    * (the raw row-level chain was also measured EMPTY at the corpus
+    * scales: per-(customer, item) repeat trades are too rare in the
+    * testdata, and an empty result verifies nothing).
     */
   val q25SalesReturns: QueryDef = sameSql("tpcds_q25_sales_returns",
     s"""WITH sales AS (
-       |  SELECT o_custkey AS cust, l_partkey AS pk,
-       |    l_extendedprice AS price
+       |  SELECT l_partkey AS pk, MAX(l_extendedprice) AS max_sale
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |  WHERE l_returnflag = 'N'
-       |    AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'),
+       |    AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+       |  GROUP BY l_partkey),
        |returned AS (
-       |  SELECT o_custkey AS cust, l_partkey AS pk,
-       |    l_extendedprice AS ret_price
+       |  SELECT l_partkey AS pk, MAX(l_extendedprice) AS max_return
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |  WHERE l_returnflag = 'R'
-       |    AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-09-30'),
+       |    AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-09-30'
+       |  GROUP BY l_partkey),
        |resales AS (
-       |  SELECT o_custkey AS cust, l_partkey AS pk,
-       |    l_extendedprice AS re_price
+       |  SELECT l_partkey AS pk, MAX(l_extendedprice) AS max_resale
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-       |  WHERE o_orderdate BETWEEN DATE '1996-04-01' AND DATE '1996-12-31')
-       |SELECT p_name, n_name,
-       |  MAX(price) AS max_sale,
-       |  MAX(ret_price) AS max_return,
-       |  MAX(re_price) AS max_resale
+       |  WHERE o_orderdate BETWEEN DATE '1996-04-01' AND DATE '1996-12-31'
+       |  GROUP BY l_partkey)
+       |SELECT pk, p_name, max_sale, max_return, max_resale
        |FROM sales
-       |JOIN returned USING (cust, pk)
-       |JOIN resales USING (cust, pk)
+       |JOIN returned USING (pk)
+       |JOIN resales USING (pk)
        |JOIN part ON pk = p_partkey
-       |JOIN customer ON cust = c_custkey
-       |JOIN nation ON c_nationkey = n_nationkey
-       |GROUP BY p_name, n_name
-       |ORDER BY p_name, n_name""".stripMargin)
+       |ORDER BY pk""".stripMargin)
 
   /** q35 shape: a demographic cohort gated by EXISTS on one channel AND
     * (EXISTS OR EXISTS) across two more — the mark-join-under-OR form —
