@@ -668,7 +668,8 @@ object PipelineQueries {
     (s, dir) => Similarity.ivfPqTopK(embs(s, dir), annQueries(s, dir), 3),
     Some(s"""WITH ${duckIvfPqCtes()}
             |SELECT q_id, rnk, vec_id AS nn_id, adc_dot
-            |FROM pqranked WHERE rnk <= 3""".stripMargin))
+            |FROM pqranked WHERE rnk <= 3""".stripMargin),
+    bench = true)
 
   /** Residual IVF-PQ mirror (true IVFADC): the codebook is seeded from
     * and encodes RESIDUALS (qe − assigned coarse centroid, exact integer
@@ -747,7 +748,8 @@ object PipelineQueries {
     (s, dir) => Similarity.ivfPqResidualTopK(embs(s, dir), annQueries(s, dir), 3),
     Some(s"""WITH ${duckIvfPqResidualCtes()}
             |SELECT q_id, rnk, vec_id AS nn_id, adc_dot
-            |FROM pqranked WHERE rnk <= 3""".stripMargin))
+            |FROM pqranked WHERE rnk <= 3""".stripMargin),
+    bench = true)
 
   /** PQ/ADC approximate top-k — the 100 TB ANN memory path (m bytes per
     * vector at rest instead of 4·dim; O(m) table lookups per candidate
