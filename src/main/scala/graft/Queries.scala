@@ -36,7 +36,8 @@ object Queries {
     * queries; their semantics are asserted by dedicated specs
     * (PlanIntrospectionSpec) instead.
     */
-  def introspection: Seq[QueryDef] = Seq(SourceSinkQueries.sysPlanNodes)
+  def introspection: Seq[QueryDef] =
+    Seq(SourceSinkQueries.sysPlanNodes, SourceSinkQueries.sysRuleTrace)
 
   lazy val byName: Map[String, QueryDef] =
     (all ++ introspection).map(d => d.name -> d).toMap

@@ -70,6 +70,36 @@ object PlanIntrospection {
   def executedProfile(df: DataFrame): Seq[(Int, Int, String, Option[Long])] =
     estimateVsActual(df).map(p => (p.ord, p.depth, p.node, p.actualRows))
 
+  /** The optimizer's DERIVATION as rows — the closest Catalyst analog to
+    * the reference's memo-exploration tables (`sys_memo_expr` renders
+    * every logically-equivalent alternative the memo explored,
+    * `optimizer.cs:1239-1328`). Catalyst is a rewrite system, not a memo:
+    * what it "explored" is the rule sequence, so this surface renders the
+    * per-rule planning summary — invocations, EFFECTIVE invocations (the
+    * rule actually rewrote the plan), and planning time — for every rule
+    * that fired effectively at least once while analyzing/optimizing/
+    * planning `df`. SELECTing it answers the questions the reference's
+    * memo tables answer ("did join reorder engage? what did resolution
+    * cost?") in Catalyst's vocabulary.
+    *
+    * Rule NAMES and effective-counts are deterministic for a fixed query
+    * and conf; `time_ns` is wall-clock and is exposed for profiling, not
+    * comparison.
+    */
+  def ruleTrace(spark: SparkSession, df: DataFrame): DataFrame = {
+    val qe = df.queryExecution
+    qe.executedPlan // force analyze → optimize → plan under the tracker
+    import spark.implicits._
+    qe.tracker.rules.toSeq
+      .map { case (rule, s) =>
+        (rule.substring(rule.lastIndexOf('.') + 1),
+          s.numInvocations, s.numEffectiveInvocations, s.totalTimeNs)
+      }
+      .filter(_._3 > 0)
+      .sortBy { case (name, _, eff, _) => (-eff, name) }
+      .toDF("rule", "invocations", "effective", "time_ns")
+  }
+
   /** Estimated rows the optimizer planned a physical operator from —
     * the CBO's rowCount when the estimation chain produced one, else the
     * size-based fallback sizeInBytes / sizePerRow, which is the same

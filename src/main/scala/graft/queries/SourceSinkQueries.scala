@@ -176,6 +176,24 @@ object SourceSinkQueries {
     },
     None)
 
+  /** Optimizer rule-trace introspection (the reference's memo
+    * EXPLORATION surface, `sys_memo_expr`): which analyzer/optimizer/
+    * planner rules effectively rewrote a representative query, as rows.
+    * Engine-specific by nature → oracle-less, semantics asserted by
+    * PlanIntrospectionSpec.
+    */
+  val sysRuleTrace: QueryDef = QueryDef("sys_rule_trace",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      val probe = s.sql(
+        """SELECT n_name, COUNT(*) AS c FROM customer
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE n_regionkey < 3 AND c_acctbal > 0
+          |GROUP BY n_name""".stripMargin)
+      graft.api.PlanIntrospection.ruleTrace(s, probe)
+    },
+    None)
+
   /** DataFrame DSL façade (reference DataSet stmt.cs:957-1034): the same
     * query built through Read/filter/join/select, verified against plain
     * SQL.

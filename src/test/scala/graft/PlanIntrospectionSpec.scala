@@ -113,4 +113,41 @@ class PlanIntrospectionSpec extends AnyFunSuite {
       Seq("phase", "ord", "depth", "node", "est_rows", "rows"))
     assert(ex.filter("est_rows IS NOT NULL AND rows IS NOT NULL").count() > 0)
   }
+
+  test("rule trace renders the optimizer derivation as queryable rows") {
+    graft.catalog.Tables.registerAll(spark, sfDir)
+    val probe = spark.sql(
+      """SELECT n_name, COUNT(*) AS c FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_regionkey < 3 AND c_acctbal > 0
+        |GROUP BY n_name""".stripMargin)
+    val trace = graft.api.PlanIntrospection.ruleTrace(spark, probe)
+    trace.createOrReplaceTempView("sys_rules")
+    assert(trace.columns.toSeq ==
+      Seq("rule", "invocations", "effective", "time_ns"))
+    // Only effective rules are rendered, and counts are consistent.
+    assert(spark.sql(
+      """SELECT COUNT(*) FROM sys_rules
+        |WHERE effective < 1 OR invocations < effective""".stripMargin)
+      .head().getLong(0) == 0)
+    val rules = spark.sql("SELECT rule FROM sys_rules")
+      .collect().map(_.getString(0)).toSet
+    assert(rules.nonEmpty)
+    // The signature optimizer work for a filtered join must have fired:
+    // predicate pushdown (the WHERE reaches both scans) and resolution.
+    assert(rules.exists(r => r.contains("PushDownPredicates") ||
+      r.contains("PushPredicateThroughJoin")),
+      s"no pushdown rule in trace: $rules")
+    assert(rules.exists(_.contains("ResolveReferences")), rules)
+    // Deterministic: a second planning of the same query yields the same
+    // effective rule set (times differ; names and counts must not).
+    val again = graft.api.PlanIntrospection.ruleTrace(spark,
+      spark.sql(probe.queryExecution.logical.origin.sqlText.getOrElse(
+        """SELECT n_name, COUNT(*) AS c FROM customer
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE n_regionkey < 3 AND c_acctbal > 0
+          |GROUP BY n_name""".stripMargin)))
+      .select("rule").collect().map(_.getString(0)).toSet
+    assert(again == rules)
+  }
 }
