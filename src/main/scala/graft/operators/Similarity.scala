@@ -270,11 +270,19 @@ object Similarity {
            |    (a, b) -> a * b), 0D, (acc, v) -> acc + v)))""".stripMargin))
       .select(col("q_id"), col("lut"))
 
-  /** The ADC score: m table lookups per (vector, query), never a full dot. */
-  private def adcDot(m: Int) = expr(
-    s"""aggregate(sequence(0, ${m - 1}), 0D, (acc, j) ->
-       |  acc + element_at(element_at(lut, j + 1),
-       |                   element_at(codes, j + 1) + 1))""".stripMargin)
+  /** The ADC score: m table lookups per (vector, query), never a full
+    * dot — as the NATIVE codegen'd AdcDot expression. The composed
+    * `aggregate(sequence(0, m-1), …)` lambda form computes the same IEEE
+    * sum but runs interpreted; at 2M vectors × 10 queries the interpreter
+    * was ~25× the whole-query wall-clock (r9 third-decade soak, see
+    * BASELINE.md). `codes` carries m ints, `lut` m×ks doubles;
+    * lut[j][codes[j]] summed left-to-right — bit-identical to the lambda
+    * and to the oracle's per-subspace join-sum.
+    */
+  private def adcDot(m: Int) = {
+    val _ = m // length is carried by the arrays themselves
+    graft.functions.vec.adcDot(col("lut"), col("codes"))
+  }
 
   /** Encode + ADC-score + rank against a given broadcast codebook — the
     * shared tail of [[pqTopK]] (seeded) and [[pqKmeansTopK]] (trained).

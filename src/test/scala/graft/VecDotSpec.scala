@@ -91,6 +91,43 @@ class VecDotSpec extends AnyFunSuite {
     assert(r == 11.0)
   }
 
+  test("adc_dot is bit-identical to the interpreted aggregate/element_at form") {
+    val s = spark
+    import s.implicits._
+    // m=3 subspaces, ks=4 codewords: lut[j][codes[j]] summed left-to-right.
+    val df = Seq(
+      (Array(Array(0.1, 0.2, 0.3, 0.4),
+             Array(-1.5, 2.5, 0.0, 7.25),
+             Array(3.0, -3.0, 0.125, 9.0)),
+       Array(2, 0, 3)),
+      (Array(Array(1e-17, 1.0, 0.0, 0.0),
+             Array(1.0, -1.0, 0.0, 0.0),
+             Array(-1.0, 1e-17, 0.0, 0.0)),
+       Array(0, 0, 0)) // order-sensitive sum: pins left-to-right IEEE order
+    ).toDF("lut", "codes")
+    val native = df.select(vec.adcDot($"lut", $"codes").as("d"))
+      .collect().map(r => java.lang.Double.doubleToLongBits(r.getDouble(0))).toSeq
+    val composed = df.selectExpr(
+      """aggregate(sequence(0, 2), 0D, (acc, j) ->
+        |  acc + element_at(element_at(lut, j + 1),
+        |                   element_at(codes, j + 1) + 1)) AS d""".stripMargin)
+      .collect().map(r => java.lang.Double.doubleToLongBits(r.getDouble(0))).toSeq
+    assert(native == composed)
+    assert(native.head == java.lang.Double.doubleToLongBits(0.3 + -1.5 + 9.0))
+  }
+
+  test("adc_dot propagates null and rejects wrong input types") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Option.empty[Array[Array[Double]]], Option(Array(0))))
+      .toDF("lut", "codes")
+    assert(df.select(vec.adcDot($"lut", $"codes")).head().isNullAt(0))
+    val bad = Seq((Array(1.0, 2.0), Array(0))).toDF("lut", "codes")
+    val e = intercept[Exception](
+      bad.select(vec.adcDot($"lut", $"codes")).collect())
+    assert(e.getMessage.toLowerCase.contains("adc_dot"))
+  }
+
   test("minhash_sig equals the composable transform/array_min form") {
     val s = spark
     import s.implicits._
