@@ -66,11 +66,29 @@ object Tables {
       replicatedRootPaths.add(fs.makeQualified(p))
     }
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    if (name == "events") normalizeTs(raw) else raw
+  }
+
+  /** Normalize the events `ts` column across testdata generations to the
+    * engine's session-timezone TIMESTAMP (LTZ):
+    *  - TIMESTAMP(NANOS) parquet arrives as LongType nanos under
+    *    nanosAsLong and is floor-converted to micros (same truncation
+    *    DuckDB applies);
+    *  - naive TIMESTAMP(MICROS) parquet (isAdjustedToUTC=false) arrives
+    *    as TIMESTAMP_NTZ and is cast — under the engine's fixed UTC
+    *    session timezone the wall-clock values are preserved exactly,
+    *    matching how DuckDB reads the same file. The cast also restores
+    *    watermark eligibility (EventTimeWatermark requires LTZ);
+    *  - Spark-written corpora (ScaleGen) are already LTZ and pass through.
+    */
+  def normalizeTs(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
       raw.withColumn("ts",
         org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    case _ => raw
   }
 
   /** Register every table as a temp view (idempotent while the session

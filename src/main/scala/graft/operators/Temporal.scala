@@ -86,4 +86,39 @@ object Temporal {
       .filter(col(pointTime) >= col(lo) && col(pointTime) < col(hi))
       .drop("__bin")
   }
+
+  /** Gap-filled resample with forward fill: bucket an event stream to a
+    * fixed interval per key, materialize EVERY bucket between each key's
+    * first and last observation, and carry the last observed value into
+    * the empty buckets — the regularization step in front of any
+    * window-feature or time-series model.
+    *
+    * The bucket aggregate is `max(value)` (deterministic and
+    * drift-free across engines; swap the aggregate upstream if another
+    * summary is wanted). The dense grid comes from `sequence()` exploded
+    * per key — grid size is span/interval per key, a deliberate,
+    * queryable densification, not a join blow-up — and the fill is one
+    * window pass per key in time order. Plan: one shuffle for the bucket
+    * groupBy, one for the window; the span aggregate rides the first
+    * shuffle. No leading nulls by construction: each key's grid starts
+    * at its own first OBSERVED bucket.
+    *
+    * Output: (key, bucket `h`, filled value `v`, `observed` flag).
+    */
+  def resampleFfill(events: DataFrame, key: String, time: String,
+                    value: String, intervalSql: String): DataFrame = {
+    val bucketed = events
+      .groupBy(col(key), date_trunc(intervalSql, col(time)).as("h"))
+      .agg(max(col(value)).as("v_obs"))
+    val grid = bucketed
+      .groupBy(col(key)).agg(min("h").as("lo"), max("h").as("hi"))
+      .select(col(key), explode(expr(
+        s"sequence(lo, hi, interval 1 $intervalSql)")).as("h"))
+    val w = Window.partitionBy(key).orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(bucketed, Seq(key, "h"), "left")
+      .select(col(key), col("h"),
+        last(col("v_obs"), ignoreNulls = true).over(w).as("v"),
+        col("v_obs").isNotNull.as("observed"))
+  }
 }

@@ -23,18 +23,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Streams {
 
   /** Unbounded scan over the events table. Layout- and type-tolerant
-    * like the batch path (`Tables.load`): the driver's testdata is one
-    * TIMESTAMP(NANOS) file (ts arrives as nanos-long under the engine's
-    * nanosAsLong conf and is floor-converted here), while Spark-written
-    * corpora (ScaleGen) are part-file DIRECTORIES with proper
-    * TIMESTAMP(MICROS) — those stream as-is.
+    * like the batch path: `ts` is normalized through
+    * `Tables.normalizeTs` (nanos-long / naive-micros NTZ / LTZ — the
+    * three testdata generations), which also keeps the column
+    * watermark-eligible (EventTimeWatermark requires LTZ). Spark-written
+    * corpora (ScaleGen) are part-file DIRECTORIES and pass through.
     */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val raw = tableStream(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
-  }
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    graft.catalog.Tables.normalizeTs(tableStream(spark, dir, "events"))
 
   /** Unbounded scan over one table of an sf dir, tolerant of both
     * layouts: the driver's testdata is one FILE per table (the file
