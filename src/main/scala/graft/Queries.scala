@@ -28,7 +28,8 @@ object Queries {
       SourceSinkQueries.defs ++
       ExtraQueries.defs ++
       Extra2Queries.defs ++
-      Extra3Queries.defs
+      Extra3Queries.defs ++
+      Extra4Queries.defs
 
   /** Runnable queries that by construction can have NO DuckDB oracle
     * (plan introspection: the rows describe engine-specific plan shape).

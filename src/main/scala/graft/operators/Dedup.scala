@@ -515,6 +515,43 @@ object Dedup {
         countDistinct("holdout_id").as("n_holdout_docs"))
   }
 
+  /** Blocked edit-distance near-dup pairs: candidate pairs share a text
+    * prefix block and have similar lengths, and survivors are within
+    * `maxDist` Levenshtein edits — the high-precision small-edit sweep
+    * (typo fixes, template fill-ins) that MinHash's bag-of-shingles view
+    * under-weighs.
+    *
+    * Scale shape: the blocking join is a plain hash equi-join on the
+    * `prefixLen`-char prefix — never all-pairs — and each block is a
+    * near-identical-prefix cluster, sized like an LSH band bucket, so
+    * the in-block quadratic term is bounded the same way (see
+    * [[minHashPairs]]). The length tolerance prunes before the DP, and
+    * the edit distance itself is Spark's bounded `levenshtein(l, r,
+    * threshold)` (3-arg form), which abandons a pair as soon as the
+    * distance provably exceeds `maxDist` — O(maxDist·len), not
+    * O(len²), per candidate. Edits inside the first `prefixLen` chars
+    * move a doc to a different block and are missed by construction:
+    * that is the standard blocking trade-off, and the MinHash sweep is
+    * the recall backstop for those.
+    */
+  def blockedEditDistancePairs(docs: DataFrame, prefixLen: Int = 16,
+                               lenTol: Int = 20,
+                               maxDist: Int = 30): DataFrame = {
+    val side = docs.select(col("doc_id"), col("text"),
+      substring(col("text"), 1, prefixLen).as("blk"),
+      length(col("text")).as("len"))
+    val a = side.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+      col("blk"), col("len").as("la"))
+    val b = side.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+      col("blk"), col("len").as("lb"))
+    a.join(b, "blk")
+      .where(col("doc_a") < col("doc_b") &&
+        abs(col("la") - col("lb")) <= lenTol)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb"), maxDist).as("dist"))
+      .where(col("dist") >= 0) // 3-arg levenshtein yields -1 above bound
+  }
+
   /** Character 4-gram Jaccard over a bounded candidate set (the MinHash
     * band candidates) — a second, finer similarity measure for the pairs
     * the LSH sweep surfaced. Candidate-bounded: never all-pairs.

