@@ -544,7 +544,11 @@ object Dedup {
       col("blk"), col("len").as("la"))
     val b = side.select(col("doc_id").as("doc_b"), col("text").as("tb"),
       col("blk"), col("len").as("lb"))
-    a.join(b, "blk")
+    // shuffle_hash, same rationale as minHashPairs' verification join:
+    // both sides are the corpus (the plan-time estimate here misses by
+    // 1e5×, so a size-based choice is a coin flip), and per-block build
+    // sets are bounded cluster-sized — broadcast must never be the plan.
+    a.hint("shuffle_hash").join(b, "blk")
       .where(col("doc_a") < col("doc_b") &&
         abs(col("la") - col("lb")) <= lenTol)
       .select(col("doc_a"), col("doc_b"),
