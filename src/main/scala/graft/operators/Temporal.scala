@@ -29,9 +29,20 @@ object Temporal {
     *
     * Output: all left columns plus the right side's non-key columns
     * (null where no right row precedes the left row — LEFT as-of).
+    *
+    * `forward = true` flips the direction: the EARLIEST right row with
+    * right time >= left time (the "next event after" alignment) — the
+    * same single window pass traversed in descending time order.
+    * `toleranceSql` (a SQL interval expression, e.g. `INTERVAL '1'
+    * HOUR`) bounds the match staleness as in pandas `merge_asof`: a
+    * carried right row farther than the tolerance from the left time is
+    * masked back to null. Both are post-window column expressions —
+    * the plan (one shuffle, one window) is unchanged.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
-               leftTime: String, rightTime: String): DataFrame = {
+               leftTime: String, rightTime: String,
+               forward: Boolean = false,
+               toleranceSql: Option[String] = None): DataFrame = {
     val lcols = left.columns.filterNot(_ == key).toSeq
     val rcols = right.columns.filterNot(_ == key).toSeq
     // Guard the silent-misbehavior modes up front: shared payload names
@@ -54,13 +65,24 @@ object Temporal {
     val l = left.select(col(key), col(leftTime).as("__t"),
       lit(1).as("__tag"), struct(lcols.map(col): _*).as("__l"),
       lit(null).cast(rType).as("__r"))
-    val w = Window.partitionBy(key).orderBy(col("__t"), col("__tag"))
+    // Backward walks time ascending (last right <= t); forward walks it
+    // descending (so "last seen" is the earliest right >= t). Tag keeps
+    // rights before lefts at equal time either way → inclusive bounds.
+    val order =
+      if (forward) Seq(col("__t").desc, col("__tag"))
+      else Seq(col("__t"), col("__tag"))
+    val w = Window.partitionBy(key).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = last(col("__r"), ignoreNulls = true).over(w)
+    val inTol = toleranceSql.map { tol =>
+      if (forward) col("__m")(rightTime) <= col("__t") + expr(tol)
+      else col("__m")(rightTime) >= col("__t") - expr(tol)
+    }.getOrElse(lit(true))
     val cols: Seq[Column] = col(key) +:
       (lcols.map(c => col("__l")(c).as(c)) ++
-        rcols.map(c => col("__m")(c).as(c)))
+        rcols.map(c => when(inTol, col("__m")(c)).as(c)))
     l.unionByName(r)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__m", matched)
       .filter(col("__tag") === 1)
       .select(cols: _*)
   }

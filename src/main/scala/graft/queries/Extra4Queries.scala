@@ -121,6 +121,99 @@ object Extra4Queries {
         |FROM toks LEFT JOIN vocab v ON toks.tok = v.tok
         |GROUP BY source""".stripMargin))
 
+  /** Local clustering coefficient, top-20 by triangle participation
+    * ([[Graph.clusteringCoeffTopK]]): the per-node "how clique-like is
+    * the neighborhood" graph feature. The oracle recomputes per-node
+    * triangle corners from the naive triangle enumeration.
+    */
+  val graphClusteringCoeff: QueryDef = QueryDef("graph_clustering_coeff",
+    (s, dir) => Graph.clusteringCoeffTopK(coEdges(s, dir), 20),
+    oracle = Some(
+      s"""$edgesCte,
+         |tris AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM edges e1
+         |  JOIN edges e2 ON e1.b = e2.a
+         |  JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b),
+         |pernode AS (
+         |  SELECT tn AS node, COUNT(*) AS n_tri FROM (
+         |    SELECT x AS tn FROM tris UNION ALL SELECT y FROM tris
+         |    UNION ALL SELECT z FROM tris)
+         |  GROUP BY tn),
+         |deg AS (
+         |  SELECT dn AS node, COUNT(*) AS deg FROM (
+         |    SELECT a AS dn FROM edges UNION ALL SELECT b FROM edges)
+         |  GROUP BY dn)
+         |SELECT d.node AS node, CAST(COALESCE(p.n_tri, 0) AS BIGINT)
+         |    AS n_tri,
+         |  CAST(d.deg AS BIGINT) AS deg,
+         |  2.0 * COALESCE(p.n_tri, 0) / (d.deg * (d.deg - 1)) AS coeff
+         |FROM deg d LEFT JOIN pernode p ON d.node = p.node
+         |WHERE d.deg > 1
+         |ORDER BY n_tri DESC, node LIMIT 20""".stripMargin))
+
+  private val clicksViewsCte =
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'click'),
+      |views AS (
+      |  SELECT user_id, ts AS view_ts, MAX(event_id) AS view_event_id
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY user_id, ts)""".stripMargin
+
+  private def clicksViews(s: SparkSession,
+                          dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, max}
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter("event_type = 'click'")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter("event_type = 'view'")
+      .groupBy(col("user_id"), col("ts").as("view_ts"))
+      .agg(max("event_id").as("view_event_id"))
+    (clicks, views)
+  }
+
+  /** Forward as-of: every click matched to the EARLIEST view at-or-after
+    * it (next-event attribution). The oracle is DuckDB's native forward
+    * ASOF (`<=` comparator).
+    */
+  val joinAsofForward: QueryDef = QueryDef("join_asof_forward",
+    (s, dir) => {
+      val (clicks, views) = clicksViews(s, dir)
+      Temporal.asofJoin(clicks, views, "user_id", "ts", "view_ts",
+        forward = true)
+    },
+    oracle = Some(
+      s"""$clicksViewsCte
+         |SELECT c.event_id, c.user_id, c.ts, v.view_ts, v.view_event_id
+         |FROM clicks c
+         |ASOF LEFT JOIN views v
+         |  ON c.user_id = v.user_id AND c.ts <= v.view_ts""".stripMargin))
+
+  /** Bounded-staleness as-of: backward match masked to null beyond a
+    * 1-hour tolerance (pandas merge_asof semantics). The oracle
+    * re-derives it with a bounded MAX + unique-key join-back.
+    */
+  val joinAsofTolerance: QueryDef = QueryDef("join_asof_tolerance",
+    (s, dir) => {
+      val (clicks, views) = clicksViews(s, dir)
+      Temporal.asofJoin(clicks, views, "user_id", "ts", "view_ts",
+        toleranceSql = Some("INTERVAL '1' HOUR"))
+    },
+    oracle = Some(
+      s"""$clicksViewsCte,
+         |best AS (
+         |  SELECT c.event_id, MAX(v.view_ts) AS view_ts
+         |  FROM clicks c LEFT JOIN views v
+         |    ON c.user_id = v.user_id AND v.view_ts <= c.ts
+         |   AND v.view_ts >= c.ts - INTERVAL '1' HOUR
+         |  GROUP BY c.event_id)
+         |SELECT c.event_id, c.user_id, c.ts, b.view_ts, v2.view_event_id
+         |FROM clicks c JOIN best b ON c.event_id = b.event_id
+         |LEFT JOIN views v2
+         |  ON v2.user_id = c.user_id AND v2.view_ts = b.view_ts"""
+        .stripMargin))
+
   val defs: Seq[QueryDef] = Seq(graphTriangles, graphDegreeTopK,
-    tsGapfill, dedupEditDistance, vocabCoverage)
+    tsGapfill, dedupEditDistance, vocabCoverage, graphClusteringCoeff,
+    joinAsofForward, joinAsofTolerance)
 }

@@ -54,6 +54,21 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Seq((1L, 3L), (2L, 2L), (3L, 2L)))
   }
 
+  test("perNodeTriangles and clusteringCoeffTopK: K4 + pendant") {
+    // K4 on 1-4 (every node in 3 triangles) + pendant edge 4-5
+    val g = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))
+    val tri = Graph.perNodeTriangles(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(tri == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val cc = Graph.clusteringCoeffTopK(g, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // node 4 has deg 4 → coeff 3/6; nodes 1-3 deg 3 → coeff 1.0;
+    // node 5 deg 1 is excluded. Order: n_tri desc, node asc.
+    assert(cc.toSeq == Seq((1L, 3L, 3L, 1.0), (2L, 3L, 3L, 1.0),
+      (3L, 3L, 3L, 1.0), (4L, 3L, 4L, 0.5)))
+  }
+
   test("resampleFfill: fills interior gaps, flags observed buckets") {
     val s = spark
     import s.implicits._

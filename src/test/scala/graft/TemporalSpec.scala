@@ -41,6 +41,27 @@ class TemporalSpec extends AnyFunSuite {
       "L9" -> null))
   }
 
+  test("asofJoin forward picks earliest right at-or-after each left row") {
+    val got = Temporal.asofJoin(left, right, "k", "t", "rt",
+        forward = true)
+      .collect().map(r => (r.getAs[String]("lv"), r.getAs[String]("rv")))
+      .toMap
+    // L5 (:05) → R7 (:07); L3 ties right at :03 → inclusive R3;
+    // L0 (:00) → R1 (:01); L9 on key 2 has no rights.
+    assert(got == Map("L5" -> "R7", "L3" -> "R3", "L0" -> "R1",
+      "L9" -> null))
+  }
+
+  test("asofJoin tolerance masks matches staler than the bound") {
+    val got = Temporal.asofJoin(left, right, "k", "t", "rt",
+        toleranceSql = Some("INTERVAL '1' SECOND"))
+      .collect().map(r => (r.getAs[String]("lv"), r.getAs[String]("rv")))
+      .toMap
+    // L5 (:05) last right R3 (:03) is 2s stale → masked; L3 ties → kept.
+    assert(got == Map("L5" -> null, "L3" -> "R3", "L0" -> null,
+      "L9" -> null))
+  }
+
   test("asofJoin plan: one shuffle + one window pass, no join node at all") {
     val plan = finalPlan(Temporal.asofJoin(left, right, "k", "t", "rt"))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
