@@ -109,6 +109,37 @@ object Temporal {
       .drop("__bin")
   }
 
+  /** Interval-OVERLAP join WITHOUT an equi key, binned: both interval
+    * sets explode onto fixed-width time bins and the join becomes a hash
+    * equi-join on the bin plus the exact overlap predicate
+    * (`a.lo < b.hi AND b.lo < a.hi`, half-open). Each surviving pair is
+    * emitted EXACTLY once with no distinct pass: the overlap region
+    * starts at max(a.lo, b.lo), both intervals contain that instant, and
+    * floor commutes with max — so keeping only the row where the join
+    * bin equals `greatest(floor(a.lo/bin), floor(b.lo/bin))` picks one
+    * canonical bin per overlapping pair. Cost is linear in intervals ×
+    * (width/bin), never |a|×|b|; pick binSeconds near the typical
+    * interval width.
+    */
+  def binnedOverlapJoin(a: DataFrame, aLo: String, aHi: String,
+                        b: DataFrame, bLo: String, bHi: String,
+                        binSeconds: Long): DataFrame = {
+    val shared = a.columns.toSet.intersect(b.columns.toSet)
+    require(shared.isEmpty,
+      s"binnedOverlapJoin: column names must be disjoint; both sides have ${shared.mkString(", ")}")
+    def bins(lo: String, hi: String) = explode(expr(
+      s"sequence(floor(unix_timestamp($lo) / $binSeconds), " +
+        s"floor(unix_timestamp($hi) / $binSeconds))"))
+    val ab = a.withColumn("__bin", bins(aLo, aHi))
+    val bb = b.withColumn("__bin", bins(bLo, bHi))
+    ab.join(bb, "__bin")
+      .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
+      .filter(col("__bin") === greatest(
+        expr(s"floor(unix_timestamp($aLo) / $binSeconds)"),
+        expr(s"floor(unix_timestamp($bLo) / $binSeconds)")))
+      .drop("__bin")
+  }
+
   /** Gap-filled resample with forward fill: bucket an event stream to a
     * fixed interval per key, materialize EVERY bucket between each key's
     * first and last observation, and carry the last observed value into

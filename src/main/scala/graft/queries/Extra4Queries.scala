@@ -213,7 +213,42 @@ object Extra4Queries {
          |  ON v2.user_id = c.user_id AND v2.view_ts = b.view_ts"""
         .stripMargin))
 
+  /** Keyless interval-overlap join ([[Temporal.binnedOverlapJoin]]):
+    * purchase windows × error windows that overlap, counted per
+    * purchase. The oracle is DuckDB's plain quadratic range join —
+    * the Spark side is the binned linear plan with canonical-bin dedup.
+    */
+  val joinIntervalOverlap: QueryDef = QueryDef("join_interval_overlap",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.{col, count, expr}
+      val ev = Tables.load(s, dir, "events")
+      def windows(kind: String, idCol: String) =
+        ev.filter(s"event_type = '$kind'")
+          .select(col("event_id").as(idCol),
+            col("ts").as(s"${idCol}_lo"),
+            expr("ts + INTERVAL '30' MINUTE").as(s"${idCol}_hi"))
+      Temporal.binnedOverlapJoin(
+          windows("purchase", "purchase_id"), "purchase_id_lo",
+          "purchase_id_hi",
+          windows("error", "error_id"), "error_id_lo", "error_id_hi",
+          binSeconds = 1800)
+        .groupBy("purchase_id")
+        .agg(count("*").as("n_overlap"))
+    },
+    oracle = Some(
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, ts AS lo,
+        |    ts + INTERVAL '30' MINUTE AS hi
+        |  FROM events WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT event_id AS error_id, ts AS lo,
+        |    ts + INTERVAL '30' MINUTE AS hi
+        |  FROM events WHERE event_type = 'error')
+        |SELECT purchase_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        |FROM p JOIN e ON p.lo < e.hi AND e.lo < p.hi
+        |GROUP BY purchase_id""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(graphTriangles, graphDegreeTopK,
     tsGapfill, dedupEditDistance, vocabCoverage, graphClusteringCoeff,
-    joinAsofForward, joinAsofTolerance)
+    joinAsofForward, joinAsofTolerance, joinIntervalOverlap)
 }

@@ -70,6 +70,27 @@ class TemporalSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("binnedOverlapJoin: exactly-once pairs incl. bin-boundary spans") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")), // 2 bins
+      (2L, ts("2024-01-01 02:00:00"), ts("2024-01-01 02:10:00")),
+      (3L, ts("2024-01-01 05:00:00"), ts("2024-01-01 05:30:00"))
+    ).toDF("aid", "alo", "ahi")
+    val b = Seq(
+      (10L, ts("2024-01-01 00:30:00"), ts("2024-01-01 02:05:00")), // hits 1+2
+      (11L, ts("2024-01-01 01:00:00"), ts("2024-01-01 01:30:00")), // abuts 1: no
+      (12L, ts("2024-01-01 05:29:00"), ts("2024-01-01 06:29:00"))  // hits 3
+    ).toDF("bid", "blo", "bhi")
+    val got = Temporal.binnedOverlapJoin(a, "alo", "ahi", b, "blo", "bhi",
+        binSeconds = 1800)
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // multiset equality: any duplicate emission would show up here
+    assert(got.sorted == Seq((1L, 10L), (2L, 10L), (3L, 12L)))
+  }
+
   test("binnedIntervalJoin matches the plain range join, without a cartesian") {
     val s = spark
     import s.implicits._
