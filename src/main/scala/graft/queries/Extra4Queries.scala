@@ -248,7 +248,22 @@ object Extra4Queries {
         |FROM p JOIN e ON p.lo < e.hi AND e.lo < p.hi
         |GROUP BY purchase_id""".stripMargin))
 
+  /** STREAMING as-of attribution ([[graft.streaming.Streams
+    * .asofAvailableNow]]): one latest-view state record per user,
+    * flatMapGroupsWithState, AvailableNow over the bounded corpus —
+    * verified against the same DuckDB ASOF oracle as the batch
+    * `join_asof`, proving stream and batch semantics are one.
+    */
+  val streamAsof: QueryDef = QueryDef("stream_asof",
+    (s, dir) => graft.streaming.Streams.asofAvailableNow(s, dir),
+    oracle = Some(
+      s"""$clicksViewsCte
+         |SELECT c.event_id, c.user_id, c.ts, v.view_ts, v.view_event_id
+         |FROM clicks c
+         |ASOF LEFT JOIN views v
+         |  ON c.user_id = v.user_id AND c.ts >= v.view_ts""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(graphTriangles, graphDegreeTopK,
     tsGapfill, dedupEditDistance, vocabCoverage, graphClusteringCoeff,
-    joinAsofForward, joinAsofTolerance, joinIntervalOverlap)
+    joinAsofForward, joinAsofTolerance, joinIntervalOverlap, streamAsof)
 }

@@ -296,6 +296,86 @@ object Streams {
              |  AS BIGINT)) AS BIGINT)""".stripMargin).as("fp_checksum"))
   }
 
+  final case class AsofIn(event_id: Long, user_id: Long,
+                          ts: java.sql.Timestamp, event_type: String)
+  final case class AsofView(ts: java.sql.Timestamp, id: Long)
+  final case class AsofOut(event_id: Long, user_id: Long,
+                           ts: java.sql.Timestamp,
+                           view_ts: Option[java.sql.Timestamp],
+                           view_event_id: Option[Long])
+
+  /** STREAMING as-of join: clicks arrive on the stream and each is
+    * attributed to the latest view at-or-before it — the continuous
+    * form of [[graft.operators.Temporal.asofJoin]], and the shape a
+    * live attribution pipeline runs. State is ONE record per user (the
+    * latest view seen), hash-partitioned by key and carried across
+    * micro-batches — it scales with keys, never with stream length.
+    *
+    * Within a micro-batch the group is walked in (ts, view-before-click,
+    * event_id) order, so equal-time views match inclusively and the
+    * highest event_id wins among same-timestamp views — exactly the
+    * batch operator's uniqueness contract. Across batches the walk is
+    * exact for in-order arrival per key (the file/Kafka-partition-per-
+    * key layout); late views would need watermark-bounded buffering,
+    * which the batch operator covers for replay. Under
+    * Trigger.AvailableNow on one input file everything lands in a
+    * single batch, so the result equals the batch as-of — which is what
+    * the oracle asserts.
+    */
+  def asofAvailableNow(spark: SparkSession, dir: String,
+                       queryName: String = "graft_stream_asof"): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, dir)
+      .where(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"))
+      .as[AsofIn]
+    val q = asofWalk(ev).toDF()
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_stream_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .select("event_id", "user_id", "ts", "view_ts", "view_event_id")
+  }
+
+  /** The per-key state walk of [[asofAvailableNow]], reusable over any
+    * (possibly unbounded) AsofIn source: one latest-view record per key,
+    * batch group sorted (ts, view-before-click, event_id) so equal-time
+    * views match inclusively and same-ts view ties go to the highest id.
+    */
+  def asofWalk(ev: Dataset[AsofIn]): Dataset[AsofOut] = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofView, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[AsofView]) =>
+          val walk = it.toVector.sortBy(e =>
+            (e.ts.getTime, e.ts.getNanos,
+              if (e.event_type == "view") 0 else 1, e.event_id))
+          var st = state.getOption
+          val out = Vector.newBuilder[AsofOut]
+          walk.foreach { e =>
+            if (e.event_type == "view") {
+              if (st.forall(s => s.ts.compareTo(e.ts) < 0 ||
+                  (s.ts.compareTo(e.ts) == 0 && s.id < e.event_id)))
+                st = Some(AsofView(e.ts, e.event_id))
+            } else {
+              out += AsofOut(e.event_id, uid, e.ts,
+                st.map(_.ts), st.map(_.id))
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Custom-state records: per-user running aggregates maintained across
     * micro-batches.
     */

@@ -311,4 +311,40 @@ class StreamingSpec extends AnyFunSuite {
         s"in-delay row must be merged: $got")
     } finally q.stop()
   }
+
+  test("streaming as-of state walk: equal-ts inclusive, max-id wins, " +
+    "state carries across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.Streams.{AsofIn, AsofOut, AsofView}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val mem = MemoryStream[AsofIn]
+    def ev(id: Long, sec: Int, kind: String) =
+      AsofIn(id, 1L, Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d"), kind)
+    // Batch 1, file order scrambled: click at :05 BEFORE the :03 views
+    // in arrival order — the in-batch sort must still attribute it.
+    // Two views share ts :03 → the higher event_id (21) must win.
+    val q = graft.streaming.Streams
+      .asofWalk(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("asof_walk")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_test_ckpt").toString)
+      .start()
+    try {
+      mem.addData(ev(50, 5, "click"), ev(20, 3, "view"), ev(21, 3, "view"),
+        ev(51, 3, "click"), ev(52, 1, "click"))
+      q.processAllAvailable()
+      // Batch 2: no new views — click at :08 uses batch 1's state.
+      mem.addData(ev(53, 8, "click"))
+      q.processAllAvailable()
+      val got = spark.table("asof_walk").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Long]("view_event_id")).map(_.toLong))
+        .toMap
+      assert(got == Map(50L -> Some(21L), 51L -> Some(21L), 52L -> None,
+        53L -> Some(21L)), s"got $got")
+    } finally q.stop()
+  }
 }
