@@ -25,6 +25,7 @@ object Queries {
       EventQueries.defs ++
       MapQueries.defs ++
       PipelineQueries.defs ++
+      Pipeline2Queries.defs ++
       SourceSinkQueries.defs ++
       ExtraQueries.defs ++
       Extra2Queries.defs ++

@@ -554,4 +554,71 @@ object Similarity {
       .distinct()
       .filter(col("cos_sim") > threshold)
   }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * k-means the embedding space, then within each cluster prune
+    * epsilon-duplicates — pairs with cosine ≥ `threshold` — keeping the
+    * member LEAST similar to its centroid (the paper's keep rule: low
+    * centroid-similarity examples carry the most marginal information;
+    * vec_id breaks exact ties). A vector is pruned iff some same-cluster
+    * epsilon-neighbor beats it on (cos_centroid ASC, vec_id ASC); in an
+    * epsilon-chain this keeps every member that has no BETTER neighbor
+    * within epsilon — members further than epsilon from each other are
+    * not duplicates and may both survive.
+    *
+    * Clustering is the same deterministic machinery as [[ivfKmeansTopK]]
+    * (quantized grid, seeded centroids, one Lloyd floor-mean step, argmax
+    * cosine with the oracle's tie-break), so every assignment, score and
+    * verdict is bit-identical to the SQL oracle.
+    *
+    * Scale shape: the candidate join is WITHIN-CLUSTER ONLY — one
+    * shuffle of the corpus on cid, quadratic only in cluster size. That
+    * is the operator's contract at 100 TB: `numCentroids` scales with the
+    * corpus (the paper runs 50k clusters for 5B embeddings) so per-list
+    * sizes stay bounded; the join is hint-pinned shuffle_hash because
+    * both sides are corpus-sized by construction (the same no-broadcast
+    * pin as the LSH verification joins). Assignment itself is narrow
+    * (broadcast centroid row), the Lloyd step ships K×dim partial sums.
+    *
+    * Returns every corpus row: (vec_id, cid, cos_centroid, keep).
+    */
+  def semanticDedup(corpus: DataFrame, threshold: Double = 0.4,
+                    numCentroids: Int = 8, dim: Int = 64): DataFrame = {
+    val qc = corpus.select(col("vec_id"), vec.quantize(col("embedding")).as("qe"))
+    val seedArr = qc.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").cast("int").as("cid"), col("qe").as("ce"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("ce")))).as("cents"))
+    val asg1 = coarseAssign(qc, seedArr)
+    val sums = (1 to dim).map(d => sum(element_at(col("qe"), d)).as(s"s$d"))
+    val centFlat = asg1.groupBy("cid")
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("cid"), array((1 to dim).map(d =>
+        floor(col(s"s$d") / col("n")).cast("double")): _*).as("ce"))
+    val centArr = centFlat
+      .agg(sort_array(collect_list(struct(col("cid"), col("ce")))).as("cents"))
+      .cache()
+    // Per-vector cluster + centroid similarity; three consumers (both
+    // sides of the pair join and the verdict's left leg) — lazy
+    // localCheckpoint stops each from re-running the assignment pass,
+    // same hand-off as ivfPqResidualTopK's residual frame.
+    val cc = coarseAssign(qc, centArr)
+      .join(broadcast(centFlat), "cid")
+      .select(col("vec_id"), col("qe"), col("cid"),
+        cosQ(col("qe"), col("ce")).as("cos_centroid"))
+      .localCheckpoint(eager = false)
+    val better = cc.select(col("cid").as("b_cid"), col("qe").as("b_qe"),
+      col("vec_id").as("b_id"), col("cos_centroid").as("b_cos"))
+    val pruned = cc.hint("shuffle_hash")
+      .join(better.hint("shuffle_hash"),
+        col("cid") === col("b_cid") && col("vec_id") =!= col("b_id") &&
+          cosQ(col("qe"), col("b_qe")) >= threshold &&
+          (col("b_cos") < col("cos_centroid") ||
+            (col("b_cos") === col("cos_centroid") && col("b_id") < col("vec_id"))))
+      .select(col("vec_id")).distinct()
+      .withColumn("__pruned", lit(1))
+    cc.join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("cos_centroid"),
+        col("__pruned").isNull.as("keep"))
+  }
 }

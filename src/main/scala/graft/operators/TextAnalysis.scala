@@ -124,6 +124,67 @@ object TextAnalysis {
         sum(coalesce(col("in_vocab"), lit(0L))).as("n_covered"))
   }
 
+  /** Repeated-passage scrub: REWRITES each document with corpus-level
+    * boilerplate removed — the repeated-content removal step of web-scale
+    * pipelines (C4 removes any three-sentence span seen before, Lee et
+    * al. 2022 "Deduplicating Training Data Makes Language Models Better"
+    * dedups exact substrings): a word `gramLen`-gram occurring in more
+    * than `maxDocFreq` distinct documents is boilerplate, and every word
+    * position covered by an occurrence of a hot gram is dropped from the
+    * rewritten text (spans merge naturally — overlapping hot grams union
+    * their word ranges). Documents shorter than `gramLen` words pass
+    * through untouched. Returns (doc_id, clean_text, n_words, n_dropped).
+    *
+    * Scale shape: TWO passes over the corpus, both the right kind.
+    * Pass 1 is the wordcount-style hot-gram census: per-doc DISTINCT
+    * gram hashes explode and shuffle once with map-side combine, and
+    * only grams with df > maxDocFreq survive — by the boilerplate
+    * contract that set is tiny relative to the corpus (it's the shared
+    * template/header text), so it collapses to a one-row sorted array
+    * and broadcasts. Pass 2 is a pure narrow projection: each document
+    * re-derives its gram hashes and masks covered positions inside one
+    * codegen'd higher-order expression chain — the corpus is never
+    * shuffled and never carries its grams through an exchange. If the
+    * hot set ever outgrew broadcast (pathological near-duplicate
+    * corpora), the fallback is an explicit positional explode joined
+    * shuffle_hash against the hot table — dedup the corpus first
+    * instead. All hashing is md5 on the joined words, so the oracle
+    * re-derives bit-identical hashes.
+    */
+  def scrubRepeatedPassages(docs: DataFrame, gramLen: Int = 8,
+                            maxDocFreq: Int = 1): DataFrame = {
+    val k = gramLen
+    val gramsOf = // 1-based positions; empty when the doc is short
+      s"""CASE WHEN size(ws) >= $k
+         |  THEN transform(sequence(1, size(ws) - ${k - 1}),
+         |         i -> md5(concat_ws(' ', slice(ws, i, $k))))
+         |  ELSE array() END""".stripMargin
+    val hotArr = Par.spread(docs)
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .select(col("doc_id"), explode(expr(s"array_distinct($gramsOf)")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .agg(coalesce(expr("sort_array(collect_list(g))"),
+        expr("array()")).as("hot"))
+    Par.spread(docs)
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .crossJoin(broadcast(hotArr))
+      .withColumn("gh", expr(gramsOf))
+      // hp = 1-based start positions of hot-gram occurrences; a word at
+      // position j is covered iff some hot start i has i <= j < i + k.
+      // (Indexed transform, not element_at-in-a-lambda: the gram array is
+      // evaluated once per doc, keeping the mask O(words × k).)
+      .withColumn("hp", expr(
+        "filter(transform(gh, (g, i) -> IF(array_contains(hot, g), i + 1, 0)), p -> p > 0)"))
+      .withColumn("kept", expr(
+        s"filter(sequence(1, size(ws)), j -> NOT exists(hp, i -> j >= i AND j < i + $k))"))
+      .select(col("doc_id"),
+        expr("concat_ws(' ', transform(kept, j -> element_at(ws, j)))")
+          .as("clean_text"),
+        expr("size(ws)").as("n_words"),
+        expr("size(ws) - size(kept)").as("n_dropped"))
+  }
+
   /** PII redaction: mask long digit runs (phone/account-number shaped)
     * and email-shaped tokens, reporting per-row hit counts alongside the
     * redacted text. Pure narrow projection (the 100 TB shape: one

@@ -332,4 +332,85 @@ class PipelineSpec extends AnyFunSuite {
     val fps = TextAnalysis.fingerprint(two).collect().map(_.getString(1)).toSeq
     assert(fps.distinct.size == 1)
   }
+
+  test("repeated-passage scrub drops exactly the covered spans") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "a b c d x y z w"),       // hot gram "a b c d" at pos 1
+      (2L, "p q a b c d r s"),       // same gram mid-doc: covers pos 3-6
+      (3L, "unique words only here"), // no hot gram, and < gramLen+1 grams shared
+      (4L, "a b c d a b c d u"),     // two overlapping occurrences merge
+      (5L, "tiny")                    // shorter than gramLen: untouched
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubRepeatedPassages(corpus, gramLen = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Int]("n_dropped")))).toMap
+    assert(out(1L) == (("x y z w", 4)))
+    assert(out(2L) == (("p q r s", 4)))
+    assert(out(3L) == (("unique words only here", 0)))
+    assert(out(4L) == (("u", 8)))
+    assert(out(5L) == (("tiny", 0)))
+  }
+
+  test("semantic dedup: exact duplicates collapse to one kept copy") {
+    val s = spark
+    import s.implicits._
+    // Two identical pairs + two singletons, 4-dim. Seeds = ids 0,1 (< 2
+    // centroids); duplicates of a vector land in its cluster by identical
+    // cosine, and exactly one of each identical pair must survive.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // dup of 0
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)), // dup of 1
+      (4L, Array(0.7f, 0.7f, 0.1f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, threshold = 0.99,
+      numCentroids = 2, dim = 4).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(out.size == 5)
+    // Identical vectors have equal cos_centroid — vec_id breaks the tie,
+    // so the smaller id of each identical pair is the keeper.
+    assert(out(0L) && !out(2L))
+    assert(out(1L) && !out(3L))
+    assert(out(4L)) // no eps-neighbor at 0.99
+  }
+
+  test("semantic dedup invariants on the testdata corpus") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.catalog.Tables.load(spark, sfDir, "embeddings")
+    val out = Similarity.semanticDedup(emb).cache()
+    // Verdict is total: one row per corpus vector.
+    assert(out.count() == emb.count())
+    assert(out.select("vec_id").distinct().count() == emb.count())
+    val withVec = out.join(emb, "vec_id")
+    val qcos = graft.functions.vec.cosineQ _
+    // (a) No epsilon-pair survives with both members kept: for any
+    // same-cluster pair with cos >= threshold, the worse side (higher
+    // cos_centroid, id tie-break) must be pruned.
+    val bothKept = withVec.as("a").join(withVec.as("b"),
+      col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id") &&
+        col("a.keep") && col("b.keep") &&
+        qcos(col("a.embedding"), col("b.embedding")) >= 0.4)
+    assert(bothKept.count() == 0, "an epsilon-duplicate pair was both kept")
+    // (b) Every pruned vector has a strictly better epsilon-neighbor.
+    val prunedNoWitness = withVec.as("x").join(withVec.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") =!= col("y.vec_id") &&
+          qcos(col("x.embedding"), col("y.embedding")) >= 0.4 &&
+          (col("y.cos_centroid") < col("x.cos_centroid") ||
+            (col("y.cos_centroid") === col("x.cos_centroid") &&
+              col("y.vec_id") < col("x.vec_id"))), "left_anti")
+      .filter(!col("x.keep"))
+    assert(prunedNoWitness.count() == 0, "pruned without a better witness")
+    // (c) The per-cluster minimum by (cos_centroid, vec_id) is never
+    // pruned — nothing can beat it.
+    val minKept = out
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cid")
+          .orderBy(col("cos_centroid").asc, col("vec_id").asc)))
+      .filter(col("rn") === 1 && !col("keep"))
+    assert(minKept.count() == 0, "cluster minimum was pruned")
+    out.unpersist()
+  }
 }
