@@ -185,6 +185,47 @@ object TextAnalysis {
         expr("size(ws) - size(kept)").as("n_dropped"))
   }
 
+  /** Model-based quality score: a fixed-weight logistic classifier over
+    * engineered per-document features — the shape of the fastText /
+    * linear quality filters web-scale pipelines run after the rule-based
+    * gates (GPT-3's LR-against-WebText filter, Brown et al. 2020 §A;
+    * CCNet's per-document scoring, Wenzek et al. 2020). The weights here
+    * are nominal stand-ins for an offline-trained model; what ships is
+    * the serving shape: every feature and the sigmoid fuse into ONE
+    * codegen'd narrow projection — no UDF, no shuffle, the whole model
+    * application rides the corpus scan at 100 TB.
+    *
+    * Features: log word count, type/token ratio, stopword ratio, average
+    * word length (centered at 5), most-frequent-word fraction. All are
+    * exact rationals of integers, so the sigmoid's input is bit-identical
+    * cross-engine (exp() itself may differ in the last ulp — far inside
+    * the gate's 1e-6 float tolerance).
+    *
+    * Returns (doc_id, q_score, passes) with passes = q_score >= 0.5.
+    */
+  def qualityScore(docs: DataFrame): DataFrame =
+    Par.spread(docs).selectExpr("doc_id", "split(text, ' ') AS ws", "text")
+      .filter("size(ws) >= 2")
+      .selectExpr(
+        "doc_id",
+        "size(ws) AS nw",
+        "size(array_distinct(ws)) / size(ws) AS ttr",
+        s"size(filter(ws, w -> w IN ($inList))) / size(ws) AS swr",
+        "length(replace(text, ' ', '')) / size(ws) AS awl",
+        """aggregate(array_sort(ws),
+          |  struct(CAST('' AS STRING) AS prev, 0 AS run, 0 AS mx),
+          |  (s, w) -> struct(
+          |    w AS prev,
+          |    CASE WHEN w = s.prev THEN s.run + 1 ELSE 1 END AS run,
+          |    GREATEST(s.mx,
+          |      CASE WHEN w = s.prev THEN s.run + 1 ELSE 1 END) AS mx),
+          |  s -> s.mx) / size(ws) AS twf""".stripMargin)
+      .selectExpr("doc_id",
+        "-2.5 + 0.5 * ln(nw) + 2.0 * ttr + 1.5 * swr + 0.1 * (awl - 5.0) - 3.0 * twf AS z")
+      .selectExpr("doc_id",
+        "1.0 / (1.0 + exp(-z)) AS q_score",
+        "CASE WHEN 1.0 / (1.0 + exp(-z)) >= 0.5 THEN 1 ELSE 0 END AS passes")
+
   /** PII redaction: mask long digit runs (phone/account-number shaped)
     * and email-shaped tokens, reporting per-row hit counts alongside the
     * redacted text. Pure narrow projection (the 100 TB shape: one

@@ -67,7 +67,11 @@ object Pipeline2Queries {
          |SELECT cc.vec_id, cc.cid, cc.cos_centroid,
          |       (pruned.vec_id IS NULL) AS keep
          |FROM cc LEFT JOIN pruned ON cc.vec_id = pruned.vec_id""".stripMargin
-    })
+    },
+    // Headliner: k-means + within-cluster self-join is a distinct
+    // workload shape from the ANN probes (corpus×corpus bounded by
+    // cluster size, not corpus×queries).
+    bench = true)
 
   /** Repeated-passage scrub: the oracle re-derives the hot-gram census
     * (word 8-grams in >1 distinct doc) and the positional cover mask in
@@ -103,7 +107,43 @@ object Pipeline2Queries {
            |           '') AS clean_text,
            |  CAST(len(ws) AS INT) AS n_words,
            |  CAST(len(ws) - len(kept) AS INT) AS n_dropped
-           |FROM r""".stripMargin))
+           |FROM r""".stripMargin),
+    // Headliner: tracks the census-then-rewrite two-pass scrub (per-word
+    // md5 hashing is the CPU-bound narrow shape the other headliners
+    // don't cover).
+    bench = true)
 
-  def defs: Seq[QueryDef] = Seq(semanticDedup, passageScrub)
+  /** Logistic quality score: the oracle recomputes every feature and the
+    * sigmoid in DuckDB. Feature arithmetic is exact integer ratios, so
+    * the sigmoid input matches bit-for-bit; exp() may differ in the last
+    * ulp, inside the gate's float tolerance. The top-word count uses
+    * DuckDB's per-element count (same value as Spark's sorted-run fold).
+    */
+  val qualityScore: QueryDef = QueryDef("pipeline_quality_score",
+    (s, dir) => TextAnalysis.qualityScore(docs(s, dir)),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws, text
+           |           FROM documents),
+           |f AS (SELECT doc_id,
+           |        len(ws) AS nw,
+           |        CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr,
+           |        CAST(len(list_filter(ws, x ->
+           |          x IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+           |          / len(ws) AS swr,
+           |        CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |          / len(ws) AS awl,
+           |        CAST(list_max(list_transform(list_distinct(ws),
+           |          w2 -> len(list_filter(ws, x -> x = w2)))) AS DOUBLE)
+           |          / len(ws) AS twf
+           |      FROM w WHERE len(ws) >= 2),
+           |z AS (SELECT doc_id,
+           |        -2.5 + 0.5 * ln(nw) + 2.0 * ttr + 1.5 * swr
+           |          + 0.1 * (awl - 5.0) - 3.0 * twf AS z
+           |      FROM f)
+           |SELECT doc_id,
+           |  1.0 / (1.0 + exp(-z)) AS q_score,
+           |  CAST(CASE WHEN 1.0 / (1.0 + exp(-z)) >= 0.5
+           |       THEN 1 ELSE 0 END AS INT) AS passes
+           |FROM z""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(semanticDedup, passageScrub, qualityScore)
 }

@@ -353,6 +353,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(5L) == (("tiny", 0)))
   }
 
+  test("quality score ranks degenerate text below diverse text") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog and runs to the river"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "one two")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityScore(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("q_score"), r.getAs[Int]("passes")))).toMap
+    // Diverse prose (high ttr, real stopwords) beats the one-word spam
+    // doc (twf = 1, ttr ~ 0) decisively.
+    assert(out(1L)._1 > out(2L)._1 + 0.3)
+    assert(out(1L)._2 == 1 && out(2L)._2 == 0)
+    assert(out.contains(3L)) // >= 2 words is scoreable
+  }
+
   test("semantic dedup: exact duplicates collapse to one kept copy") {
     val s = spark
     import s.implicits._
