@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, explode, expr, lit, lower, size, split, sum}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, explode, expr, lit, lower, posexplode, size, split, sum}
 
 /** Text-analysis operators over the `documents` table: quality stats,
   * language ID, token counting, fingerprinting. All pure narrow
@@ -135,21 +135,21 @@ object TextAnalysis {
     * their word ranges). Documents shorter than `gramLen` words pass
     * through untouched. Returns (doc_id, clean_text, n_words, n_dropped).
     *
-    * Scale shape: TWO passes over the corpus, both the right kind.
-    * Pass 1 is the wordcount-style hot-gram census: per-doc DISTINCT
-    * gram hashes explode and shuffle once with map-side combine, and
-    * only grams with df > maxDocFreq survive — by the boilerplate
-    * contract that set is tiny relative to the corpus (it's the shared
-    * template/header text), so it collapses to a one-row sorted array
-    * and broadcasts. Pass 2 is a pure narrow projection: each document
-    * re-derives its gram hashes and masks covered positions inside one
-    * codegen'd higher-order expression chain — the corpus is never
-    * shuffled and never carries its grams through an exchange. If the
-    * hot set ever outgrew broadcast (pathological near-duplicate
-    * corpora), the fallback is an explicit positional explode joined
-    * shuffle_hash against the hot table — dedup the corpus first
-    * instead. All hashing is md5 on the joined words, so the oracle
-    * re-derives bit-identical hashes.
+    * Scale shape: TWO corpus passes, both the right kind. Pass 1 is the
+    * wordcount-style hot-gram census: gram hashes explode and shuffle
+    * once (map-side partial on (g, doc_id) distinctness), and only grams
+    * with df > maxDocFreq survive — by the boilerplate contract a small
+    * fraction of the corpus. Pass 2 re-explodes (doc_id, position, gram)
+    * and probes the broadcast hot table through a broadcast HASH join —
+    * O(1) per gram. (The first cut collapsed the hot set to a broadcast
+    * ARRAY probed with array_contains inside a higher-order lambda: a
+    * LINEAR scan per gram, O(|grams| × |hot|) — measured 18+ min at 10×
+    * sf0.1 where the hash-join form takes seconds, because the hot set
+    * grows WITH the corpus. Arrays are not hash tables; membership at
+    * scale is a join.) Survivors are rare, so the per-doc hot-position
+    * aggregate shuffles almost nothing, and the final mask is a narrow
+    * higher-order projection over (words, hot positions). All hashing is
+    * md5 on the joined words, so the oracle re-derives identical hashes.
     */
   def scrubRepeatedPassages(docs: DataFrame, gramLen: Int = 8,
                             maxDocFreq: Int = 1): DataFrame = {
@@ -159,23 +159,24 @@ object TextAnalysis {
          |  THEN transform(sequence(1, size(ws) - ${k - 1}),
          |         i -> md5(concat_ws(' ', slice(ws, i, $k))))
          |  ELSE array() END""".stripMargin
-    val hotArr = Par.spread(docs)
+    val grams = Par.spread(docs)
       .selectExpr("doc_id", "split(text, ' ') AS ws")
-      .select(col("doc_id"), explode(expr(s"array_distinct($gramsOf)")).as("g"))
+      .select(col("doc_id"), posexplode(expr(gramsOf)).as(Seq("p0", "g")))
+    val hot = grams.select("g", "doc_id").distinct()
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
-      .agg(coalesce(expr("sort_array(collect_list(g))"),
-        expr("array()")).as("hot"))
+      .select("g")
+    // Hot-gram occurrence positions per doc (1-based starts). Docs with
+    // no hot gram fall out here and rejoin with an empty list below.
+    val hp = grams.join(broadcast(hot), "g")
+      .groupBy("doc_id")
+      .agg(expr("sort_array(collect_list(p0 + 1))").as("hp"))
     Par.spread(docs)
       .selectExpr("doc_id", "split(text, ' ') AS ws")
-      .crossJoin(broadcast(hotArr))
-      .withColumn("gh", expr(gramsOf))
-      // hp = 1-based start positions of hot-gram occurrences; a word at
-      // position j is covered iff some hot start i has i <= j < i + k.
-      // (Indexed transform, not element_at-in-a-lambda: the gram array is
-      // evaluated once per doc, keeping the mask O(words × k).)
-      .withColumn("hp", expr(
-        "filter(transform(gh, (g, i) -> IF(array_contains(hot, g), i + 1, 0)), p -> p > 0)"))
+      .join(hp, Seq("doc_id"), "left")
+      .withColumn("hp", coalesce(col("hp"), expr("array()")))
+      // A word at position j is covered iff some hot start i has
+      // i <= j < i + k.
       .withColumn("kept", expr(
         s"filter(sequence(1, size(ws)), j -> NOT exists(hp, i -> j >= i AND j < i + $k))"))
       .select(col("doc_id"),
