@@ -555,6 +555,46 @@ object Similarity {
       .filter(col("cos_sim") > threshold)
   }
 
+  /** The deterministic k-means "model" as one (cid, ce)-struct array row:
+    * seeds = the `numCentroids` smallest vec_ids, one Lloyd floor-mean
+    * step on the quantized grid — the same chain [[ivfKmeansTopK]] and
+    * [[semanticDedup]] train inline, exposed for model-apply consumers
+    * (streaming ingest assignment, external index builds). K×dim numbers:
+    * always broadcastable.
+    */
+  def kmeansCentroids(corpus: DataFrame, numCentroids: Int = 8,
+                      dim: Int = 64): DataFrame = {
+    val qc = corpus.select(col("vec_id"), vec.quantize(col("embedding")).as("qe"))
+    val seedArr = qc.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").cast("int").as("cid"), col("qe").as("ce"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("ce")))).as("cents"))
+    val asg1 = coarseAssign(qc, seedArr)
+    val sums = (1 to dim).map(d => sum(element_at(col("qe"), d)).as(s"s$d"))
+    asg1.groupBy("cid")
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("cid"), array((1 to dim).map(d =>
+        floor(col(s"s$d") / col("n")).cast("double")): _*).as("ce"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("ce")))).as("cents"))
+  }
+
+  /** Assign each row's `embedding` to its nearest centroid in the
+    * broadcast one-row model (argmax cosine, ties to the smaller cid —
+    * the oracle's ORDER BY): adds (cid, cos_centroid). A stateless
+    * narrow projection, so it applies identically to a static frame or
+    * an unbounded stream (stream–static join with a broadcast static
+    * side) — the index-ingest serving shape: the corpus/stream is never
+    * shuffled to be assigned.
+    */
+  def assignEmbeddings(df: DataFrame, cents: DataFrame): DataFrame =
+    df.withColumn("qe", vec.quantize(col("embedding")))
+      .crossJoin(broadcast(cents))
+      .withColumn("__s", transform(col("cents"),
+        c => struct(cosQ(col("qe"), c("ce")).as("cs"), (-c("cid")).as("ncid"))))
+      .withColumn("__m", array_max(col("__s")))
+      .withColumn("cid", -col("__m").getField("ncid"))
+      .withColumn("cos_centroid", col("__m").getField("cs"))
+      .drop("cents", "__s", "__m", "qe")
+
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", arXiv:2303.09540):
     * k-means the embedding space, then within each cluster prune

@@ -145,5 +145,36 @@ object Pipeline2Queries {
            |       THEN 1 ELSE 0 END AS INT) AS passes
            |FROM z""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(semanticDedup, passageScrub, qualityScore)
+  /** STREAMING IVF ingest assignment: the oracle replays the k-means
+    * model (same chain as dedup_semantic) and each vector's argmax-cosine
+    * list assignment; the Spark side executes it as a real streaming
+    * query (AvailableNow, stream–static broadcast model) — stateless, so
+    * stream == batch by construction and the hash compare proves it.
+    */
+  val streamAnnAssign: QueryDef = QueryDef("stream_ann_assign",
+    (s, dir) => graft.streaming.Streams.ivfAssignAvailableNow(s, dir),
+    Some {
+      val cosAS = cosOf("a.qe", "s.ce")
+      s"""WITH c AS (SELECT vec_id, ${duckQuant.format("embedding")} AS qe
+         |           FROM embeddings),
+         |seeds AS (SELECT CAST(vec_id AS INT) AS cid, qe AS ce FROM c
+         |          WHERE vec_id < 8),
+         |a1 AS (SELECT a.vec_id, a.qe, s.cid,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |                            ORDER BY $cosAS DESC, s.cid) AS rn
+         |       FROM c a CROSS JOIN seeds s),
+         |asg1 AS (SELECT vec_id, qe, cid FROM a1 WHERE rn = 1),
+         |cent AS (SELECT cid, list(fd ORDER BY d) AS ce FROM (
+         |           SELECT cid, d, FLOOR(SUM(qe[d]) / COUNT(*)) AS fd
+         |           FROM asg1, (SELECT unnest(generate_series(1, 64)) AS d) dims
+         |           GROUP BY cid, d) GROUP BY cid),
+         |a2 AS (SELECT a.vec_id, s.cid, $cosAS AS cos_centroid,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |                            ORDER BY $cosAS DESC, s.cid) AS rn
+         |       FROM c a CROSS JOIN cent s)
+         |SELECT vec_id, cid, cos_centroid FROM a2 WHERE rn = 1""".stripMargin
+    })
+
+  def defs: Seq[QueryDef] =
+    Seq(semanticDedup, passageScrub, qualityScore, streamAnnAssign)
 }

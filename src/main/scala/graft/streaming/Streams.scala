@@ -406,4 +406,37 @@ object Streams {
           updated
       }
   }
+
+  /** STREAMING ANN-index ingest: arriving embeddings are assigned to
+    * their IVF inverted list by a centroid model trained on the static
+    * corpus ([[graft.operators.Similarity.kmeansCentroids]]) — the
+    * vector-database ingestion path. The assignment is a STATELESS
+    * narrow projection (stream–static cross join against the broadcast
+    * one-row model), so it needs no state store, no watermark, and no
+    * ordering assumptions: every micro-batch assigns independently and
+    * the result is batch-identical by construction — which the DuckDB
+    * oracle (`stream_ann_assign`) verifies end to end. At scale the
+    * stream never shuffles; the model is K×dim numbers re-broadcast per
+    * batch.
+    */
+  def ivfAssignAvailableNow(spark: SparkSession, dir: String,
+                            queryName: String = "graft_stream_ann"): DataFrame = {
+    val corpus = graft.catalog.Tables.load(spark, dir, "embeddings")
+    val cents = graft.operators.Similarity.kmeansCentroids(corpus)
+    val incoming = tableStream(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val assigned = graft.operators.Similarity
+      .assignEmbeddings(incoming, cents)
+      .select(col("vec_id"), col("cid"), col("cos_centroid"))
+    val q = assigned.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_stream_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
 }

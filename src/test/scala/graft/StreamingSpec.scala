@@ -347,4 +347,41 @@ class StreamingSpec extends AnyFunSuite {
         53L -> Some(21L)), s"got $got")
     } finally q.stop()
   }
+
+  test("streaming IVF assignment equals batch assignment across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Similarity
+    val emb = graft.catalog.Tables.load(spark, sfDir, "embeddings")
+    val cents = Similarity.kmeansCentroids(emb)
+    val batch = Similarity.assignEmbeddings(emb, cents)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // Stream the same vectors in TWO micro-batches: assignment is
+    // stateless, so per-batch results must match the batch run exactly.
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val stream = Similarity.assignEmbeddings(
+      mem.toDF().toDF("vec_id", "embedding")
+        .selectExpr("vec_id", "CAST(embedding AS array<float>) AS embedding"),
+      cents)
+    val q = stream.select("vec_id", "cid")
+      .writeStream.format("memory").queryName("ann_assign")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_test_ckpt").toString)
+      .start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("ann_assign").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == batch, "stream assignment diverged from batch")
+    } finally q.stop()
+  }
 }
