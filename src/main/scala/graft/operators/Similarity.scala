@@ -595,6 +595,42 @@ object Similarity {
       .withColumn("cos_centroid", col("__m").getField("cs"))
       .drop("cents", "__s", "__m", "qe")
 
+  /** Incremental semantic dedup: match an INCOMING embedding batch
+    * against an EXISTING corpus without ever pairing corpus × corpus —
+    * the ingest-time companion of [[semanticDedup]], mirroring
+    * `Dedup.incrementalNearDups`' contract for the embedding space. The
+    * centroid model is trained on the EXISTING corpus only (the stable
+    * index a continuously-ingesting pipeline already holds); both sides
+    * assign narrowly against the broadcast model, and the candidate join
+    * is incoming ⋈ existing on cluster id — cost bounded by |incoming| ×
+    * cluster size, never |existing|². Both join sides are corpus-sized
+    * by contract, so the join is hint-pinned shuffle_hash (no estimate
+    * can pick a broadcast). Returns (new_id, old_id, cos_sim ≥
+    * threshold); incoming docs absent from the result have no semantic
+    * dup in the EXISTING corpus. INTRA-BATCH GAP (by design, same as
+    * incrementalNearDups): incoming members are never paired with each
+    * other — run [[semanticDedup]] over the batch first for a complete
+    * ingest. Cross-cluster misses are the standard SemDeDup recall
+    * trade, bounded by cluster granularity.
+    */
+  def incrementalSemanticDedup(existing: DataFrame, incoming: DataFrame,
+                               threshold: Double = 0.4,
+                               numCentroids: Int = 8,
+                               dim: Int = 64): DataFrame = {
+    val cents = kmeansCentroids(existing, numCentroids, dim).cache()
+    def assigned(df: DataFrame): DataFrame =
+      coarseAssign(
+        df.select(col("vec_id"), vec.quantize(col("embedding")).as("qe")),
+        cents)
+    val ex = assigned(existing).select(col("cid"),
+      col("vec_id").as("old_id"), col("qe").as("e_qe"))
+    assigned(incoming).hint("shuffle_hash")
+      .join(ex.hint("shuffle_hash"), Seq("cid"))
+      .withColumn("cos_sim", cosQ(col("qe"), col("e_qe")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_id").as("new_id"), col("old_id"), col("cos_sim"))
+  }
+
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", arXiv:2303.09540):
     * k-means the embedding space, then within each cluster prune

@@ -175,6 +175,47 @@ object Pipeline2Queries {
          |SELECT vec_id, cid, cos_centroid FROM a2 WHERE rn = 1""".stripMargin
     })
 
+  /** Incremental semantic dedup: incoming = every 5th vector, existing =
+    * the rest; centroids trained on EXISTING only (seeds = its vec_ids
+    * < 8 — six seeds at this split, deterministically mirrored), then
+    * incoming ⋈ existing on cluster id with the cosine gate.
+    */
+  val semanticIncremental: QueryDef = QueryDef("dedup_semantic_incremental",
+    (s, dir) => {
+      val e = embs(s, dir)
+      Similarity.incrementalSemanticDedup(
+        e.filter("vec_id % 5 != 0"), e.filter("vec_id % 5 = 0"))
+    },
+    Some {
+      val cosAS = cosOf("a.qe", "s.ce")
+      s"""WITH c AS (SELECT vec_id, ${duckQuant.format("embedding")} AS qe
+         |           FROM embeddings),
+         |ex0 AS (SELECT * FROM c WHERE vec_id % 5 <> 0),
+         |seeds AS (SELECT CAST(vec_id AS INT) AS cid, qe AS ce FROM ex0
+         |          WHERE vec_id < 8),
+         |a1 AS (SELECT a.vec_id, a.qe, s.cid,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |                            ORDER BY $cosAS DESC, s.cid) AS rn
+         |       FROM ex0 a CROSS JOIN seeds s),
+         |asg1 AS (SELECT vec_id, qe, cid FROM a1 WHERE rn = 1),
+         |cent AS (SELECT cid, list(fd ORDER BY d) AS ce FROM (
+         |           SELECT cid, d, FLOOR(SUM(qe[d]) / COUNT(*)) AS fd
+         |           FROM asg1, (SELECT unnest(generate_series(1, 64)) AS d) dims
+         |           GROUP BY cid, d) GROUP BY cid),
+         |a2 AS (SELECT a.vec_id, a.qe, s.cid,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |                            ORDER BY $cosAS DESC, s.cid) AS rn
+         |       FROM c a CROSS JOIN cent s),
+         |asg2 AS (SELECT vec_id, qe, cid FROM a2 WHERE rn = 1),
+         |i AS (SELECT * FROM asg2 WHERE vec_id % 5 = 0),
+         |e AS (SELECT * FROM asg2 WHERE vec_id % 5 <> 0)
+         |SELECT i.vec_id AS new_id, e.vec_id AS old_id,
+         |       ${cosOf("i.qe", "e.qe")} AS cos_sim
+         |FROM i JOIN e ON i.cid = e.cid
+         |WHERE ${cosOf("i.qe", "e.qe")} >= 0.4""".stripMargin
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(semanticDedup, passageScrub, qualityScore, streamAnnAssign)
+    Seq(semanticDedup, passageScrub, qualityScore, streamAnnAssign,
+      semanticIncremental)
 }

@@ -395,6 +395,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(4L)) // no eps-neighbor at 0.99
   }
 
+  test("incremental semantic dedup catches planted dups, admits novel vectors") {
+    val s = spark
+    import s.implicits._
+    val existing = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val incoming = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // exact dup of 0
+      (11L, Array(0.0f, 0.0f, 1.0f, 0.0f))  // novel direction
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.incrementalSemanticDedup(
+        existing, incoming, threshold = 0.99, numCentroids = 2, dim = 4)
+      .collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("old_id")))
+    assert(got.contains((10L, 0L)), s"planted dup missed: ${got.toSeq}")
+    assert(!got.exists(_._1 == 11L), "novel vector flagged as dup")
+  }
+
   test("semantic dedup invariants on the testdata corpus") {
     import org.apache.spark.sql.functions._
     val emb = graft.catalog.Tables.load(spark, sfDir, "embeddings")
