@@ -30,7 +30,8 @@ object Queries {
       ExtraQueries.defs ++
       Extra2Queries.defs ++
       Extra3Queries.defs ++
-      Extra4Queries.defs
+      Extra4Queries.defs ++
+      Extra5Queries.defs
 
   /** Runnable queries that by construction can have NO DuckDB oracle
     * (plan introspection: the rows describe engine-specific plan shape).

@@ -575,4 +575,52 @@ object Dedup {
         (size(array_intersect(col("ga"), col("gb"))) /
           size(array_union(col("ga"), col("gb")))).as("char_jaccard"))
   }
+
+  /** Corpus-overlap estimation by bottom-k sketch: how much of corpus A's
+    * shingle set corpus B shares (here: the even/odd doc_id halves of
+    * `documents`), the cheap first question asked before merging two
+    * crawls or measuring leakage between a new dump and the existing
+    * training set. Jaccard(A, B) is estimated from the k smallest
+    * md5-hashed word `gramLen`-grams of A∪B (md5 is the shared random
+    * permutation of the universe; the fraction of the bottom-k present
+    * in both sides is an unbiased Jaccard estimator, Broder 1997), and
+    * the exact Jaccard is computed alongside as the audit — the same
+    * estimate/exact pairing as the ANN recall gates.
+    *
+    * Scale shape: ONE wordcount-style shuffle (per-gram side-membership
+    * census with map-side partial max — the same shape as
+    * [[TextAnalysis.vocabCoverage]]'s census), then the sketch is a
+    * distributed top-k (TakeOrderedAndProject: per-partition bottom-k,
+    * merged k-sized — no global sort) and the exact side is a count-only
+    * aggregate of the same census. At 100 TB you keep the sketch and
+    * drop the exact audit: delete one aggregate, nothing else changes.
+    * Returns one row (k_actual, k_both, est_jaccard, n_union, n_inter,
+    * exact_jaccard), all exact integers or exact rationals — bit-stable
+    * cross-engine.
+    */
+  def corpusOverlapSketch(docs: DataFrame, k: Int = 128,
+                          gramLen: Int = 3): DataFrame = {
+    val grams = Par.spread(docs)
+      .selectExpr("doc_id % 2 AS side", "split(text, ' ') AS ws")
+      .filter(s"size(ws) >= $gramLen")
+      .select(col("side"), explode(expr(
+        s"""transform(sequence(1, size(ws) - ${gramLen - 1}),
+           |  i -> md5(concat_ws(' ', slice(ws, i, $gramLen))))""".stripMargin))
+        .as("h"))
+    val byGram = grams.groupBy("h").agg(
+      max(when(col("side") === 0, 1).otherwise(0)).as("in_a"),
+      max(when(col("side") === 1, 1).otherwise(0)).as("in_b"))
+    val bottom = byGram.orderBy("h").limit(k)
+    val est = bottom.agg(count(lit(1)).as("k_actual"),
+      sum((col("in_a") * col("in_b")).cast("long")).as("k_both"))
+    val exact = byGram.agg(count(lit(1)).as("n_union"),
+      sum((col("in_a") * col("in_b")).cast("long")).as("n_inter"))
+    est.crossJoin(exact).select(
+      col("k_actual"), col("k_both"),
+      (col("k_both").cast("double") / col("k_actual").cast("double"))
+        .as("est_jaccard"),
+      col("n_union"), col("n_inter"),
+      (col("n_inter").cast("double") / col("n_union").cast("double"))
+        .as("exact_jaccard"))
+  }
 }

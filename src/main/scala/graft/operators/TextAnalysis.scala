@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, explode, expr, lit, lower, posexplode, size, split, sum}
+import org.apache.spark.sql.functions.{array_contains, broadcast, coalesce, col, count, explode, expr, lit, log, lower, posexplode, round, size, split, sum, when, filter => afilter}
 
 /** Text-analysis operators over the `documents` table: quality stats,
   * language ID, token counting, fingerprinting. All pure narrow
@@ -226,6 +226,99 @@ object TextAnalysis {
       .selectExpr("doc_id",
         "1.0 / (1.0 + exp(-z)) AS q_score",
         "CASE WHEN 1.0 / (1.0 + exp(-z)) >= 0.5 THEN 1 ELSE 0 END AS passes")
+
+  /** BM25 keyword retrieval: top-`k` documents for a fixed bag of query
+    * `terms` (Robertson–Walker BM25 with the +1 IDF floor, k1/b at the
+    * Lucene defaults) — the exact-match retrieval baseline every curation
+    * pipeline runs next to ANN, and the scorer behind retrieval-based
+    * decontamination and targeted corpus audits.
+    *
+    * Scale shape: corpus statistics (N, Σdl, per-term document
+    * frequencies) reduce to ONE row in a single narrow aggregation pass —
+    * no explode, no per-token shuffle, because the term set is tiny and
+    * fixed so each df is an `array_contains` flag summed map-side. That
+    * row broadcasts back onto the scan and the whole score is a fused
+    * narrow projection (tf via `filter(ws, ...)` inside the row); the
+    * only ordering work is the distributed top-k
+    * (TakeOrderedAndProject), never a global sort. Two passes over the
+    * corpus total, both riding the column-pruned (doc_id, text) scan.
+    *
+    * Determinism contract: tf/dl/df/N are integers, avgdl is an exact
+    * rational, so the score differs cross-engine only in ln()'s last
+    * ulp — far inside the gate's 1e-6 float tolerance — and ties at the
+    * k boundary are broken by doc_id.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = Par.spread(docs)
+      .select(col("doc_id"),
+        afilter(split(lower(col("text")), "\\W+"), w => w =!= "").as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val aggs =
+      Seq(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("ws"), t), 1L).otherwise(0L))
+            .as(s"df$i")
+        }
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    val avgdl = col("sumdl").cast("double") / col("n").cast("double")
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(afilter(col("ws"), w => w === t)).cast("double")
+      val idf = log(
+        ((col("n") - col(s"df$i")).cast("double") + lit(0.5)) /
+          (col(s"df$i").cast("double") + lit(0.5)) + lit(1.0))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    }
+    base.crossJoin(broadcast(stats))
+      .withColumn("score", perTerm.reduceLeft(_ + _))
+      .select(col("doc_id"), col("dl"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Unigram language-model scoring: train an add-one-smoothed unigram
+    * LM on the corpus itself, then score every document by mean negative
+    * log-likelihood — the CCNet/KenLM-style perplexity filter (Wenzek et
+    * al. 2020) in its simplest honest form: high nll = out-of-
+    * distribution text, the standard quality-filter signal.
+    *
+    * Scale shape: the LM is a wordcount (one shuffle with map-side
+    * combine, vocabulary-sized result). Scoring joins the exploded
+    * tokens against the broadcast LM (web-scale vocabularies are ~1e7
+    * rows — if that outgrows the broadcast threshold, swap the hint for
+    * a shuffle_hash join; nothing else changes) and the per-doc
+    * aggregation partials map-side, so the second shuffle carries one
+    * row per document, not per token.
+    *
+    * Determinism contract: per-token log-probabilities are quantized to
+    * integer nano-nats (round(ln(p)·1e9)) so the per-document SUM is
+    * exact integer arithmetic — order-independent and bit-stable across
+    * runs and engines; the one division back to double at the end can
+    * differ cross-engine by ~1e-9, far inside the 1e-6 gate tolerance.
+    * Returns (doc_id, n_tokens, nll).
+    */
+  def lmUnigramNll(docs: DataFrame): DataFrame = {
+    val toks = Par.spread(docs)
+      .select(col("doc_id"),
+        explode(afilter(split(lower(col("text")), "\\W+"), w => w =!= ""))
+          .as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum("c").as("t_tokens"),
+      count(lit(1)).as("v_vocab"))
+    val lm = counts.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        round(log((col("c").cast("double") + lit(1.0)) /
+          (col("t_tokens").cast("double") + col("v_vocab").cast("double")))
+          * lit(1e9)).cast("long").as("lp9"))
+    toks.join(broadcast(lm), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lp9").as("slp9"))
+      .select(col("doc_id"), col("n_tokens"),
+        (-col("slp9").cast("double") / lit(1e9) /
+          col("n_tokens").cast("double")).as("nll"))
+  }
 
   /** PII redaction: mask long digit runs (phone/account-number shaped)
     * and email-shaped tokens, reporting per-row hit counts alongside the

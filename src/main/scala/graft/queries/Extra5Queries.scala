@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.QueryDef
+import graft.catalog.Tables
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Eighth coverage wave: retrieval and corpus-measurement operators —
+  * BM25 keyword search, unigram-LM perplexity scoring (the CCNet-style
+  * quality filter), and bottom-k-sketch corpus-overlap estimation. The
+  * Spark side is the 100 TB plan (one-row stats broadcast, wordcount
+  * shuffles with map-side combine, distributed top-k); the oracle
+  * re-derives every score in portable DuckDB SQL, sharing the exact
+  * floating-point constants via Scala's round-tripping Double.toString
+  * so both engines evaluate bit-identical rationals.
+  */
+object Extra5Queries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Query terms for the BM25 headliner — mid-frequency members of the
+    * synthetic corpus vocabulary, so tf/df are non-trivial.
+    */
+  val bm25Terms: Seq[String] = Seq("hash", "join", "stream", "window")
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+  private val bm25TopN = 20
+
+  /** The BM25 oracle rebuilt term-by-term in the SAME order as
+    * [[TextAnalysis.bm25TopK]]'s reduceLeft, with constants printed via
+    * Double.toString (shortest round-tripping form) so DuckDB parses the
+    * identical doubles Scala computed.
+    */
+  private def bm25Oracle: String = {
+    val k1p1 = (bm25K1 + 1.0).toString
+    val oneMinusB = (1.0 - bm25B).toString
+    val dfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN list_contains(ws, '$t') THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(",\n    ")
+    val score = bm25Terms.zipWithIndex.map { case (t, i) =>
+      val tf = s"CAST(len(list_filter(ws, x -> x = '$t')) AS DOUBLE)"
+      s"""(ln((CAST(n - df$i AS DOUBLE) + 0.5) /
+         |      (CAST(df$i AS DOUBLE) + 0.5) + 1.0)
+         |   * ($tf * $k1p1)
+         |   / ($tf + $bm25K1 * ($oneMinusB + $bm25B * CAST(dl AS DOUBLE)
+         |        / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))""".stripMargin
+    }.mkString("\n + ")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\W+'),
+       |      x -> x <> '') AS ws
+       |  FROM documents),
+       |d AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM base),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(dl) AS BIGINT) AS sumdl,
+       |    $dfCols
+       |  FROM d)
+       |SELECT doc_id, dl,
+       |$score AS score
+       |FROM d, stats
+       |ORDER BY score DESC, doc_id LIMIT $bm25TopN""".stripMargin
+  }
+
+  /** BM25 top-20 ([[TextAnalysis.bm25TopK]]): exact-match retrieval
+    * baseline. Oracle replays the full scorer (corpus stats, IDF, length
+    * normalization) in DuckDB list SQL.
+    */
+  val bm25TopK: QueryDef = QueryDef("text_bm25_topk",
+    (s, dir) => TextAnalysis.bm25TopK(docs(s, dir), bm25Terms, bm25TopN,
+      bm25K1, bm25B),
+    bench = true,
+    oracle = Some(bm25Oracle))
+
+  /** Unigram-LM mean negative log-likelihood per document
+    * ([[TextAnalysis.lmUnigramNll]]): the perplexity quality filter. The
+    * oracle retrains the same add-one-smoothed LM and re-quantizes
+    * per-token log-probs to integer nano-nats, so the per-doc sums are
+    * exact on both engines.
+    */
+  val lmScore: QueryDef = QueryDef("text_lm_nll",
+    (s, dir) => TextAnalysis.lmUnigramNll(docs(s, dir)),
+    bench = true,
+    oracle = Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t_tokens,
+        |               CAST(COUNT(*) AS BIGINT) AS v_vocab FROM counts),
+        |lm AS (
+        |  SELECT tok,
+        |    CAST(round(ln((CAST(c AS DOUBLE) + 1.0) /
+        |      (CAST(t_tokens AS DOUBLE) + CAST(v_vocab AS DOUBLE)))
+        |      * 1.0E9) AS BIGINT) AS lp9
+        |  FROM counts, tot)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  -CAST(SUM(lp9) AS DOUBLE) / 1.0E9
+        |    / CAST(COUNT(*) AS DOUBLE) AS nll
+        |FROM toks t JOIN lm ON t.tok = lm.tok
+        |GROUP BY t.doc_id""".stripMargin))
+
+  /** Bottom-k corpus-overlap estimate between the even/odd doc_id halves
+    * ([[Dedup.corpusOverlapSketch]]), exact Jaccard alongside as the
+    * audit. The oracle replays the identical md5 bottom-k sketch.
+    */
+  val overlapSketch: QueryDef = QueryDef("dedup_overlap_sketch",
+    (s, dir) => Dedup.corpusOverlapSketch(docs(s, dir), 128, 3),
+    oracle = Some(
+      """WITH g0 AS (
+        |  SELECT doc_id % 2 AS side, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |g1 AS (SELECT side, ws FROM g0 WHERE len(ws) >= 3),
+        |grams AS (
+        |  SELECT side,
+        |    md5(array_to_string(list_slice(ws, i, i + 2), ' ')) AS h
+        |  FROM g1, unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+        |bygram AS (
+        |  SELECT h, MAX(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS in_a,
+        |         MAX(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS in_b
+        |  FROM grams GROUP BY h),
+        |bottom AS (SELECT * FROM bygram ORDER BY h LIMIT 128),
+        |est AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_actual,
+        |               CAST(SUM(in_a * in_b) AS BIGINT) AS k_both
+        |        FROM bottom),
+        |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_union,
+        |              CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter
+        |       FROM bygram)
+        |SELECT k_actual, k_both,
+        |  CAST(k_both AS DOUBLE) / CAST(k_actual AS DOUBLE) AS est_jaccard,
+        |  n_union, n_inter,
+        |  CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS exact_jaccard
+        |FROM est, ex""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(bm25TopK, lmScore, overlapSketch)
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Semantics tests for the eighth coverage wave: BM25 retrieval,
+  * unigram-LM nll scoring, bottom-k corpus-overlap sketch. Closed-form
+  * micro-corpora where the scores are hand-computable.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def corpus(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("bm25TopK: doc with more query-term hits outranks; score matches closed form") {
+    // 3 docs, 4 tokens each (avgdl = dl = 4 so length norm cancels).
+    val docs = corpus(
+      (1L, "hash hash pad pad"),
+      (2L, "hash pad pad pad"),
+      (3L, "pad pad pad pad"))
+    val got = TextAnalysis.bm25TopK(docs, Seq("hash"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // df=2, N=3: idf = ln((3-2+0.5)/(2+0.5)+1) = ln(1.6)
+    // dl=avgdl: denom = tf + k1, score = idf * tf*2.2/(tf+1.2)
+    val idf = math.log(1.6)
+    def s(tf: Double) = idf * tf * 2.2 / (tf + 1.2)
+    assert(math.abs(got(0)._2 - s(2)) < 1e-12)
+    assert(math.abs(got(1)._2 - s(1)) < 1e-12)
+    assert(got(2)._2 == 0.0)
+  }
+
+  test("bm25TopK: length normalization prefers the shorter doc at equal tf") {
+    val docs = corpus(
+      (1L, "hash pad"),
+      (2L, "hash pad pad pad pad pad"))
+    val got = TextAnalysis.bm25TopK(docs, Seq("hash"), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("lmUnigramNll: uniform two-token corpus gives every doc the same nll") {
+    // 2 docs x 2 tokens, each token appears twice: p = (2+1)/(4+2) = 1/2.
+    val docs = corpus((1L, "aa bb"), (2L, "aa bb"))
+    val got = TextAnalysis.lmUnigramNll(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(2L, 2L))
+    val expect = -math.log(0.5)
+    got.foreach(r => assert(math.abs(r._3 - expect) < 1e-8))
+  }
+
+  test("lmUnigramNll: the doc with rarer tokens scores higher nll") {
+    val docs = corpus(
+      (1L, "the the the the"),
+      (2L, "the the rare odd"))
+    val got = TextAnalysis.lmUnigramNll(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got(2L) > got(1L))
+  }
+
+  test("corpusOverlapSketch: identical halves estimate jaccard 1, disjoint 0") {
+    val same = corpus(
+      (0L, "a b c d e"), (2L, "a b c d e"),
+      (1L, "a b c d e"), (3L, "a b c d e"))
+    val r1 = Dedup.corpusOverlapSketch(same, k = 16).collect().head
+    assert(r1.getAs[Double]("est_jaccard") == 1.0)
+    assert(r1.getAs[Double]("exact_jaccard") == 1.0)
+
+    val disjoint = corpus(
+      (0L, "a b c d e"), (1L, "v w x y z"))
+    val r2 = Dedup.corpusOverlapSketch(disjoint, k = 16).collect().head
+    assert(r2.getAs[Double]("est_jaccard") == 0.0)
+    assert(r2.getAs[Double]("exact_jaccard") == 0.0)
+  }
+
+  test("corpusOverlapSketch: k caps the sketch; counts are consistent") {
+    // 20 distinct grams per side, none shared.
+    val docs = corpus(
+      (0L, (1 to 22).map(i => s"e$i").mkString(" ")),
+      (1L, (1 to 22).map(i => s"o$i").mkString(" ")))
+    val r = Dedup.corpusOverlapSketch(docs, k = 8).collect().head
+    assert(r.getAs[Long]("k_actual") == 8L)
+    assert(r.getAs[Long]("k_both") == 0L)
+    assert(r.getAs[Long]("n_union") == 40L)
+    assert(r.getAs[Long]("n_inter") == 0L)
+  }
+}
