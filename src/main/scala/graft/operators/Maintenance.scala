@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, expr, max, min}
 
 /** Table-maintenance utilities — the operational side of running a lake
   * at 100 TB, where streaming ingest and fine-grained partitioning leave
@@ -30,5 +31,53 @@ object Maintenance {
       .repartition(nOut)
       .write.mode("overwrite").parquet(outDir)
     dataFiles(outDir).length.toLong
+  }
+
+  /** Z-order (Morton-curve) layout rewrite: cluster a table's files on
+    * the interleaved bits of two columns so that a 2-D range predicate
+    * prunes most row groups on BOTH dimensions — what Delta/Iceberg's
+    * OPTIMIZE ZORDER does, rebuilt on vanilla parquet. A single sort
+    * column gives tight min/max file stats on one dimension and
+    * full-range stats on every other; the Morton curve trades a little
+    * tightness on each dimension for locality on all of them, which is
+    * the difference between scanning 1/√F and scanning every file when
+    * the filter constrains two columns at once.
+    *
+    * Shape: one 1-row min/max aggregate (broadcast back onto the scan),
+    * the z-value as a fused codegen'd bit-interleave expression (an
+    * `aggregate` fold over 16 bit positions — no UDF), then ONE
+    * range-partitioning shuffle (`repartitionByRange` samples the
+    * z-distribution, so files come out evenly sized even under skew) and
+    * a within-partition sort that makes each row group's z-range — and
+    * therefore both columns' min/max — tight. At 100 TB this runs
+    * per-partition-directory like [[compact]], and the one shuffle IS
+    * the price of every later scan reading 100× less.
+    *
+    * The layout changes bytes on disk, never results: the paired
+    * QueryDef's oracle runs the probe over the ORIGINAL table, and
+    * OperatorSpec measures the actual row-group pruning win vs a
+    * linear layout via scan SQLMetrics.
+    */
+  def zorderWrite(df: DataFrame, colA: String, colB: String,
+                  outDir: String, nFiles: Int, bits: Int = 16): Unit = {
+    val scaleMax = (1L << bits) - 1
+    val stats = df.agg(
+      min(col(colA)).cast("double").as("za_min"),
+      max(col(colA)).cast("double").as("za_max"),
+      min(col(colB)).cast("double").as("zb_min"),
+      max(col(colB)).cast("double").as("zb_max"))
+    val bucket = (c: String, lo: String, hi: String) =>
+      s"CAST(round(($c - $lo) / greatest($hi - $lo, 1e-300) * $scaleMax) AS BIGINT)"
+    df.crossJoin(broadcast(stats))
+      .withColumn("za", expr(bucket(colA, "za_min", "za_max")))
+      .withColumn("zb", expr(bucket(colB, "zb_min", "zb_max")))
+      .withColumn("z", expr(
+        s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) ->
+           |  acc | shiftleft(shiftright(za, i) & 1, 2 * i + 1)
+           |      | shiftleft(shiftright(zb, i) & 1, 2 * i))""".stripMargin))
+      .repartitionByRange(nFiles, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z", "za", "zb", "za_min", "za_max", "zb_min", "zb_max")
+      .write.mode("overwrite").parquet(outDir)
   }
 }

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.QueryDef
 import graft.catalog.Tables
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Maintenance, TextAnalysis}
+import Sql.dsum
 
 /** Eighth coverage wave: retrieval and corpus-measurement operators —
   * BM25 keyword search, unigram-LM perplexity scoring (the CCNet-style
@@ -136,5 +137,34 @@ object Extra5Queries {
         |  CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS exact_jaccard
         |FROM est, ex""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(bm25TopK, lmScore, overlapSketch)
+  /** The 2-D probe both engines answer; Spark answers it over the
+    * z-ordered rewrite, the oracle over the original table — layout
+    * invariance is the contract (and OperatorSpec measures the
+    * row-group pruning the layout buys).
+    */
+  private val zorderBox =
+    "user_id BETWEEN 0 AND 10 AND value BETWEEN 50.0 AND 100.0"
+  private def zorderProbe(table: String) =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_box,
+       |  ${dsum("value")} AS box_value,
+       |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
+       |FROM $table WHERE $zorderBox""".stripMargin
+
+  /** Z-order layout rewrite + pruned 2-D probe
+    * ([[Maintenance.zorderWrite]]): the OPTIMIZE ZORDER maintenance op
+    * on vanilla parquet.
+    */
+  val zorder: QueryDef = QueryDef("maintenance_zorder",
+    (s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_zorder").toString
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "user_id", "value")
+      Maintenance.zorderWrite(ev, "user_id", "value", out, 16)
+      s.read.parquet(out).createOrReplaceTempView("events_zorder")
+      s.sql(zorderProbe("events_zorder"))
+    },
+    oracle = Some(zorderProbe("events")))
+
+  def defs: Seq[QueryDef] = Seq(bm25TopK, lmScore, overlapSketch, zorder)
 }
