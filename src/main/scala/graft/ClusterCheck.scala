@@ -42,7 +42,8 @@ object ClusterCheck {
       "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_hot_buckets",
       "dedup_embedding", "dedup_embedding_banded",
       "ann_pq_topk", "ann_ivf_pq", "ann_ivf_pq_residual",
-      "pipeline_decontaminate")).distinct
+      "pipeline_decontaminate",
+      "dedup_overlap_sketch", "maintenance_zorder")).distinct
 
   def main(args: Array[String]): Unit = {
     val master = if (args.nonEmpty) args(0) else "local[8]"

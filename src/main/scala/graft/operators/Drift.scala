@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{abs, broadcast, col, expr, sum}
+
+/** Distribution-drift measurement between two slices of a corpus — the
+  * monitoring op a pipeline runs when a new crawl/dump lands: "does this
+  * batch's feature distribution match what we trained on?"
+  */
+object Drift {
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic over an integer
+    * feature column: max over feature values of |F_a(v) − F_b(v)|, the
+    * standard two-sample drift test. Returns one row
+    * (n_a, n_b, ks_at, ks_stat) — ks_at is the smallest value attaining
+    * the supremum.
+    *
+    * Scale shape: the corpus reduces FIRST — one wordcount-style
+    * group-by on the feature value (map-side partial sums) — so the
+    * cumulative-sum window runs over the DISTINCT-VALUE frame, not the
+    * corpus. That frame is bounded by the feature's cardinality (a few
+    * thousand for lengths/scores), which is why the single-partition
+    * window is fine here and would not be on raw rows; for genuinely
+    * continuous features, bucket (e.g. `round(v, 3)`) before calling —
+    * the same pre-reduction contract. Every F value is an exact
+    * rational of counts, so results are bit-stable cross-engine.
+    */
+  def ksDrift(df: DataFrame, valueCol: String, sideACond: String): DataFrame = {
+    val perV = df
+      .selectExpr(s"$valueCol AS v",
+        s"CASE WHEN $sideACond THEN 1 ELSE 0 END AS ia")
+      .groupBy("v")
+      .agg(sum(col("ia")).as("ca"), sum(expr("1 - ia")).as("cb"))
+    val tot = perV.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perV.crossJoin(broadcast(tot))
+      .withColumn("d", abs(
+        sum(col("ca")).over(w).cast("double") / col("n_a").cast("double") -
+          sum(col("cb")).over(w).cast("double") / col("n_b").cast("double")))
+      .orderBy(col("d").desc, col("v"))
+      .limit(1)
+      .select(col("n_a"), col("n_b"), col("v").as("ks_at"),
+        col("d").as("ks_stat"))
+  }
+}

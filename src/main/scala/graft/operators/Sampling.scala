@@ -163,4 +163,40 @@ object Sampling {
         expr(s"__start div $budget").as("ctx_id"),
         (col("__start") % budget).as("ctx_offset"))
   }
+
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * land in the SAME split, or the held-out sets leak training content
+    * (the grouped-split discipline of Lee et al. 2022's dedup study and
+    * every decontamination protocol; sklearn's GroupShuffleSplit shape).
+    * `pairs` is any near-dup pair frame (e.g. [[Dedup.minHashPairs]]);
+    * connected components collapse pairs into groups, every doc outside
+    * a group is its own singleton, and the split is assigned by portable
+    * md5 hash of the GROUP id — so adding new corpus members never
+    * reshuffles existing assignments (stable under ingest), and two
+    * near-dups can never straddle a split boundary by construction.
+    *
+    * Scale shape: the CC pass is [[Dedup.duplicateClusterMembers]]
+    * (checkpointed label propagation — see duplicateClustersStar for the
+    * huge-graph variant); the split itself is a left join (cluster
+    * frame is pair-bounded, broadcastable in practice) plus a narrow
+    * hash projection. Returns (doc_id, group_id, split) with buckets
+    * 0-7 train / 8 val / 9 test by default.
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       trainBuckets: Int = 8, valBuckets: Int = 1)
+      : DataFrame = {
+    require(trainBuckets > 0 && valBuckets > 0 &&
+      trainBuckets + valBuckets < 10, "buckets must partition 0-9")
+    val clusters = Dedup.duplicateClusterMembers(pairs)
+    docs.select("doc_id")
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("__b", expr(
+        "pmod(CAST(conv(substring(md5(CAST(group_id AS STRING)), 1, 12), 16, 10) AS BIGINT), 10)"))
+      .withColumn("split", expr(
+        s"""CASE WHEN __b < $trainBuckets THEN 'train'
+           |     WHEN __b < ${trainBuckets + valBuckets} THEN 'val'
+           |     ELSE 'test' END""".stripMargin))
+      .select("doc_id", "group_id", "split")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.QueryDef
 import graft.catalog.Tables
-import graft.operators.{Dedup, Maintenance, TextAnalysis}
+import graft.operators.{Dedup, Drift, Maintenance, TextAnalysis}
 import Sql.dsum
 
 /** Eighth coverage wave: retrieval and corpus-measurement operators —
@@ -166,5 +166,35 @@ object Extra5Queries {
     },
     oracle = Some(zorderProbe("events")))
 
-  def defs: Seq[QueryDef] = Seq(bm25TopK, lmScore, overlapSketch, zorder)
+  /** Exact two-sample KS drift between the even/odd doc_id halves on
+    * document length ([[Drift.ksDrift]]): the distribution-monitoring op
+    * run on every new dump. Oracle re-derives the cumulative-fraction
+    * supremum with DuckDB's window machinery.
+    */
+  val ksDrift: QueryDef = QueryDef("stats_ks_drift",
+    (s, dir) => Drift.ksDrift(docs(s, dir), "n_chars", "doc_id % 2 = 0"),
+    oracle = Some(
+      """WITH pts AS (
+        |  SELECT n_chars AS v,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS ia
+        |  FROM documents),
+        |perv AS (
+        |  SELECT v, SUM(ia) AS ca, SUM(1 - ia) AS cb FROM pts GROUP BY v),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |               CAST(SUM(cb) AS BIGINT) AS n_b FROM perv),
+        |cum AS (
+        |  SELECT v,
+        |    SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cca,
+        |    SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS ccb
+        |  FROM perv)
+        |SELECT n_a, n_b, v AS ks_at,
+        |  abs(CAST(cca AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(ccb AS DOUBLE) / CAST(n_b AS DOUBLE)) AS ks_stat
+        |FROM cum, tot
+        |ORDER BY ks_stat DESC, v LIMIT 1""".stripMargin))
+
+  def defs: Seq[QueryDef] =
+    Seq(bm25TopK, lmScore, overlapSketch, zorder, ksDrift)
 }

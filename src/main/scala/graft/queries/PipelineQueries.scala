@@ -1111,6 +1111,46 @@ object PipelineQueries {
            |  strt % 4096 AS ctx_offset
            |FROM c""".stripMargin))
 
+  /** Leakage-safe grouped split ([[Sampling.leakageSafeSplit]]) over the
+    * planted near-dup corpus: every MinHash-connected component lands
+    * whole in one of train/val/test by md5 of its group id; singletons
+    * split by their own id. The oracle replays the full chain — LSH
+    * candidates → exact Jaccard → recursive transitive closure →
+    * min-label group → portable md5 bucket.
+    */
+  val leakageSplit: QueryDef = QueryDef("sample_leakage_split",
+    (s, dir) => graft.operators.Sampling.leakageSafeSplit(
+      plantedCorpus(s, dir), Dedup.minHashPairs(plantedCorpus(s, dir))),
+    Some(s"""WITH RECURSIVE corpus AS ($plantedCorpusSql),
+            |${duckShingles("corpus")},
+            |$duckMinhashCand,
+            |pairs AS (
+            |  SELECT doc_a, doc_b
+            |  FROM cand JOIN sh a ON a.doc_id = doc_a
+            |            JOIN sh b ON b.doc_id = doc_b
+            |  WHERE len(list_intersect(a.s, b.s)) /
+            |    len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+            |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+            |      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+            |tc(a, b) AS (
+            |  SELECT src, dst FROM e
+            |  UNION
+            |  SELECT tc.a, e.dst FROM tc JOIN e ON tc.b = e.src),
+            |lbl AS (SELECT a AS id, LEAST(a, MIN(b)) AS lbl FROM tc GROUP BY a),
+            |g AS (
+            |  SELECT d.doc_id, COALESCE(l.lbl, d.doc_id) AS group_id
+            |  FROM corpus d LEFT JOIN lbl l ON d.doc_id = l.id),
+            |b AS (
+            |  SELECT doc_id, group_id,
+            |    ('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 12))
+            |      ::BIGINT % 10 AS bk
+            |  FROM g)
+            |SELECT doc_id, group_id,
+            |  CASE WHEN bk < 8 THEN 'train'
+            |       WHEN bk < 9 THEN 'val'
+            |       ELSE 'test' END AS split
+            |FROM b""".stripMargin))
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupHotBuckets, dedupSimhash,
     dedupSimhashPairs, dedupNgram, dedupIncremental,
@@ -1119,6 +1159,7 @@ object PipelineQueries {
     annPq, annPqKmeans, annPqRerank, annPqRecall, annIvfPq, annIvfPqResidual,
     sampleStratified,
     sampleWeighted, sampleTemperature, sampleShard, samplePack,
+    leakageSplit,
     decontaminate, dedupClusters, dedupClusterMembers, dedupClustersStar,
     textStats, textLangid, textTokens, textQualityFilter, textRepetition,
     textFingerprint, piiRedact,

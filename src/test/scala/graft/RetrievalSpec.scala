@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Drift, Sampling, TextAnalysis}
 
 /** Semantics tests for the eighth coverage wave: BM25 retrieval,
   * unigram-LM nll scoring, bottom-k corpus-overlap sketch. Closed-form
@@ -76,6 +76,48 @@ class RetrievalSpec extends AnyFunSuite {
     val r2 = Dedup.corpusOverlapSketch(disjoint, k = 16).collect().head
     assert(r2.getAs[Double]("est_jaccard") == 0.0)
     assert(r2.getAs[Double]("exact_jaccard") == 0.0)
+  }
+
+  test("ksDrift: closed-form supremum, identical halves, disjoint halves") {
+    val s = spark
+    import s.implicits._
+    // A = {1,2}, B = {1,3}: F diverges only at v=2 where |1 - 0.5| = 0.5.
+    val ab = Seq((1L, 0L), (2L, 0L), (1L, 1L), (3L, 1L)).toDF("v", "side")
+    val r = Drift.ksDrift(ab, "v", "side = 0").collect().head
+    assert((r.getLong(0), r.getLong(1)) == (2L, 2L))
+    assert(r.getAs[Long]("ks_at") == 2L)
+    assert(r.getAs[Double]("ks_stat") == 0.5)
+
+    val same = Seq((5L, 0L), (7L, 0L), (5L, 1L), (7L, 1L)).toDF("v", "side")
+    assert(Drift.ksDrift(same, "v", "side = 0")
+      .collect().head.getAs[Double]("ks_stat") == 0.0)
+
+    val disjoint = Seq((1L, 0L), (2L, 0L), (10L, 1L), (11L, 1L))
+      .toDF("v", "side")
+    val d = Drift.ksDrift(disjoint, "v", "side = 0").collect().head
+    assert(d.getAs[Double]("ks_stat") == 1.0)
+    assert(d.getAs[Long]("ks_at") == 2L) // smallest v attaining the sup
+  }
+
+  test("leakageSafeSplit: connected docs share a split; every doc assigned once") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain 1-2-3 is one group; 7-8 another; rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val got = Sampling.leakageSafeSplit(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length == 10)
+    assert(got.map(_._1).toSet == (1L to 10L).toSet)
+    val byDoc = got.map(r => r._1 -> r).toMap
+    // one group id and one split for the whole component
+    assert(Set(byDoc(1L), byDoc(2L), byDoc(3L)).map(_._2) == Set(1L))
+    assert(Set(byDoc(1L), byDoc(2L), byDoc(3L)).map(_._3).size == 1)
+    assert(Set(byDoc(7L), byDoc(8L)).map(_._2) == Set(7L))
+    assert(Set(byDoc(7L), byDoc(8L)).map(_._3).size == 1)
+    // singletons group under their own id
+    assert(byDoc(5L)._2 == 5L)
+    assert(got.forall(r => Set("train", "val", "test")(r._3)))
   }
 
   test("corpusOverlapSketch: k caps the sketch; counts are consistent") {
