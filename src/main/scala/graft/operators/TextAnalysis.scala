@@ -320,6 +320,43 @@ object TextAnalysis {
           col("n_tokens").cast("double")).as("nll"))
   }
 
+  /** Inverted-index build: token → (document frequency, collection
+    * frequency, bounded posting list of the `maxPostings` smallest
+    * doc_ids) for tokens with df ≥ `minDf` — the index-construction
+    * half of the retrieval stack whose query half is [[bm25TopK]].
+    *
+    * Scale shape: wordcount twice (cf on occurrences, df on distinct
+    * (tok, doc) pairs — both one shuffle with map-side partials), and
+    * the posting list is the native BoundedTopK aggregate (score =
+    * −doc_id, so ascending doc_ids): a k-bounded heap per partition
+    * whose shuffle carries k ids per token, NEVER a collect_list of a
+    * hot token's full posting set — the unbounded-collect trap is what
+    * kills index builds on stopword-frequency tokens at 100 TB. Real
+    * index builds shard postings beyond the cap; the cap here is the
+    * honest bounded kernel of that. Postings serialize to a
+    * comma-joined string (the gate cannot hash array cells).
+    */
+  def invertedIndex(docs: DataFrame, minDf: Long = 2,
+                    maxPostings: Int = 20): DataFrame = {
+    val toks = Par.spread(docs)
+      .select(col("doc_id"),
+        explode(afilter(split(lower(col("text")), "\\W+"), w => w =!= ""))
+          .as("tok"))
+    val cf = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
+    val posts = toks.distinct()
+      .withColumn("__score", -col("doc_id").cast("double"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"),
+        graft.functions.topk(col("__score"), col("doc_id"), maxPostings)
+          .as("tk"))
+      .where(col("df") >= minDf)
+      .select(col("tok"), col("df"),
+        expr("array_join(transform(tk, s -> CAST(s.nn_id AS STRING)), ',')")
+          .as("postings"))
+    // both sides are vocabulary-sized; the equi-join is trivial at any SF
+    posts.join(cf, "tok").select("tok", "df", "cf", "postings")
+  }
+
   /** PII redaction: mask long digit runs (phone/account-number shaped)
     * and email-shaped tokens, reporting per-row hit counts alongside the
     * redacted text. Pure narrow projection (the 100 TB shape: one

@@ -195,6 +195,30 @@ object Extra5Queries {
         |FROM cum, tot
         |ORDER BY ks_stat DESC, v LIMIT 1""".stripMargin))
 
+  /** Inverted-index build ([[TextAnalysis.invertedIndex]]): df/cf plus
+    * the bounded posting list per token. Oracle re-derives postings with
+    * DuckDB's ordered list aggregation over the same distinct pairs.
+    */
+  val invertedIndex: QueryDef = QueryDef("text_inverted_index",
+    (s, dir) => TextAnalysis.invertedIndex(docs(s, dir), 2, 20),
+    oracle = Some(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf
+        |       FROM toks GROUP BY tok),
+        |dist AS (SELECT DISTINCT tok, doc_id FROM toks),
+        |posts AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+        |    array_to_string(
+        |      list_slice(list(doc_id ORDER BY doc_id), 1, 20), ',')
+        |      AS postings
+        |  FROM dist GROUP BY tok HAVING COUNT(*) >= 2)
+        |SELECT p.tok, p.df, c.cf, p.postings
+        |FROM posts p JOIN cf c ON p.tok = c.tok""".stripMargin))
+
   def defs: Seq[QueryDef] =
-    Seq(bm25TopK, lmScore, overlapSketch, zorder, ksDrift)
+    Seq(bm25TopK, lmScore, overlapSketch, zorder, ksDrift, invertedIndex)
 }

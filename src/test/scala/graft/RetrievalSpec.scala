@@ -120,6 +120,19 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.forall(r => Set("train", "val", "test")(r._3)))
   }
 
+  test("invertedIndex: df/cf/postings closed form, minDf filter, posting cap") {
+    val docs = corpus(
+      (3L, "b a a"), (1L, "a b"), (2L, "a c"))
+    val got = TextAnalysis.invertedIndex(docs, minDf = 2, maxPostings = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1)
+    // 'c' has df=1 -> filtered; 'a' df=3 cf=4, postings capped at 2;
+    // 'b' in docs 1 and 3 only (df=2, cf=2)
+    assert(got.toSeq == Seq(
+      ("a", 3L, 4L, "1,2"),
+      ("b", 2L, 2L, "1,3")))
+  }
+
   test("corpusOverlapSketch: k caps the sketch; counts are consistent") {
     // 20 distinct grams per side, none shared.
     val docs = corpus(
