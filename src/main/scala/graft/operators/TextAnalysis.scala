@@ -338,12 +338,17 @@ object TextAnalysis {
     */
   def invertedIndex(docs: DataFrame, minDf: Long = 2,
                     maxPostings: Int = 20): DataFrame = {
-    val toks = Par.spread(docs)
+    val base = Par.spread(docs)
       .select(col("doc_id"),
-        explode(afilter(split(lower(col("text")), "\\W+"), w => w =!= ""))
-          .as("tok"))
-    val cf = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
-    val posts = toks.distinct()
+        afilter(split(lower(col("text")), "\\W+"), w => w =!= "").as("ws"))
+    val cf = base.select(explode(col("ws")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cf"))
+    // Distinct (tok, doc) pairs come from array_distinct INSIDE the row —
+    // a narrow projection — never from a corpus-wide .distinct(), whose
+    // extra occurrence-level shuffle tripled this operator's 100× time
+    // before this form (78 s → the distinct-free shape; see BASELINE.md).
+    val posts = base
+      .select(col("doc_id"), explode(expr("array_distinct(ws)")).as("tok"))
       .withColumn("__score", -col("doc_id").cast("double"))
       .groupBy("tok")
       .agg(count(lit(1)).as("df"),

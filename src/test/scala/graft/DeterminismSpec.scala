@@ -124,6 +124,27 @@ class DeterminismSpec extends AnyFunSuite {
     assert(run(1) == run(32))
   }
 
+  test("lmUnigramNll is bit-identical across partition counts (nano-nat sums)") {
+    val d = Tables.load(spark, sfDir, "documents")
+    def run(parts: Int): Map[Long, (Long, Long)] =
+      graft.operators.TextAnalysis.lmUnigramNll(d.repartition(parts))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), bits(r.getDouble(2))))
+        .toMap
+    val p1 = run(1)
+    assert(run(7) == p1)
+    assert(run(32) == p1)
+  }
+
+  test("corpusOverlapSketch is bit-identical across partition counts") {
+    val d = Tables.load(spark, sfDir, "documents")
+    def run(parts: Int): Seq[Seq[Any]] = rows(
+      graft.operators.Dedup.corpusOverlapSketch(d.repartition(parts)))
+    val p1 = run(1)
+    assert(run(7) == p1)
+    assert(run(32) == p1)
+  }
+
   test("asofJoin result is stable under input repartitioning") {
     val ev = Tables.load(spark, sfDir, "events")
     import org.apache.spark.sql.functions._
