@@ -320,6 +320,48 @@ object TextAnalysis {
           col("n_tokens").cast("double")).as("nll"))
   }
 
+  /** Bigram language-model scoring: train a conditional add-one-smoothed
+    * bigram LM on the corpus (p(w₂|w₁) = (c(w₁w₂)+1)/(h(w₁)+V), h = the
+    * history count Σ_w c(w₁w), V = vocabulary size), score every ≥2-token
+    * document by mean negative log-likelihood over its bigrams — the
+    * order-sensitive upgrade of [[lmUnigramNll]]: reshuffled boilerplate
+    * that fools a unigram filter scores high here.
+    *
+    * Scale shape: two censuses (bigram + history, each one shuffle with
+    * map-side combine, results bigram-vocabulary-sized), the LM joined
+    * small-to-small, then the same broadcast-join + map-side-partial
+    * per-doc aggregation as the unigram scorer; the same nano-nat
+    * quantization keeps per-doc sums exact integer arithmetic.
+    */
+  def lmBigramNll(docs: DataFrame): DataFrame = {
+    val base = Par.spread(docs)
+      .select(col("doc_id"),
+        afilter(split(lower(col("text")), "\\W+"), w => w =!= "").as("ws"))
+    val bigrams = base.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> struct(element_at(ws, i) AS w1,
+          |              element_at(ws, i + 1) AS w2))""".stripMargin))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val hist = bc.groupBy("w1").agg(sum("cb").as("ch"))
+    val v = base.select(explode(col("ws")).as("w"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("w"))
+        .as("v_vocab"))
+    val lm = bc.join(hist, "w1").crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
+        round(log((col("cb").cast("double") + lit(1.0)) /
+          (col("ch").cast("double") + col("v_vocab").cast("double")))
+          * lit(1e9)).cast("long").as("lp9"))
+    bigrams.join(broadcast(lm), Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp9").as("slp9"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (-col("slp9").cast("double") / lit(1e9) /
+          col("n_bigrams").cast("double")).as("nll"))
+  }
+
   /** Inverted-index build: token → (document frequency, collection
     * frequency, bounded posting list of the `maxPostings` smallest
     * doc_ids) for tokens with df ≥ `minDf` — the index-construction

@@ -219,6 +219,40 @@ object Extra5Queries {
         |SELECT p.tok, p.df, c.cf, p.postings
         |FROM posts p JOIN cf c ON p.tok = c.tok""".stripMargin))
 
+  /** Bigram-LM mean nll ([[TextAnalysis.lmBigramNll]]): the
+    * order-sensitive perplexity filter. Oracle retrains the identical
+    * conditional LM and replays the nano-nat quantization.
+    */
+  val lmBigram: QueryDef = QueryDef("text_lm_bigram_nll",
+    (s, dir) => TextAnalysis.lmBigramNll(docs(s, dir)),
+    oracle = Some(
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'),
+        |      x -> x <> '') AS ws
+        |  FROM documents),
+        |b2 AS (SELECT doc_id, ws FROM base WHERE len(ws) >= 2),
+        |bigrams AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM b2, unnest(generate_series(1, len(ws) - 1)) AS t(i)),
+        |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bigrams GROUP BY w1, w2),
+        |hist AS (SELECT w1, SUM(cb) AS ch FROM bc GROUP BY w1),
+        |toks AS (SELECT unnest(ws) AS w FROM base),
+        |v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v_vocab
+        |      FROM toks),
+        |lm AS (
+        |  SELECT bc.w1, bc.w2,
+        |    CAST(round(ln((CAST(cb AS DOUBLE) + 1.0) /
+        |      (CAST(ch AS DOUBLE) + CAST(v_vocab AS DOUBLE)))
+        |      * 1.0E9) AS BIGINT) AS lp9
+        |  FROM bc JOIN hist ON bc.w1 = hist.w1, v)
+        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  -CAST(SUM(lp9) AS DOUBLE) / 1.0E9
+        |    / CAST(COUNT(*) AS DOUBLE) AS nll
+        |FROM bigrams g JOIN lm ON g.w1 = lm.w1 AND g.w2 = lm.w2
+        |GROUP BY g.doc_id""".stripMargin))
+
   def defs: Seq[QueryDef] =
-    Seq(bm25TopK, lmScore, overlapSketch, zorder, ksDrift, invertedIndex)
+    Seq(bm25TopK, lmScore, overlapSketch, zorder, ksDrift, invertedIndex,
+      lmBigram)
 }

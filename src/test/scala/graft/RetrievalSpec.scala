@@ -54,6 +54,30 @@ class RetrievalSpec extends AnyFunSuite {
     got.foreach(r => assert(math.abs(r._3 - expect) < 1e-8))
   }
 
+  test("lmBigramNll: word order matters where a unigram LM is blind") {
+    // Same bag of words, different order: "a b a b" has common bigrams,
+    // "a a b b" contains the never-repeated (a,a)/(b,b) transitions.
+    val docs = corpus(
+      (1L, "a b a b"), (2L, "a b a b"), (3L, "a b a b"),
+      (4L, "a a b b"))
+    val uni = TextAnalysis.lmUnigramNll(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(uni(1L) == uni(4L)) // unigram-blind: same bag
+    val bi = TextAnalysis.lmBigramNll(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(bi(4L) > bi(1L)) // bigram scorer flags the reordering
+  }
+
+  test("lmBigramNll: closed-form probabilities on a two-doc corpus") {
+    // Corpus "x y" ×2: bigrams {(x,y): 2}, hist(x)=2, V=2.
+    // p(y|x) = (2+1)/(2+2) = 0.75; nll = -ln(0.75) (one bigram per doc).
+    val docs = corpus((1L, "x y"), (2L, "x y"))
+    val got = TextAnalysis.lmBigramNll(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(1L, 1L))
+    got.foreach(r => assert(math.abs(r._3 - (-math.log(0.75))) < 1e-8))
+  }
+
   test("lmUnigramNll: the doc with rarer tokens scores higher nll") {
     val docs = corpus(
       (1L, "the the the the"),
