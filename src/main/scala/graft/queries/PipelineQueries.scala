@@ -1111,6 +1111,33 @@ object PipelineQueries {
            |  strt % 4096 AS ctx_offset
            |FROM c""".stripMargin))
 
+  /** Streaming ingest-prep ([[graft.streaming.Streams
+    * .ingestPrepAvailableNow]]): quality gate + near-dup check against
+    * the existing corpus's fingerprint set, verdicted on arrival. The
+    * oracle replays both gates in batch SQL — stream and batch verdicts
+    * proven identical.
+    */
+  val streamIngestPrep: QueryDef = QueryDef("stream_ingest_prep",
+    (s, dir) => graft.streaming.Streams.ingestPrepAvailableNow(s, dir),
+    Some(s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+            |              FROM documents),
+            |ex AS (SELECT DISTINCT concat(${duckSimhashFp(16)}) AS fp
+            |       FROM words WHERE doc_id % 2 = 0),
+            |inc AS (
+            |  SELECT doc_id, concat(${duckSimhashFp(16)}) AS fp,
+            |    len(ws) >= 5
+            |      AND len(list_distinct(ws)) / len(ws) >= 0.3 AS q
+            |  FROM words WHERE doc_id % 2 = 1),
+            |v AS (
+            |  SELECT doc_id,
+            |    CASE WHEN NOT q THEN 'reject_quality'
+            |         WHEN fp IN (SELECT fp FROM ex) THEN 'reject_dup'
+            |         ELSE 'admit' END AS verdict
+            |  FROM inc)
+            |SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+            |FROM v GROUP BY verdict""".stripMargin))
+
   /** Leakage-safe grouped split ([[Sampling.leakageSafeSplit]]) over the
     * planted near-dup corpus: every MinHash-connected component lands
     * whole in one of train/val/test by md5 of its group id; singletons
@@ -1159,7 +1186,7 @@ object PipelineQueries {
     annPq, annPqKmeans, annPqRerank, annPqRecall, annIvfPq, annIvfPqResidual,
     sampleStratified,
     sampleWeighted, sampleTemperature, sampleShard, samplePack,
-    leakageSplit,
+    leakageSplit, streamIngestPrep,
     decontaminate, dedupClusters, dedupClusterMembers, dedupClustersStar,
     textStats, textLangid, textTokens, textQualityFilter, textRepetition,
     textFingerprint, piiRedact,

@@ -296,6 +296,61 @@ object Streams {
              |  AS BIGINT)) AS BIGINT)""".stripMargin).as("fp_checksum"))
   }
 
+  /** Streaming ingest-prep: the gate a continuously-crawling pipeline
+    * runs ON ARRIVAL — each incoming document (odd doc_ids here, the
+    * even half standing in as the existing corpus) passes a stateless
+    * quality gate (word count + type/token ratio, narrow codegen'd
+    * expressions) and a near-dup check against the EXISTING corpus's
+    * SimHash fingerprint set via a stream-static broadcast left join, and
+    * is verdicted admit / reject_quality / reject_dup. Fingerprints use
+    * the same codegen'd native expression as batch dedup, so stream and
+    * batch verdicts are provably identical (the oracle replays both gates
+    * in SQL).
+    *
+    * Scale shape: everything per-batch is stateless and narrow — no
+    * streaming state at all (unlike [[simhashDedupAvailableNow]]'s
+    * within-stream dedup, membership against the existing corpus needs
+    * no state because the corpus is a static side); the fingerprint set
+    * is 2^bits-bounded so the broadcast never outgrows the fingerprint
+    * space. Returns the per-verdict summary (count + exact doc_id sum),
+    * order-insensitive and arrival-order-independent.
+    */
+  def ingestPrepAvailableNow(
+      spark: SparkSession, dir: String, bits: Int = 16,
+      minWords: Int = 5, minTtr: Double = 0.3,
+      queryName: String = "graft_stream_ingest"): DataFrame = {
+    val existing = graft.catalog.Tables.load(spark, dir, "documents")
+      .filter("doc_id % 2 = 0")
+      .select(split(col("text"), " ").as("ws"))
+      .select(graft.functions.SimHashFingerprint(col("ws"), bits).as("fp"))
+      .distinct()
+      .withColumn("known", lit(1))
+    val q = tableStream(spark, dir, "documents")
+      .filter("doc_id % 2 = 1")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("fp", graft.functions.SimHashFingerprint(col("ws"), bits))
+      .withColumn("quality_ok", expr(
+        s"size(ws) >= $minWords AND size(array_distinct(ws)) / size(ws) >= $minTtr"))
+      .join(broadcast(existing), Seq("fp"), "left")
+      .withColumn("verdict", expr(
+        """CASE WHEN NOT quality_ok THEN 'reject_quality'
+          |     WHEN known = 1 THEN 'reject_dup'
+          |     ELSE 'admit' END""".stripMargin))
+      .select("doc_id", "verdict")
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_stream_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .groupBy("verdict")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_doc_id"))
+  }
+
   final case class AsofIn(event_id: Long, user_id: Long,
                           ts: java.sql.Timestamp, event_type: String)
   final case class AsofView(ts: java.sql.Timestamp, id: Long)
