@@ -320,6 +320,39 @@ object TextAnalysis {
           col("n_tokens").cast("double")).as("nll"))
   }
 
+  /** Document chunking into fixed-size overlapping token windows — the
+    * embedding/RAG prep step (window = embedding-model context, stride <
+    * window for overlap so no span falls on a boundary). Start positions
+    * are 1, 1+stride, …, with one extra tail window whenever stride does
+    * not land exactly, so every token is covered; documents shorter than
+    * one window yield exactly one (possibly short) chunk.
+    *
+    * Scale shape: a pure narrow projection — windows are built in-row
+    * with `transform`/`slice` and exploded; output size is bounded by
+    * ~n_words/stride per document, no shuffle anywhere. Returns
+    * (doc_id, n_words, start, chunk_words, chunk).
+    */
+  def chunkWindows(docs: DataFrame, windowTokens: Int = 32,
+                   stride: Int = 24): DataFrame = {
+    require(windowTokens > 0 && stride > 0, "window and stride must be > 0")
+    Par.spread(docs)
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .selectExpr("doc_id", "size(ws) AS n_words",
+        s"""transform(
+           |  sequence(0, greatest(0, CAST(ceil(
+           |    (size(ws) - $windowTokens) / CAST($stride AS DOUBLE))
+           |    AS INT))),
+           |  i -> struct(i * $stride + 1 AS start,
+           |    concat_ws(' ', slice(ws, i * $stride + 1, $windowTokens))
+           |      AS chunk)) AS cw""".stripMargin)
+      .select(col("doc_id"), col("n_words"), explode(col("cw")).as("c"))
+      .select(col("doc_id"), col("n_words"),
+        col("c.start").cast("long").as("start"),
+        expr(s"CAST(least($windowTokens, n_words - c.start + 1) AS BIGINT)")
+          .as("chunk_words"),
+        col("c.chunk").as("chunk"))
+  }
+
   /** Bigram language-model scoring: train a conditional add-one-smoothed
     * bigram LM on the corpus (p(w₂|w₁) = (c(w₁w₂)+1)/(h(w₁)+V), h = the
     * history count Σ_w c(w₁w), V = vocabulary size), score every ≥2-token

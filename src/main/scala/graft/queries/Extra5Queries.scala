@@ -252,7 +252,29 @@ object Extra5Queries {
         |FROM bigrams g JOIN lm ON g.w1 = lm.w1 AND g.w2 = lm.w2
         |GROUP BY g.doc_id""".stripMargin))
 
+  /** RAG-prep chunking ([[TextAnalysis.chunkWindows]]): overlapping
+    * 32-token windows at stride 24. Oracle rebuilds the identical
+    * window grid with DuckDB list slicing.
+    */
+  val chunkWindows: QueryDef = QueryDef("text_chunk_windows",
+    (s, dir) => TextAnalysis.chunkWindows(docs(s, dir), 32, 24),
+    oracle = Some(
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words,
+        |    unnest(generate_series(0, greatest(0, CAST(ceil(
+        |      (len(ws) - 32) / CAST(24 AS DOUBLE)) AS INT)))) AS i
+        |  FROM w)
+        |SELECT doc_id, n_words,
+        |  CAST(i * 24 + 1 AS BIGINT) AS start,
+        |  CAST(least(32, n_words - (i * 24 + 1) + 1) AS BIGINT)
+        |    AS chunk_words,
+        |  array_to_string(list_slice(ws, i * 24 + 1, i * 24 + 32), ' ')
+        |    AS chunk
+        |FROM g""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(bm25TopK, lmScore, overlapSketch, zorder, ksDrift, invertedIndex,
-      lmBigram)
+      lmBigram, chunkWindows)
 }

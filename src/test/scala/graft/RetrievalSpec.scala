@@ -144,6 +144,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.forall(r => Set("train", "val", "test")(r._3)))
   }
 
+  test("chunkWindows: full coverage, tail window, short-doc single chunk") {
+    // 10 tokens, window 4, stride 3: starts 1,4,7,10 (ceil(6/3)=2 -> +1
+    // extra? starts = 0..ceil((10-4)/3)=2 -> 1,4,7; token 10 covered by
+    // window at 7 (7..10). n=11 would add a tail start at 10.
+    val docs = corpus((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+    val got = TextAnalysis.chunkWindows(docs, 4, 3).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getString(4))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 4L, 7L))
+    assert(got.map(_._2).toSeq == Seq(4L, 4L, 4L))
+    assert(got.last._3 == "t7 t8 t9 t10")
+    // every token appears in at least one chunk
+    val covered = got.flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+
+    // 11 tokens: tail start 10, short chunk of 2
+    val docs11 = corpus((1L, (1 to 11).map(i => s"t$i").mkString(" ")))
+    val got11 = TextAnalysis.chunkWindows(docs11, 4, 3).collect()
+      .map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(got11.toSeq == Seq((1L, 4L), (4L, 4L), (7L, 4L), (10L, 2L)))
+
+    // short doc: exactly one chunk, its own length
+    val short = corpus((1L, "a b"))
+    val g = TextAnalysis.chunkWindows(short, 4, 3).collect()
+    assert(g.length == 1)
+    assert(g.head.getLong(2) == 1L && g.head.getLong(3) == 2L)
+  }
+
   test("invertedIndex: df/cf/postings closed form, minDf filter, posting cap") {
     val docs = corpus(
       (3L, "b a a"), (1L, "a b"), (2L, "a c"))
