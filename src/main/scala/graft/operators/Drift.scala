@@ -14,7 +14,8 @@ object Drift {
     * feature column: max over feature values of |F_a(v) − F_b(v)|, the
     * standard two-sample drift test. Returns one row
     * (n_a, n_b, ks_at, ks_stat) — ks_at is the smallest value attaining
-    * the supremum.
+    * the supremum. If either side is EMPTY the statistic is undefined
+    * and ks_stat is NULL (with that side's count 0) — alert on it.
     *
     * Scale shape: the corpus reduces FIRST — one wordcount-style
     * group-by on the feature value (map-side partial sums) — so the
@@ -35,10 +36,18 @@ object Drift {
     val tot = perV.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
     val w = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // An empty side makes every F difference 0/0: guard with nullif so
+    // ks_stat comes back NULL (desc ordering puts NULLs LAST, so a valid
+    // row can never lose to the degenerate one) — a monitoring caller
+    // must treat NULL as "split invalid, alert", never as "no drift".
+    // The unguarded form yields NaN, which desc-sorts FIRST and silently
+    // suppresses real drift rows.
     perV.crossJoin(broadcast(tot))
       .withColumn("d", abs(
-        sum(col("ca")).over(w).cast("double") / col("n_a").cast("double") -
-          sum(col("cb")).over(w).cast("double") / col("n_b").cast("double")))
+        sum(col("ca")).over(w).cast("double") /
+          expr("CAST(nullif(n_a, 0) AS DOUBLE)") -
+          sum(col("cb")).over(w).cast("double") /
+            expr("CAST(nullif(n_b, 0) AS DOUBLE)")))
       .orderBy(col("d").desc, col("v"))
       .limit(1)
       .select(col("n_a"), col("n_b"), col("v").as("ks_at"),

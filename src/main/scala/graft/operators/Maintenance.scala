@@ -60,24 +60,31 @@ object Maintenance {
     */
   def zorderWrite(df: DataFrame, colA: String, colB: String,
                   outDir: String, nFiles: Int, bits: Int = 16): Unit = {
+    // Internal working columns use a reserved prefix so a user table with
+    // a column literally named "z"/"za"/"za_min" is never overwritten
+    // (withColumn REPLACES silently) and never dropped from the rewrite.
+    val internal = Seq("__zg_amin", "__zg_amax", "__zg_bmin", "__zg_bmax",
+      "__zg_a", "__zg_b", "__zg_z")
+    require(internal.forall(!df.columns.contains(_)),
+      s"zorderWrite reserves column names ${internal.mkString(", ")}")
     val scaleMax = (1L << bits) - 1
     val stats = df.agg(
-      min(col(colA)).cast("double").as("za_min"),
-      max(col(colA)).cast("double").as("za_max"),
-      min(col(colB)).cast("double").as("zb_min"),
-      max(col(colB)).cast("double").as("zb_max"))
+      min(col(colA)).cast("double").as("__zg_amin"),
+      max(col(colA)).cast("double").as("__zg_amax"),
+      min(col(colB)).cast("double").as("__zg_bmin"),
+      max(col(colB)).cast("double").as("__zg_bmax"))
     val bucket = (c: String, lo: String, hi: String) =>
       s"CAST(round(($c - $lo) / greatest($hi - $lo, 1e-300) * $scaleMax) AS BIGINT)"
     df.crossJoin(broadcast(stats))
-      .withColumn("za", expr(bucket(colA, "za_min", "za_max")))
-      .withColumn("zb", expr(bucket(colB, "zb_min", "zb_max")))
-      .withColumn("z", expr(
+      .withColumn("__zg_a", expr(bucket(colA, "__zg_amin", "__zg_amax")))
+      .withColumn("__zg_b", expr(bucket(colB, "__zg_bmin", "__zg_bmax")))
+      .withColumn("__zg_z", expr(
         s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) ->
-           |  acc | shiftleft(shiftright(za, i) & 1, 2 * i + 1)
-           |      | shiftleft(shiftright(zb, i) & 1, 2 * i))""".stripMargin))
-      .repartitionByRange(nFiles, col("z"))
-      .sortWithinPartitions("z")
-      .drop("z", "za", "zb", "za_min", "za_max", "zb_min", "zb_max")
+           |  acc | shiftleft(shiftright(__zg_a, i) & 1, 2 * i + 1)
+           |      | shiftleft(shiftright(__zg_b, i) & 1, 2 * i))""".stripMargin))
+      .repartitionByRange(nFiles, col("__zg_z"))
+      .sortWithinPartitions("__zg_z")
+      .drop(internal: _*)
       .write.mode("overwrite").parquet(outDir)
   }
 }

@@ -17,6 +17,16 @@ object TextAnalysis {
   val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to")
   private def inList = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** The shared word tokenizer of the retrieval/LM family (BM25, LM
+    * scoring, inverted index): lowercased non-word-character split,
+    * empties dropped. ONE definition so a tokenization change can never
+    * silently diverge between operators — each paired DuckDB oracle
+    * mirrors it as `list_filter(string_split_regex(lower(text), '\W+'),
+    * x -> x <> '')`.
+    */
+  private def wordTokens: org.apache.spark.sql.Column =
+    afilter(split(lower(col("text")), "\\W+"), w => w =!= "")
+
   /** Per-document quality statistics: token counts, type/token ratio,
     * average word length, stopword ratio.
     */
@@ -250,9 +260,12 @@ object TextAnalysis {
     */
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(terms.distinct.size == terms.size,
+      s"duplicate query terms would double-count: $terms")
     val base = Par.spread(docs)
       .select(col("doc_id"),
-        afilter(split(lower(col("text")), "\\W+"), w => w =!= "").as("ws"))
+        wordTokens.as("ws"))
       .withColumn("dl", size(col("ws")).cast("long"))
     val aggs =
       Seq(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")) ++
@@ -302,7 +315,7 @@ object TextAnalysis {
   def lmUnigramNll(docs: DataFrame): DataFrame = {
     val toks = Par.spread(docs)
       .select(col("doc_id"),
-        explode(afilter(split(lower(col("text")), "\\W+"), w => w =!= ""))
+        explode(wordTokens)
           .as("tok"))
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     val tot = counts.agg(sum("c").as("t_tokens"),
@@ -335,6 +348,10 @@ object TextAnalysis {
   def chunkWindows(docs: DataFrame, windowTokens: Int = 32,
                    stride: Int = 24): DataFrame = {
     require(windowTokens > 0 && stride > 0, "window and stride must be > 0")
+    // stride > window would leave stride-window tokens uncovered between
+    // consecutive windows — the full-coverage contract above would be a lie.
+    require(stride <= windowTokens,
+      s"stride ($stride) must be <= windowTokens ($windowTokens) for full coverage")
     Par.spread(docs)
       .selectExpr("doc_id", "split(text, ' ') AS ws")
       .selectExpr("doc_id", "size(ws) AS n_words",
@@ -369,7 +386,7 @@ object TextAnalysis {
   def lmBigramNll(docs: DataFrame): DataFrame = {
     val base = Par.spread(docs)
       .select(col("doc_id"),
-        afilter(split(lower(col("text")), "\\W+"), w => w =!= "").as("ws"))
+        wordTokens.as("ws"))
     val bigrams = base.filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(ws) - 1),
@@ -415,7 +432,7 @@ object TextAnalysis {
                     maxPostings: Int = 20): DataFrame = {
     val base = Par.spread(docs)
       .select(col("doc_id"),
-        afilter(split(lower(col("text")), "\\W+"), w => w =!= "").as("ws"))
+        wordTokens.as("ws"))
     val cf = base.select(explode(col("ws")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cf"))
     // Distinct (tok, doc) pairs come from array_distinct INSIDE the row —

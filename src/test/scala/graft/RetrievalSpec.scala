@@ -123,6 +123,35 @@ class RetrievalSpec extends AnyFunSuite {
     assert(d.getAs[Long]("ks_at") == 2L) // smallest v attaining the sup
   }
 
+  test("ksDrift: an empty side yields NULL ks_stat (never a NaN ranked first)") {
+    val s = spark
+    import s.implicits._
+    val onlyB = Seq((5L, 1L), (7L, 1L)).toDF("v", "side")
+    val r = Drift.ksDrift(onlyB, "v", "side = 0").collect().head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 2L)
+    assert(r.isNullAt(r.fieldIndex("ks_stat")))
+  }
+
+  test("input guards: bm25 term list, chunk stride, zorder reserved names") {
+    val docs = corpus((1L, "a b"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(docs, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(docs, Seq("a", "a"))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkWindows(docs, windowTokens = 4, stride = 5)
+    }
+    val s = spark
+    import s.implicits._
+    val clash = Seq((1L, 2L, 3L)).toDF("x", "y", "__zg_z")
+    intercept[IllegalArgumentException] {
+      graft.operators.Maintenance.zorderWrite(clash, "x", "y",
+        java.nio.file.Files.createTempDirectory("zg").toString, 2)
+    }
+  }
+
   test("leakageSafeSplit: connected docs share a split; every doc assigned once") {
     val s = spark
     import s.implicits._
