@@ -43,7 +43,10 @@ object ClusterCheck {
       "dedup_embedding", "dedup_embedding_banded",
       "ann_pq_topk", "ann_ivf_pq", "ann_ivf_pq_residual",
       "pipeline_decontaminate",
-      "dedup_overlap_sketch", "maintenance_zorder")).distinct
+      "dedup_overlap_sketch", "maintenance_zorder",
+      "text_lm_bigram_nll", "text_inverted_index", "text_chunk_windows",
+      "stats_ks_drift", "sample_leakage_split",
+      "stream_ingest_prep")).distinct
 
   def main(args: Array[String]): Unit = {
     val master = if (args.nonEmpty) args(0) else "local[8]"
