@@ -187,9 +187,13 @@ object Sampling {
       : DataFrame = {
     require(trainBuckets > 0 && valBuckets > 0 &&
       trainBuckets + valBuckets < 10, "buckets must partition 0-9")
+    // No broadcast hint: the cluster frame is pair-bounded but NOT
+    // corpus-independent (a boilerplate-heavy crawl can put a large
+    // fraction of docs in clusters). Catalyst broadcasts it while small;
+    // stats/AQE pick a shuffle join when it is not.
     val clusters = Dedup.duplicateClusterMembers(pairs)
     docs.select("doc_id")
-      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
       .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("__b", expr(
         "pmod(CAST(conv(substring(md5(CAST(group_id AS STRING)), 1, 12), 16, 10) AS BIGINT), 10)"))

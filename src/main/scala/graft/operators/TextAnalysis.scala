@@ -404,7 +404,12 @@ object TextAnalysis {
         round(log((col("cb").cast("double") + lit(1.0)) /
           (col("ch").cast("double") + col("v_vocab").cast("double")))
           * lit(1e9)).cast("long").as("lp9"))
-    bigrams.join(broadcast(lm), Seq("w1", "w2"))
+    // No broadcast hint here, deliberately: a BIGRAM vocabulary grows
+    // with corpus diversity (1e8+ rows on web-scale text) and can
+    // genuinely outgrow the broadcast threshold, unlike the unigram LM.
+    // Left unhinted, Catalyst broadcasts it while small and falls back
+    // to a shuffle join from stats/AQE when it is not.
+    bigrams.join(lm, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("lp9").as("slp9"))
       .select(col("doc_id"), col("n_bigrams"),
