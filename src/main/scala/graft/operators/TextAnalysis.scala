@@ -299,11 +299,11 @@ object TextAnalysis {
     *
     * Scale shape: the LM is a wordcount (one shuffle with map-side
     * combine, vocabulary-sized result). Scoring joins the exploded
-    * tokens against the broadcast LM (web-scale vocabularies are ~1e7
-    * rows — if that outgrows the broadcast threshold, swap the hint for
-    * a shuffle_hash join; nothing else changes) and the per-doc
-    * aggregation partials map-side, so the second shuffle carries one
-    * row per document, not per token.
+    * tokens against the LM — deliberately UNhinted: the planner
+    * broadcasts the vocabulary while it is small and shuffle-joins from
+    * stats/AQE when it is not (Heaps' law puts web-scale vocabularies
+    * near ~1e8 types) — and the per-doc aggregation partials map-side,
+    * so the second shuffle carries one row per document, not per token.
     *
     * Determinism contract: per-token log-probabilities are quantized to
     * integer nano-nats (round(ln(p)·1e9)) so the per-document SUM is
@@ -325,7 +325,11 @@ object TextAnalysis {
         round(log((col("c").cast("double") + lit(1.0)) /
           (col("t_tokens").cast("double") + col("v_vocab").cast("double")))
           * lit(1e9)).cast("long").as("lp9"))
-    toks.join(broadcast(lm), Seq("tok"))
+    // Unhinted like the bigram scorer: a web-scale vocabulary (Heaps'
+    // law: ~1e8 types at 100 TB) can outgrow the broadcast threshold;
+    // the planner broadcasts while small, shuffle-joins from stats/AQE
+    // when not.
+    toks.join(lm, Seq("tok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("lp9").as("slp9"))
       .select(col("doc_id"), col("n_tokens"),
