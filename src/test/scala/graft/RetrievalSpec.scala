@@ -213,6 +213,37 @@ class RetrievalSpec extends AnyFunSuite {
       ("b", 2L, 2L, "1,3")))
   }
 
+  test("corpusOverlapSketch: estimator accuracy on a planted 1/3 overlap") {
+    // Side A grams {s*, a*}, side B grams {s*, b*}: 300 shared of 900
+    // union -> exact Jaccard 1/3. With k=256 the bottom-k estimator's
+    // std is ~sqrt(j(1-j)/k) ~ 0.03; md5 is fixed, so the estimate is
+    // DETERMINISTIC - the bound below can never flake, it documents
+    // that the sketch lands near the truth (Broder's guarantee).
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    // 3-grams of a long token sequence: w1 w2 w3, w2 w3 w4, ... — use
+    // disjoint triples instead: join blocks of 3 unique tokens per gram.
+    def doc(ts: Seq[String]) = ts.mkString(" ")
+    // Construct grams directly: each consecutive window is a gram; to
+    // control the gram sets exactly, give each side one doc per gram of
+    // exactly 3 tokens.
+    val shared = (1 to 300).map(i => doc(Seq(s"s${i}a", s"s${i}b", s"s${i}c")))
+    val onlyA = (1 to 300).map(i => doc(Seq(s"a${i}a", s"a${i}b", s"a${i}c")))
+    val onlyB = (1 to 300).map(i => doc(Seq(s"b${i}a", s"b${i}b", s"b${i}c")))
+    // even doc_id = side A, odd = side B
+    val rows = (shared ++ onlyA).zipWithIndex.map { case (t, i) => (i * 2L, t) } ++
+      (shared ++ onlyB).zipWithIndex.map { case (t, i) => (i * 2L + 1L, t) }
+    val s = spark
+    import s.implicits._
+    val df = rows.toDF("doc_id", "text")
+    val r = Dedup.corpusOverlapSketch(df, k = 256, gramLen = 3)
+      .collect().head
+    assert(r.getAs[Long]("n_union") == 900L)
+    assert(r.getAs[Long]("n_inter") == 300L)
+    val est = r.getAs[Double]("est_jaccard")
+    assert(math.abs(est - 1.0 / 3.0) < 0.1,
+      s"sketch estimate $est too far from exact 1/3")
+  }
+
   test("corpusOverlapSketch: k caps the sketch; counts are consistent") {
     // 20 distinct grams per side, none shared.
     val docs = corpus(
