@@ -12,6 +12,41 @@ import org.apache.spark.sql.SparkSession
   * than being silently timed.
   */
 object Bench {
+  /** Fixed single-core CPU probe: 3×10^8 xorshift64+popcount steps, min of
+    * three timed runs after one JIT-warming run. Deterministic work, zero
+    * allocation, no memory traffic — its seconds measure only how fast this
+    * host runs a core right now. Emitted as `cal_probe_s` so a round's
+    * absolute bench numbers carry their own machine-speed calibration:
+    * round 9 recorded 1.2–3.0× slowdowns with byte-identical plans because
+    * the host's per-core throughput halved mid-session (an identical probe
+    * read 1.73 s early, 3.34 s late); with the probe in the artifact,
+    * tools/bench_trend.py can compare time÷probe instead of raw seconds.
+    */
+  def calProbe(): Double = {
+    def work(): Long = {
+      var x = 0x9e3779b97f4a7c15L
+      var acc = 0L
+      var i = 0
+      while (i < 300000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        acc += java.lang.Long.bitCount(x)
+        i += 1
+      }
+      acc
+    }
+    var sink = work() // JIT warm
+    var best = Double.MaxValue
+    var n = 0
+    while (n < 3) {
+      val t0 = System.nanoTime()
+      sink ^= work()
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      n += 1
+    }
+    if (sink == 42L) System.err.println("") // defeat dead-code elimination
+    best
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -68,10 +103,14 @@ object Bench {
     // time so a round-over-round delta is classifiable as noise vs
     // regression from the artifact alone (a plan regression shifts all
     // three passes; a scheduler spike inflates one).
+    // Host-speed probes bracket the timed passes (r9 showed per-core
+    // throughput can halve MID-session): cal_probe_s before, end after.
+    val probeStart = calProbe()
     val c0 = System.nanoTime()
     once(record = false)
     val coldTotal = (System.nanoTime() - c0) / 1e9
     (1 to 3).foreach(_ => once(record = true))
+    val probeEnd = calProbe()
     errors.keys.foreach { k => times.remove(k); passes.remove(k) }
     val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -83,7 +122,7 @@ object Bench {
     val total = times.values.sum
     val firstWarmTotal = passes.values.map(_.head).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"all_passes":$ps,"errors":$es,"cold_sec":${f"$coldTotal%.3f"},"first_warm_sec":${f"$firstWarmTotal%.3f"},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"all_passes":$ps,"errors":$es,"cold_sec":${f"$coldTotal%.3f"},"first_warm_sec":${f"$firstWarmTotal%.3f"},"cal_probe_s":${f"$probeStart%.3f"},"cal_probe_end_s":${f"$probeEnd%.3f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -121,11 +121,16 @@ object RelationalQueries {
       |UNION
       |SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 9000""".stripMargin)
 
-  /** §2.6 EXCEPT (reference: anti-semi join + dedup, stmt.cs:406-419). */
+  /** §2.6 EXCEPT (reference: anti-semi join + dedup, stmt.cs:406-419).
+    * Supplier side restricted to nationkeys < 20 so nations 20..24 survive
+    * the EXCEPT at every scale factor — unfiltered, all 25 nations have
+    * suppliers from sf0.01 up and the row was a vacuous 0-row hash match
+    * (round-9 verdict finding #1).
+    */
   val except: QueryDef = sameSql("setop_except",
     """SELECT n_nationkey AS k FROM nation
       |EXCEPT
-      |SELECT s_nationkey AS k FROM supplier""".stripMargin)
+      |SELECT s_nationkey AS k FROM supplier WHERE s_nationkey < 20""".stripMargin)
 
   /** §2.6 INTERSECT (semi join + dedup). */
   val intersect: QueryDef = sameSql("setop_intersect",

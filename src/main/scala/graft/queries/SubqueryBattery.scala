@@ -14,12 +14,17 @@ import Sql._
   */
 object SubqueryBattery {
 
-  /** Subquery in the HAVING clause. */
+  /** Subquery in the HAVING clause. Threshold is total/26.0: with 25
+    * nations the per-nation mean is total/25, so "above total/26" keeps
+    * roughly the above-average half at every scale factor (15 rows at
+    * sf0.01) — the old total/20 returned 0 rows from sf0.01 up, a vacuous
+    * hash match (round-9 verdict finding #1).
+    */
   val inHaving: QueryDef = sameSql("subq_in_having",
     """SELECT c_nationkey, COUNT(*) AS cnt
       |FROM customer
       |GROUP BY c_nationkey
-      |HAVING COUNT(*) > (SELECT COUNT(*) / 20 FROM customer)""".stripMargin)
+      |HAVING COUNT(*) > (SELECT COUNT(*) / 26.0 FROM customer)""".stripMargin)
 
   /** EXISTS OR EXISTS — two mark joins under a disjunction. */
   val existsOrExists: QueryDef = sameSql("subq_exists_or_exists",
@@ -43,7 +48,12 @@ object SubqueryBattery {
        |WHERE (SELECT MIN(s_acctbal) FROM supplier) < c_acctbal
        |  AND c_acctbal < (SELECT ${davg("s_acctbal")} FROM supplier)""".stripMargin)
 
-  /** Three-level nesting: scalar inside IN inside EXISTS. */
+  /** Three-level nesting: scalar inside IN inside EXISTS. The inner
+    * threshold is avg*1.9 — avg*2 exceeds every order's totalprice from
+    * sf0.01 up (0-row vacuous match, round-9 verdict finding #1); 1.9
+    * keeps the tail non-empty at every scale factor while staying
+    * selective at sf0.001 (22 of 25 nations).
+    */
   val threeLevel: QueryDef = sameSql("subq_three_level",
     s"""SELECT n_name FROM nation n
        |WHERE EXISTS (
@@ -51,7 +61,7 @@ object SubqueryBattery {
        |  WHERE c.c_nationkey = n.n_nationkey
        |    AND c.c_custkey IN (
        |      SELECT o_custkey FROM orders o
-       |      WHERE o.o_totalprice > (SELECT ${davg("o2.o_totalprice")} * 2
+       |      WHERE o.o_totalprice > (SELECT ${davg("o2.o_totalprice")} * 1.9
        |                              FROM orders o2)))""".stripMargin)
 
   /** Subquery inside a derived table, re-aggregated outside. */

@@ -126,6 +126,13 @@ object Tpch2Queries {
 
   /** Q22: global sales opportunity — anti join + uncorrelated scalar
     * threshold (cntrycode adapted: schema has no phone column).
+    *
+    * Anti join narrowed to URGENT orders ("never placed an urgent order"):
+    * this generator gives every customer at least one order from sf0.001
+    * up, so the unrestricted NOT EXISTS returned 0 rows — a vacuous hash
+    * match (round-9 verdict finding #1). The priority filter keeps the
+    * anti-join + scalar-threshold shape and returns 4/7/7 groups at
+    * sf0.001/0.01/0.1; its selectivity (~1/5 of orders) is scale-free.
     */
   val q22: QueryDef = sameSql("tpch_q22",
     s"""SELECT cntrycode, COUNT(*) AS numcust, ${dsum("c_acctbal")} AS totacctbal
@@ -135,7 +142,9 @@ object Tpch2Queries {
        |  WHERE c_acctbal > (SELECT ${davg("c2.c_acctbal")} FROM customer c2
        |                     WHERE c2.c_acctbal > 0)
        |) c
-       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+       |WHERE NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c.c_custkey
+       |                    AND o_orderpriority = '1-URGENT')
        |GROUP BY cntrycode""".stripMargin)
 
   val defs: Seq[QueryDef] = Seq(q4, q7, q8, q13, q14, q15, q17, q19, q22)

@@ -72,8 +72,16 @@ object Tpch3Queries {
     bench = true)
 
   /** Q11: important stock identification — grouped value sums filtered by
-    * an uncorrelated scalar threshold (a global fraction of total value),
-    * the HAVING-vs-global-aggregate shape.
+    * an uncorrelated scalar threshold, the HAVING-vs-global-aggregate shape.
+    *
+    * The threshold is twice the MEAN per-part value (total / distinct
+    * parts), not a fixed fraction of the total: a fixed total/50 fraction
+    * is only exceeded when one part carries 2% of a nation's volume,
+    * which never happens once parts number in the thousands — the query
+    * returned 0 rows at every gated scale factor (round-9 verdict finding
+    * #1). Mean-relative keeps selectivity stable as the corpus grows
+    * (20 rows at sf0.001, 141 at sf0.01, 924 at sf0.1). Nation filter
+    * widened to n_nationkey < 5 because sf0.001 has no NATION_1 supplier.
     *
     * Scale-2 exact sums: l_extendedprice * l_quantity values carry 2
     * decimals; the scaled-BIGINT sum stays within int64 even at sf100.
@@ -85,14 +93,15 @@ object Tpch3Queries {
        |  FROM lineitem
        |  JOIN supplier ON l_suppkey = s_suppkey
        |  JOIN nation ON s_nationkey = n_nationkey
-       |  WHERE n_name = 'NATION_1'
+       |  WHERE n_nationkey < 5
        |  GROUP BY l_partkey)
        |WHERE value > (
-       |  SELECT ${dsum("l_extendedprice * l_quantity", 2)} / 50.0
+       |  SELECT 2.0 * ${dsum("l_extendedprice * l_quantity", 2)}
+       |         / COUNT(DISTINCT l_partkey)
        |  FROM lineitem
        |  JOIN supplier ON l_suppkey = s_suppkey
        |  JOIN nation ON s_nationkey = n_nationkey
-       |  WHERE n_name = 'NATION_1')""".stripMargin)
+       |  WHERE n_nationkey < 5)""".stripMargin)
 
   /** Q12: shipping-delay buckets (shipmode analog: lateness class from
     * l_shipdate vs o_orderdate) with conditional priority counts.

@@ -9,6 +9,17 @@ are noisy UP but never noisy DOWN — the minimum is the honest capability
 number (see BASELINE.md's q47 r7 case study: a +39% "regression" that a
 quiet-machine five-pass re-run fully reversed).
 
+Host-speed calibration (round 10+): bench artifacts carry `cal_probe_s`
+(and `cal_probe_end_s`) — the seconds a fixed single-core xorshift probe
+took on that host at bench time. When both the latest artifact and a
+history round carry a probe, the comparison is CALIBRATED: each query
+time is divided by its round's probe before the trailing-min/ratio math,
+so a host running 2x slower (round 9's measured failure mode: probe
+1.73 s -> 3.34 s mid-session, byte-identical plans, every raw ratio
+1.2-3.0x "worse") no longer reads as a plan regression. Rounds without a
+probe participate in a separate RAW track; a query gates on the
+calibrated track when calibrated history exists for it, else on raw.
+
 Usage:
     python3 tools/bench_trend.py [--latest BENCH_rX.json] [--threshold 1.3]
 
@@ -37,9 +48,21 @@ def metric_of(path):
     if isinstance(doc, dict):
         if isinstance(doc.get("parsed"), dict):
             return doc["parsed"]
-        m = re.search(r'\{"metric".*\}', doc.get("tail", ""))
+        tail = doc.get("tail", "")
+        m = re.search(r'\{"metric".*\}', tail)
         if m:
             return json.loads(m.group(0))
+        # Salvage a tail truncated mid-line (r9's capture lost the line
+        # head): the per-query map and probe fields are flat sub-objects
+        # recoverable on their own.
+        qm = re.search(r'"queries":(\{[^{}]*\})', tail)
+        if qm:
+            out = {"metric": "total", "queries": json.loads(qm.group(1))}
+            for k in ("cal_probe_s", "cal_probe_end_s"):
+                pm = re.search(r'"%s":([0-9.]+)' % k, tail)
+                if pm:
+                    out[k] = float(pm.group(1))
+            return out
     return None
 
 
@@ -73,35 +96,56 @@ def main():
               file=sys.stderr)
         return 2
 
-    # trailing min per query over every PRIOR round that ran it
-    tmin = {}
+    def probe_of(m):
+        """Mean of the bracketing probes when present (r9: host speed can
+        change mid-session, so one probe alone under- or over-corrects)."""
+        ps = [m.get(k) for k in ("cal_probe_s", "cal_probe_end_s")
+              if isinstance(m.get(k), (int, float)) and m.get(k) > 0]
+        return sum(ps) / len(ps) if ps else None
+
+    # Trailing min per query over every PRIOR round that ran it, on two
+    # tracks: raw seconds (all rounds) and calibrated sec/probe (rounds
+    # carrying a probe).
+    tmin_raw, tmin_cal = {}, {}
     for p in history:
         m = metric_of(p)
         if not m:
             continue
+        probe = probe_of(m)
         for q, sec in (m.get("queries") or {}).items():
             if isinstance(sec, (int, float)) and sec > 0:
-                tmin[q] = min(tmin.get(q, float("inf")), sec)
+                tmin_raw[q] = min(tmin_raw.get(q, float("inf")), sec)
+                if probe:
+                    tmin_cal[q] = min(tmin_cal.get(q, float("inf")),
+                                      sec / probe)
 
+    latest_probe = probe_of(latest)
     regressions, new = [], []
     for q, sec in latest["queries"].items():
-        base = tmin.get(q)
-        if base is None:
+        if latest_probe and q in tmin_cal:
+            val, base, track = sec / latest_probe, tmin_cal[q], "cal"
+        elif q in tmin_raw:
+            val, base, track = sec, tmin_raw[q], "raw"
+        else:
             new.append(q)
-        elif sec > args.threshold * base:
-            regressions.append((q, sec, base, sec / base))
+            continue
+        if val > args.threshold * base:
+            regressions.append((q, val, base, val / base, track))
 
     name = os.path.basename(latest_path)
+    probe_note = (f", probe {latest_probe:.3f}s (calibrated track)"
+                  if latest_probe else ", no probe (raw track)")
     print(f"{name}: {len(latest['queries'])} queries, "
           f"{len(new)} new (no history), threshold {args.threshold}x "
-          f"over trailing min of {len(history)} rounds")
+          f"over trailing min of {len(history)} rounds{probe_note}")
     gating = []
-    for q, sec, base, x in sorted(regressions, key=lambda r: -r[3]):
+    for q, val, base, x, track in sorted(regressions, key=lambda r: -r[3]):
         tag = "allowed" if q in allowed else "REGRESSION"
         if q not in allowed:
             gating.append(q)
-        print(f"  {tag} {q}: {sec:.3f}s vs trailing-min {base:.3f}s "
-              f"= {x:.2f}x")
+        unit = "s" if track == "raw" else " (sec/probe)"
+        print(f"  {tag} [{track}] {q}: {val:.3f}{unit} vs trailing-min "
+              f"{base:.3f}{unit} = {x:.2f}x")
     if not regressions:
         print("  no regressions")
     return 1 if gating else 0
