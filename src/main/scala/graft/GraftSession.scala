@@ -44,23 +44,49 @@ object GraftSession {
     .config("spark.sql.streaming.checkpointLocation",
       "/root/repo/target/checkpoints")
 
-  /** Local session for tests / entry. Shuffle partitions default to the
-    * core count: at the driver's scale factors extra partitions only add
-    * scheduling overhead, and AQE coalesces anyway. At SOAK scale the
-    * count must grow with the data — the r8 1000× soak OOM'd at 32
-    * partitions (600M-row SMJ ⇒ ~19M rows in one in-memory sort) and ran
-    * clean at 512 — so `SPARK_GRAFT_SHUFFLE_PARTITIONS` overrides it;
-    * AQE coalesces the excess at small scale, which is why
-    * over-provisioning the initial count is the right cluster default
-    * (partition count is a function of input size, never a constant).
+  /** Target bytes of input per shuffle partition — Spark's own
+    * `files.maxPartitionBytes` default (128 MB), so shuffle width tracks
+    * scan width.
     */
-  def local(cores: Int = 32): SparkSession = {
+  val BytesPerShufflePartition: Long = 128L << 20
+
+  /** Initial shuffle-partition count derived from the input directory's
+    * byte size: ceil(bytes / 128 MB), floored at `cores` so small inputs
+    * still use every core. This encodes the r8 1000× soak lesson in code
+    * rather than an env var: 32 partitions OOM'd a 600M-row sort-merge
+    * join (~19M rows in one in-memory sort) that ran clean at 512.
+    * Over-provisioning is safe — AQE coalesces the excess at small scale —
+    * while under-provisioning spills or OOMs, so the initial count must be
+    * a function of input size, never a constant. On a real cluster the
+    * same derivation applies with the filesystem's content summary.
+    */
+  def derivedShufflePartitions(dataDir: String, cores: Int): Int = {
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles).map(_.iterator.map(sizeOf).sum).getOrElse(0L)
+      else f.length
+    val bytes = sizeOf(new java.io.File(dataDir))
+    val needed = (bytes + BytesPerShufflePartition - 1) /
+      BytesPerShufflePartition
+    math.max(cores, needed).toInt
+  }
+
+  /** Local session for tests / entry. Shuffle-partition precedence:
+    * `SPARK_GRAFT_SHUFFLE_PARTITIONS` (explicit override) >
+    * [[derivedShufflePartitions]] when the caller names its input dir >
+    * core count (callers with no single input dir, e.g. plan-only
+    * harnesses, where the data never exceeds core-count scale).
+    */
+  def local(cores: Int = 32, dataDir: Option[String] = None): SparkSession = {
+    val parts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .map(_.toInt)
+      .orElse(dataDir.map(derivedShufflePartitions(_, cores)))
+      .getOrElse(cores)
     val s = configure(
       SparkSession.builder()
         .master(s"local[$cores]")
         .appName("graft")
-        .config("spark.sql.shuffle.partitions",
-          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores.toString))
+        .config("spark.sql.shuffle.partitions", parts.toString)
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -17,7 +17,7 @@ object Prof {
       case ns => ns
     }
     val spark = GraftSession.local(
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, Some(sfDir))
     val byName = Queries.all.map(d => d.name -> d).toMap
     names.foreach { n =>
       val d = byName(n)

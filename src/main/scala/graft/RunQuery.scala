@@ -13,7 +13,7 @@ object RunQuery {
     val dir = args(0)
     val names = args.drop(1).toSeq
     val spark = GraftSession.local(
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, Some(dir))
     spark.sparkContext.setLogLevel("WARN")
     val times = names.map { n =>
       val d = Queries.byName.getOrElse(n,

@@ -15,7 +15,7 @@ object SemanticSoak {
     require(args.length >= 2, "usage: SemanticSoak <sfDir> <K>")
     val (dir, k) = (args(0), args(1).toInt)
     val spark = GraftSession.local(
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, Some(dir))
     spark.sparkContext.setLogLevel("WARN")
     val emb = graft.catalog.Tables.load(spark, dir, "embeddings")
     val n = emb.count()

@@ -15,7 +15,7 @@ object SoakCC {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.local(
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, Some(sfDir))
     import spark.implicits._
 
     def time(label: String)(run: => Unit): Double = {

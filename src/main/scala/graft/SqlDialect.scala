@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** qpmodel SQL-dialect shims (SURVEY §7.1 "sqlsurface"): the three DDL/DML
+  * text forms the reference parser accepts that Spark SQL does not —
+  * rewritten onto the Spark semantics this repo already implements and
+  * tests, so reference .sql files run through [[SqlRunner]] unchanged.
+  *
+  *  - `CREATE TABLE t (cols) DISTRIBUTED BY c`
+  *    (`/root/reference/qpmodel/Catalog.cs:272-279`) → a bucketed parquet
+  *    table (`CLUSTERED BY (c) INTO n BUCKETS`): hash distribution on c,
+  *    the exact Spark analog (co-located joins, no exchange —
+  *    DistributionSpec proves it).
+  *  - `CREATE TABLE t (cols) REPLICATED | ROUNDROBIN` → a parquet table
+  *    carrying `graft.distribution` in TBLPROPERTIES; REPLICATED tables
+  *    are additionally registered with the catalog's replicated-root set
+  *    so [[graft.plans.ReplicatedTableHints]] force-broadcasts every join
+  *    side built purely from them — the reference's property enforcement.
+  *    ROUNDROBIN needs no enforcement: Spark writes already distribute
+  *    round-robin across tasks, and no plan property may rely on it.
+  *  - `CREATE STREAM t (cols)` (`SQLParser.cs:542-544`) → the same table
+  *    DDL with `graft.source = stream`; `datetime` maps to `timestamp`.
+  *    Queries through the batch runner read the stream's CURRENT contents
+  *    — the bounded Trigger.AvailableNow snapshot, which is exactly how
+  *    the reference executes its own stream tests (bounded `ast` corpus).
+  *    The genuinely unbounded path is `graft.streaming.Streams`
+  *    (readStream + watermarks), proven separately.
+  *  - `COPY t FROM 'f' [WHERE p]` (`stmtDML.cs:245-285`: insert into t
+  *    select * from external(f) where p) → read f as `|`-separated CSV
+  *    with t's schema (the reference's external-file format), apply the
+  *    WHERE, insert into t; returns a one-row rows_loaded result.
+  */
+object SqlDialect {
+
+  private val CreateDistributed =
+    """(?is)^\s*create\s+table\s+(\w+)\s*\((.*)\)\s*distributed\s+by\s+(\w+)\s*$""".r
+  private val CreateReplicatedOrRR =
+    """(?is)^\s*create\s+table\s+(\w+)\s*\((.*)\)\s*(replicated|roundrobin)\s*$""".r
+  private val CreateStream =
+    """(?is)^\s*create\s+stream\s+(\w+)\s*\((.*)\)\s*$""".r
+  private val Copy =
+    """(?is)^\s*copy\s+(\w+)\s*(?:\([^)]*\))?\s+from\s+'([^']+)'\s*(?:where\s+(.+?))?\s*$""".r
+
+  /** qpmodel's `datetime` column type → Spark's `timestamp`. */
+  private def cols(text: String): String =
+    text.replaceAll("(?i)\\bdatetime\\b", "timestamp")
+
+  /** Default bucket count for DISTRIBUTED BY: fixed and small — these are
+    * DDL-surface tables, and bucket count is a physical tuning knob the
+    * reference's grammar doesn't carry either.
+    */
+  val DistributedBuckets = 8
+
+  /** Execute `sql` if it is one of the qpmodel dialect forms; None lets
+    * the caller fall through to plain `spark.sql`.
+    */
+  def exec(spark: SparkSession, sql: String): Option[DataFrame] = sql match {
+    case CreateDistributed(name, colDefs, key) =>
+      Some(spark.sql(
+        s"""CREATE TABLE $name (${cols(colDefs)}) USING parquet
+           |CLUSTERED BY ($key) INTO $DistributedBuckets BUCKETS
+           |TBLPROPERTIES ('graft.distribution' = 'hash:$key')""".stripMargin))
+    case CreateReplicatedOrRR(name, colDefs, mode) =>
+      val df = spark.sql(
+        s"""CREATE TABLE $name (${cols(colDefs)}) USING parquet
+           |TBLPROPERTIES ('graft.distribution' = '${mode.toLowerCase}')"""
+          .stripMargin)
+      if (mode.equalsIgnoreCase("replicated"))
+        catalog.Tables.addReplicatedRoot(spark, tableLocation(spark, name))
+      Some(df)
+    case CreateStream(name, colDefs) =>
+      Some(spark.sql(
+        s"""CREATE TABLE $name (${cols(colDefs)}) USING parquet
+           |TBLPROPERTIES ('graft.source' = 'stream')""".stripMargin))
+    case Copy(name, file, whereOrNull) =>
+      val schema = spark.table(name).schema
+      val src = spark.read
+        .option("delimiter", "|")
+        .schema(schema)
+        .csv(file)
+      val filtered = Option(whereOrNull).fold(src)(src.where)
+      filtered.write.mode("append").insertInto(name)
+      Some(spark.sql(
+        s"SELECT CAST(${filtered.count()} AS BIGINT) AS rows_loaded, " +
+          s"'$name' AS target"))
+    case _ => None
+  }
+
+  /** Resolved storage location of a catalog table (for the replicated-root
+    * registration).
+    */
+  private def tableLocation(spark: SparkSession, name: String): String = {
+    val id = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    spark.sessionState.catalog.getTableMetadata(id).location.toString
+  }
+}

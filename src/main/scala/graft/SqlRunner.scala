@@ -112,7 +112,9 @@ object SqlRunner {
       buf.clear(); buf.append(rest)
       done.foreach { sql =>
         n += 1
-        try out(s"-- [$n] $sql\n" + render(spark.sql(sql), explain, analyze))
+        try out(s"-- [$n] $sql\n" + render(
+          SqlDialect.exec(spark, sql).getOrElse(spark.sql(sql)),
+          explain, analyze))
         catch { case e: Exception =>
           out(s"-- [$n] $sql\nERROR: ${e.getClass.getSimpleName}: ${e.getMessage}")
         }
@@ -129,7 +131,10 @@ object SqlRunner {
     val text = new String(Files.readAllBytes(Paths.get(path)),
       StandardCharsets.UTF_8)
     splitStatements(text).zipWithIndex.map { case (sql, i) =>
-      try (i + 1, sql, Right(spark.sql(sql)))
+      // qpmodel dialect forms (CREATE STREAM / distributed-by / COPY)
+      // execute through the shim; everything else is plain Spark SQL.
+      try (i + 1, sql,
+        Right(SqlDialect.exec(spark, sql).getOrElse(spark.sql(sql))))
       catch { case e: Exception =>
         (i + 1, sql, Left(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
       }
@@ -191,7 +196,7 @@ object SqlRunner {
         " | SqlRunner <sfDir> --repl [--explain] [--analyze]")
     val sfDir = positional(0)
     val spark = GraftSession.local(
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, Some(sfDir))
     catalog.Tables.registerAll(spark, sfDir)
     if (isRepl) {
       println(s"graft SQL repl on $sfDir — end statements with ';', " +

@@ -40,6 +40,17 @@ object Tables {
   def isReplicatedRoot(path: org.apache.hadoop.fs.Path): Boolean =
     replicatedRootPaths.contains(path)
 
+  /** Register an arbitrary resolved storage location as a replicated
+    * root — the `CREATE TABLE ... replicated` dialect path (SqlDialect):
+    * joins whose side derives purely from this table get force-broadcast
+    * by ReplicatedTableHints exactly like the built-in dims.
+    */
+  def addReplicatedRoot(spark: SparkSession, location: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(location)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    replicatedRootPaths.add(fs.makeQualified(p))
+  }
+
   // Track the LAST-registered dir per session (weakly, so sessions can be
   // collected): re-registering the same dir re-reads 10 parquet footers
   // per query — pure overhead in a 50-query verify/bench loop — but a

@@ -5,13 +5,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Multimodal column handling: opaque `binary` payloads with typed
   * metadata, decoded/feature-extracted per partition.
   *
-  * The decode step is a clearly-marked deterministic STUB (this container
-  * ships no image/audio codecs) — what is real and tested is the
-  * Spark-side plumbing a 100 TB media pipeline needs: binary column +
-  * typed metadata schema, partition-parallel decode via a typed
-  * `Dataset.mapPartitions` (one decoder instantiation per partition, the
-  * same shape a JNI codec or ONNX session would use), and narrow
-  * pipelining (no shuffle).
+  * The decode step is a REAL image-header codec (pure JVM, r10 — it
+  * replaced the round-1..9 deterministic stub): payloads are genuine
+  * PNG / JPEG byte streams (correct signatures, chunk/segment structure,
+  * real CRC32 on the PNG IHDR) built from the documents table, and the
+  * decoder recovers width/height by parsing that structure — walking
+  * JPEG segment markers to SOFn, validating the PNG signature + IHDR
+  * chunk + CRC. What the container still lacks is pixel codecs (no
+  * libjpeg/libpng), so payload BODIES are the document's utf-8 bytes
+  * standing in for compressed pixel data; a real deployment swaps only
+  * the body source. The Spark plumbing is the 100 TB media-pipeline
+  * shape either way: binary column + typed metadata schema,
+  * partition-parallel decode via typed `Dataset.mapPartitions` (one
+  * decoder instantiation per partition, as a JNI codec or ONNX session
+  * would need), and narrow pipelining (no shuffle).
   */
 object Multimodal {
 
@@ -19,43 +26,142 @@ object Multimodal {
   final case class Payload(doc_id: Long, payload: Array[Byte],
                            source: String, lang: String)
 
-  /** Output of the (stub) decoder: deterministic pseudo-features plus a
-    * frame sample (every 64th byte, ≤4 frames — the video frame-sampling
-    * shape: payload → bounded per-frame features). The frame sample is
-    * emitted as a comma-joined string: the correctness gate's row hasher
-    * cannot canonicalize array-typed cells.
+  /** Decoded header metadata. `b0` is the first BODY byte (after the
+    * image header) — proves the parser found the right body offset.
     */
-  final case class Meta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
-                        b0: Int, checksum16: Int, frame_bytes: String)
+  final case class Meta(doc_id: Long, format: String, width: Int,
+                        height: Int, n_bytes: Int, b0: Int)
 
-  /** STUB decoder: stands in for image decode / resize / frame-sample.
-    * Deterministic byte arithmetic so the DuckDB oracle can re-derive the
-    * values; a real deployment swaps only this function body.
+  /** Image dimensions are derived from the body length so the DuckDB
+    * oracle can re-derive them from the text column alone; 509 is prime
+    * and keeps both dims within JPEG's 16-bit fields.
     */
-  def fakeDecode(p: Payload): Meta = {
-    val n = p.payload.length
-    Meta(
-      doc_id = p.doc_id,
-      n_bytes = n,
-      width = n % 64,
-      height = (n / 64) % 64,
-      b0 = if (n > 0) p.payload(0) & 0xff else -1,
-      checksum16 = p.payload.take(16).map(_ & 0xff).sum,
-      frame_bytes = (0 until math.min(4, (n + 63) / 64))
-        .map(k => p.payload(k * 64) & 0xff).mkString(","))
+  val DimBase = 509
+
+  /** PNG header = 8-byte signature + IHDR chunk (4 len + 4 type +
+    * 13 data + 4 crc).
+    */
+  val PngHeaderLen = 33
+
+  /** JPEG header = SOI(2) + COM segment(6) + SOF0 segment(13) + EOI(2).
+    * The COM segment exists to force the decoder to actually walk
+    * segments rather than read a fixed offset.
+    */
+  val JpegHeaderLen = 23
+
+  /** Build a REAL PNG byte stream: signature, IHDR with big-endian dims
+    * and a genuine CRC32 over type+data, then `body` as the (stand-in)
+    * compressed payload.
+    */
+  def buildPng(width: Int, height: Int, body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(PngHeaderLen + body.length)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    val data = new Array[Byte](17) // "IHDR" + 13 data bytes
+    "IHDR".getBytes("US-ASCII").copyToArray(data)
+    def be32(v: Int, off: Int): Unit = {
+      data(off) = (v >>> 24).toByte; data(off + 1) = (v >>> 16).toByte
+      data(off + 2) = (v >>> 8).toByte; data(off + 3) = v.toByte
+    }
+    be32(width, 4); be32(height, 8)
+    data(12) = 8 // bit depth
+    data(13) = 2 // color type: truecolor
+    // compression/filter/interlace = 0
+    out.write(Array[Byte](0, 0, 0, 13), 0, 4) // IHDR data length
+    out.write(data, 0, 17)
+    val crc = new java.util.zip.CRC32
+    crc.update(data)
+    val c = crc.getValue.toInt
+    out.write(Array((c >>> 24).toByte, (c >>> 16).toByte,
+      (c >>> 8).toByte, c.toByte), 0, 4)
+    out.write(body, 0, body.length)
+    out.toByteArray
   }
 
-  /** Build binary payloads from the documents table (utf-8 bytes stand in
-    * for media blobs) and run the partition-parallel decode.
+  /** Build a REAL JPEG byte stream: SOI, a COM segment, SOF0 carrying
+    * the dims, EOI, then `body` as trailing (stand-in) entropy data.
+    */
+  def buildJpeg(width: Int, height: Int, body: Array[Byte]): Array[Byte] = {
+    val h = Array[Int](
+      0xFF, 0xD8,                   // SOI
+      0xFF, 0xFE, 0x00, 0x04, 'g', 'r', // COM segment, len 4
+      0xFF, 0xC0, 0x00, 0x0B,       // SOF0, len 11
+      0x08,                         // precision
+      height >>> 8, height & 0xff,
+      width >>> 8, width & 0xff,
+      0x01, 0x01, 0x11, 0x00,       // 1 component
+      0xFF, 0xD9                    // EOI
+    ).map(_.toByte)
+    val out = new Array[Byte](h.length + body.length)
+    h.copyToArray(out)
+    body.copyToArray(out, h.length)
+    out
+  }
+
+  /** Parse a PNG or JPEG header: detect the format from the signature,
+    * then read the dimensions from the IHDR chunk (PNG — CRC-checked) or
+    * by walking segment markers to the first SOFn (JPEG). Throws on
+    * malformed input — a corrupt blob must fail loudly, not produce
+    * garbage dims.
+    */
+  def decodeImageHeader(b: Array[Byte]): Meta = {
+    def u8(i: Int) = b(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int) = (be16(i).toLong << 16 | be16(i + 2)).toInt
+    if (b.length >= PngHeaderLen && u8(0) == 0x89 && u8(1) == 'P' &&
+        u8(2) == 'N' && u8(3) == 'G') {
+      require(be32(8) == 13 && u8(12) == 'I' && u8(13) == 'H' &&
+        u8(14) == 'D' && u8(15) == 'R', "PNG: first chunk is not IHDR")
+      val crc = new java.util.zip.CRC32
+      crc.update(b, 12, 17)
+      require(crc.getValue.toInt == be32(29), "PNG: IHDR CRC mismatch")
+      Meta(-1, "png", be32(16), be32(20), b.length,
+        if (b.length > PngHeaderLen) u8(PngHeaderLen) else -1)
+    } else if (b.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      var i = 2
+      while (i + 3 < b.length) {
+        require(u8(i) == 0xFF, s"JPEG: expected marker at $i")
+        val m = u8(i + 1)
+        if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+          // SOFn: [len][precision][height][width]...; body follows EOI
+          // in this builder's layout.
+          val segEnd = i + 2 + be16(i + 2)
+          val bodyOff = segEnd + 2 // skip EOI
+          return Meta(-1, "jpeg", be16(i + 7), be16(i + 5), b.length,
+            if (b.length > bodyOff) u8(bodyOff) else -1)
+        }
+        require(m != 0xD9 && m != 0xDA, "JPEG: reached EOI/SOS before SOF")
+        i += 2 + be16(i + 2)
+      }
+      throw new IllegalArgumentException("JPEG: no SOF marker found")
+    } else throw new IllegalArgumentException(
+      s"unsupported image format (first bytes ${b.take(4).toSeq})")
+  }
+
+  /** Decode one payload: real header parse, doc_id threaded through. */
+  def decode(p: Payload): Meta =
+    decodeImageHeader(p.payload).copy(doc_id = p.doc_id)
+
+  /** Build image payloads from the documents table (even doc_id → PNG,
+    * odd → JPEG; dims derived from the text length; utf-8 text bytes as
+    * the stand-in body) and run the partition-parallel header decode.
     */
   def decodeDocuments(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs
-      .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload", "source", "lang")
+      .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
+        "source", "lang")
       .as[Payload]
       .mapPartitions { it =>
         // Per-partition decoder setup would go here (codec/session init).
-        it.map(fakeDecode)
+        it.map { p =>
+          val n = p.payload.length
+          val w = n % DimBase + 1
+          val h = (n / DimBase) % DimBase + 1
+          val img = if (p.doc_id % 2 == 0) buildPng(w, h, p.payload)
+                    else buildJpeg(w, h, p.payload)
+          decode(p.copy(payload = img))
+        }
       }
       .toDF()
   }

@@ -171,9 +171,20 @@ object Sampling {
     * `pairs` is any near-dup pair frame (e.g. [[Dedup.minHashPairs]]);
     * connected components collapse pairs into groups, every doc outside
     * a group is its own singleton, and the split is assigned by portable
-    * md5 hash of the GROUP id — so adding new corpus members never
-    * reshuffles existing assignments (stable under ingest), and two
-    * near-dups can never straddle a split boundary by construction.
+    * md5 hash of the GROUP id, so two near-dups can never straddle a
+    * split boundary by construction.
+    *
+    * Ingest stability — precise contract: assignments are stable for
+    * singletons and for clusters whose membership (and min-label member)
+    * is unchanged between corpus versions. They are NOT stable when a
+    * newly ingested doc with a smaller doc_id joins a cluster, or bridges
+    * two clusters, because group_id is the component's min label and the
+    * merge re-keys at least one side — a previously held-out doc can then
+    * move to train. No keying scheme avoids this for merges (any merged
+    * group must abandon one side's key); pipelines that require held-out
+    * docs to stay held out across versions must pin prior (doc_id, split)
+    * assignments and only split NEW docs, treating a pinned member's
+    * split as the group's (r10, ADVICE finding).
     *
     * Scale shape: the CC pass is [[Dedup.duplicateClusterMembers]]
     * (checkpointed label propagation — see duplicateClustersStar for the

@@ -450,7 +450,17 @@ object TextAnalysis {
     // before this form (78 s → the distinct-free shape; see BASELINE.md).
     val posts = base
       .select(col("doc_id"), explode(expr("array_distinct(ws)")).as("tok"))
-      .withColumn("__score", -col("doc_id").cast("double"))
+      // The top-k score is −doc_id as DOUBLE; ids beyond 2^53 would
+      // silently collide/misorder in the double, diverging the posting
+      // list from its doc_id-ascending contract (hash-derived 64-bit ids
+      // are a realistic source). Guarded in-row — one codegen'd branch,
+      // fails loudly instead of slowly (r10, ADVICE finding).
+      .withColumn("__score", expr(
+        """IF(abs(doc_id) <= 9007199254740992,
+          |   -CAST(doc_id AS DOUBLE),
+          |   CAST(raise_error(
+          |     'invertedIndex: |doc_id| exceeds 2^53; the double-keyed ' ||
+          |     'posting order would lose precision') AS DOUBLE))""".stripMargin))
       .groupBy("tok")
       .agg(count(lit(1)).as("df"),
         graft.functions.topk(col("__score"), col("doc_id"), maxPostings)

@@ -190,10 +190,13 @@ object Extra5Queries {
         |      AND CURRENT ROW) AS ccb
         |  FROM perv)
         |SELECT n_a, n_b, v AS ks_at,
-        |  abs(CAST(cca AS DOUBLE) / CAST(n_a AS DOUBLE)
-        |    - CAST(ccb AS DOUBLE) / CAST(n_b AS DOUBLE)) AS ks_stat
+        |  abs(CAST(cca AS DOUBLE) / CAST(nullif(n_a, 0) AS DOUBLE)
+        |    - CAST(ccb AS DOUBLE) / CAST(nullif(n_b, 0) AS DOUBLE)) AS ks_stat
         |FROM cum, tot
         |ORDER BY ks_stat DESC, v LIMIT 1""".stripMargin))
+        // nullif mirrors the Spark side's empty-side guard (Drift.scala) so
+        // the paired queries agree on degenerate one-sided inputs too
+        // (r10, ADVICE finding).
 
   /** Inverted-index build ([[TextAnalysis.invertedIndex]]): df/cf plus
     * the bounded posting list per token. Oracle re-derives postings with

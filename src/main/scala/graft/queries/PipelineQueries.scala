@@ -950,18 +950,26 @@ object PipelineQueries {
 
   // ----------------------------------------------------------- multimodal
 
+  /** Real-format image-header decode (r10): the Spark side builds genuine
+    * PNG/JPEG byte streams (even doc_id → PNG, odd → JPEG; dims from the
+    * body length; CRC'd IHDR) and recovers the fields by PARSING that
+    * structure — the oracle re-derives the same fields arithmetically
+    * from the planted derivation (header lengths 33/23, dims mod 509,
+    * b0 = first body byte), so a parser that misreads any offset
+    * hash-mismatches.
+    */
   val multimodal: QueryDef = QueryDef("multimodal_decode",
     (s, dir) => Multimodal.decodeDocuments(s, docs(s, dir)),
     Some("""SELECT doc_id,
-           |  length(text) AS n_bytes,
-           |  length(text) % 64 AS width,
-           |  (length(text) // 64) % 64 AS height,
-           |  ascii(substr(text, 1, 1)) AS b0,
-           |  CAST(list_sum(list_transform(generate_series(1, 16),
-           |    i -> ascii(substr(text, i, 1)))) AS INT) AS checksum16,
-           |  array_to_string(
-           |    list_transform(generate_series(0, least(3, (length(text) - 1) // 64)),
-           |      k -> ascii(substr(text, k * 64 + 1, 1))), ',') AS frame_bytes
+           |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+           |  CAST(octet_length(encode(text)) % 509 + 1 AS INT) AS width,
+           |  CAST((octet_length(encode(text)) // 509) % 509 + 1 AS INT)
+           |    AS height,
+           |  CAST(octet_length(encode(text))
+           |    + CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 23 END AS INT)
+           |    AS n_bytes,
+           |  CAST(CASE WHEN octet_length(encode(text)) > 0
+           |       THEN ascii(substr(text, 1, 1)) ELSE -1 END AS INT) AS b0
            |FROM documents""".stripMargin))
 
   /** End-to-end corpus preparation — the composed pre-training shape:

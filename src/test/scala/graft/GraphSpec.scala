@@ -35,6 +35,26 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.triangleCount(tri).collect().head.getLong(0) == 1L)
   }
 
+  test("triangleCount/coeff: planted-hub graph (one node on 1/3 of edges)") {
+    // Hub 0 joined to every rim node 1..n plus the rim chain i-(i+1):
+    // exactly n-1 triangles (0, i, i+1), hub degree n while every rim
+    // degree <= 3 — the power-law worst case for wedge counting. The
+    // degree orientation points every hub edge INTO the hub (it is the
+    // max of the (deg, id) order), so the hub contributes NO out-
+    // adjacency array and the wedge work stays rim-sized; a naive
+    // sum-of-degree^2 scheme would pay n^2 on the hub.
+    val n = 200L
+    val hub = (1L to n).map(i => (0L, i))
+    val rim = (1L until n).map(i => (i, i + 1))
+    val g = edges((hub ++ rim): _*)
+    assert(Graph.triangleCount(g).collect().head.getLong(0) == n - 1)
+    val top = Graph.clusteringCoeffTopK(g, 1).collect().head
+    // Hub sits in all n-1 triangles; coeff = 2(n-1)/(n(n-1)) = 2/n.
+    assert(top.getAs[Long]("node") == 0L)
+    assert(top.getAs[Long]("n_tri") == n - 1)
+    assert(math.abs(top.getAs[Double]("coeff") - 2.0 / n) < 1e-12)
+  }
+
   test("coOccurrenceEdges: pairs within group, a<b, deduped across groups") {
     val s = spark
     import s.implicits._

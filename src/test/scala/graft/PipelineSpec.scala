@@ -307,22 +307,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getAs[Int]("char_len") == 19)
   }
 
-  test("multimodal decode: deterministic stub features from bytes") {
+  test("multimodal decode: real PNG/JPEG header roundtrip from planted bytes") {
     val s = spark
     import s.implicits._
-    val long = "x" * 130 // spans 3 frame offsets (0, 64, 128)
+    val long = "x" * 600 // crosses the DimBase=509 boundary: height 2
     val one = Seq((7L, "abcd", "src", "en"), (8L, long, "src", "en"))
       .toDF("doc_id", "text", "source", "lang")
     val rows = Multimodal.decodeDocuments(spark, one).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
-    val r = rows(7L)
-    assert(r.getAs[Int]("n_bytes") == 4)
-    assert(r.getAs[Int]("b0") == 'a'.toInt)
-    assert(r.getAs[Int]("checksum16") == "abcd".map(_.toInt).sum)
-    def frames(id: Long): Seq[Int] =
-      rows(id).getAs[String]("frame_bytes").split(',').toSeq.map(_.toInt)
-    assert(frames(7L) == Seq('a'.toInt))
-    assert(frames(8L) == Seq('x'.toInt, 'x'.toInt, 'x'.toInt))
+    val j = rows(7L) // odd id -> JPEG
+    assert(j.getAs[String]("format") == "jpeg")
+    assert(j.getAs[Int]("width") == 4 % 509 + 1)
+    assert(j.getAs[Int]("height") == 1)
+    assert(j.getAs[Int]("n_bytes") == 4 + Multimodal.JpegHeaderLen)
+    assert(j.getAs[Int]("b0") == 'a'.toInt)
+    val p = rows(8L) // even id -> PNG
+    assert(p.getAs[String]("format") == "png")
+    assert(p.getAs[Int]("width") == 600 % 509 + 1)
+    assert(p.getAs[Int]("height") == 600 / 509 % 509 + 1)
+    assert(p.getAs[Int]("n_bytes") == 600 + Multimodal.PngHeaderLen)
+    assert(p.getAs[Int]("b0") == 'x'.toInt)
+  }
+
+  test("multimodal decode: corrupt headers fail loudly, not with garbage dims") {
+    // PNG with a flipped IHDR byte must fail the CRC check.
+    val png = Multimodal.buildPng(5, 6, Array[Byte](1, 2, 3))
+    png(17) = (png(17) ^ 1).toByte // width byte inside IHDR data
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.decodeImageHeader(png)
+    }
+    assert(e1.getMessage.contains("CRC"))
+    // JPEG whose SOF was replaced by EOI must report no-SOF, not dims.
+    val jpg = Multimodal.buildJpeg(5, 6, Array[Byte](1, 2, 3))
+    jpg(9) = 0xD9.toByte // SOF0 marker byte -> EOI
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImageHeader(jpg)
+    }
+    // Unknown signature is rejected.
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImageHeader(Array[Byte](0, 1, 2, 3, 4))
+    }
   }
 
   test("fingerprint is order-insensitive over vocabulary") {

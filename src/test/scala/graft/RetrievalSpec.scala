@@ -213,6 +213,19 @@ class RetrievalSpec extends AnyFunSuite {
       ("b", 2L, 2L, "1,3")))
   }
 
+  test("invertedIndex: doc_id beyond 2^53 fails loudly, not misordered") {
+    // The posting order key is -doc_id as DOUBLE; ids past 2^53 would
+    // silently collide in the double. The operator must raise instead.
+    val docs = corpus(
+      ((1L << 54) + 1L, "a b"), (2L, "a b"))
+    val e = intercept[Exception] {
+      TextAnalysis.invertedIndex(docs, minDf = 1, maxPostings = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("2^53")), s"unexpected error: $e")
+  }
+
   test("corpusOverlapSketch: estimator accuracy on a planted 1/3 overlap") {
     // Side A grams {s*, a*}, side B grams {s*, b*}: 300 shared of 900
     // union -> exact Jaccard 1/3. With k=256 the bottom-k estimator's

@@ -142,4 +142,88 @@ class SqlRunnerSpec extends AnyFunSuite {
     assert(results.forall(_._3.toOption.get.collect().nonEmpty))
     java.nio.file.Files.delete(f)
   }
+
+  // ---- qpmodel dialect shims (SqlDialect): the three statement forms the
+  // reference parser accepts as TEXT that Spark SQL lacks, run through the
+  // same runner path a .sql file would take.
+
+  /** DROP + clear any stale warehouse directory an aborted prior run left
+    * behind (managed-table creation refuses an existing location).
+    */
+  private def resetTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(s"target/warehouse/$name")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(loc)
+    }
+  }
+
+  test("dialect: CREATE TABLE ... distributed by -> bucketed parquet table") {
+    val s = spark
+    resetTable("dlct_ad")
+    val r = SqlDialect.exec(s,
+      "create table dlct_ad (a1 int, a2 int, a3 int, a4 int) distributed by a1")
+    assert(r.isDefined, "dialect must intercept the statement")
+    val meta = s.sessionState.catalog.getTableMetadata(
+      s.sessionState.sqlParser.parseTableIdentifier("dlct_ad"))
+    assert(meta.bucketSpec.exists(_.bucketColumnNames == Seq("a1")),
+      s"expected bucketed-by-a1, got ${meta.bucketSpec}")
+    assert(meta.properties.get("graft.distribution").contains("hash:a1"))
+    s.sql("DROP TABLE dlct_ad")
+  }
+
+  test("dialect: CREATE STREAM maps datetime->timestamp and marks the source") {
+    val s = spark
+    resetTable("dlct_ainf")
+    val r = SqlDialect.exec(s,
+      "create stream dlct_ainf (a0 datetime, a1 int, a2 int, a3 int, a4 int)")
+    assert(r.isDefined)
+    val meta = s.sessionState.catalog.getTableMetadata(
+      s.sessionState.sqlParser.parseTableIdentifier("dlct_ainf"))
+    assert(meta.properties.get("graft.source").contains("stream"))
+    assert(s.table("dlct_ainf").schema("a0").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    s.sql("DROP TABLE dlct_ainf")
+  }
+
+  test("dialect: COPY FROM '|'-csv with WHERE inserts filtered rows") {
+    val s = spark
+    resetTable("dlct_copy")
+    assert(SqlDialect.exec(s,
+      "create table dlct_copy (a1 int, a2 int) roundrobin").isDefined)
+    val f = java.nio.file.Files.createTempFile("graft_copy", ".tbl")
+    java.nio.file.Files.write(f, "1|10\n2|20\n3|30\n".getBytes("UTF-8"))
+    val r = SqlDialect.exec(s, s"copy dlct_copy from '$f' where a2 > 10")
+    assert(r.isDefined)
+    assert(r.get.collect().head.getLong(0) == 2L) // rows_loaded
+    val got = s.table("dlct_copy").collect().map(_.getInt(0)).toSeq.sorted
+    assert(got == Seq(2, 3), s"WHERE must filter the load; table has $got")
+    java.nio.file.Files.delete(f)
+    s.sql("DROP TABLE dlct_copy")
+  }
+
+  test("dialect: CREATE TABLE ... replicated force-broadcasts its joins") {
+    val s = spark
+    resetTable("dlct_ar")
+    assert(SqlDialect.exec(s,
+      "create table dlct_ar (a1 int, a2 int) replicated").isDefined)
+    s.sql("INSERT INTO dlct_ar VALUES (1, 10), (2, 20)")
+    graft.catalog.Tables.registerAll(s, sfDir)
+    // Disable the size-based path so only the replicated hint can
+    // broadcast: the proof is the HINT firing, not the 10 MB threshold.
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = s.sql(
+        """SELECT c.c_custkey FROM customer c
+          |JOIN dlct_ar r ON c.c_nationkey = r.a1""".stripMargin)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"replicated table must broadcast under hint; plan:\n$plan")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    s.sql("DROP TABLE dlct_ar")
+  }
 }

@@ -384,4 +384,105 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == batch, "stream assignment diverged from batch")
     } finally q.stop()
   }
+
+  // ---- checkpoint recovery: kill a stateful query mid-stream, restart
+  // from its checkpoint, and prove the final output equals the
+  // uninterrupted run's. MemoryStream is not replayable across restarts,
+  // so these drive the FILE source (what production runs): the
+  // checkpoint's offset log records which files were read, and the state
+  // store carries the aggregate/seen-keys state forward.
+
+  /** Land `df` in `srcDir` as a single new parquet file (the file source
+    * picks up files, not directories).
+    */
+  private def landFile(df: org.apache.spark.sql.DataFrame,
+                       srcDir: java.nio.file.Path, name: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_half")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles
+      .find(f => f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, srcDir.resolve(name))
+  }
+
+  test("checkpoint recovery: tumbling agg state survives a stop/restart") {
+    val s = spark
+    import s.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ckpt_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_rec")
+    def ev(sec: Int, v: Double) = (java.sql.Timestamp.from(
+      Timestamp.valueOf("2020-05-12 08:00:00").toInstant.plusSeconds(sec)), v)
+    // Window = 10s. First half covers windows 0,10; second half ADDS to
+    // window 10 and opens window 20 — so the recovered run can only be
+    // right if window 10's partial count survived the restart.
+    val half1 = Seq(ev(1, 1.0), ev(2, 1.0), ev(11, 1.0))
+    val half2 = Seq(ev(12, 1.0), ev(13, 1.0), ev(21, 1.0))
+    val schema = half1.toDF("ts", "v").schema
+    def runOnce(sinkName: String): Map[java.sql.Timestamp, Long] = {
+      val q = s.readStream.schema(schema).parquet(srcDir.toString)
+        .withWatermark("ts", "5 seconds")
+        .groupBy(window(col("ts"), "10 seconds")).count()
+        .selectExpr("window.start AS ws", "count")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sinkName).collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    }
+    landFile(half1.toDF("ts", "v"), srcDir, "half1.parquet")
+    val partial = runOnce("ckpt_rec_run1") // query STOPS here (AvailableNow)
+    assert(partial.values.sum == 3, s"first half processed: $partial")
+    landFile(half2.toDF("ts", "v"), srcDir, "half2.parquet")
+    val recovered = runOnce("ckpt_rec_run2") // restart from same checkpoint
+    // Uninterrupted baseline: same input, fresh checkpoint + sink.
+    val freshCkpt = java.nio.file.Files.createTempDirectory("graft_ckpt_fresh")
+    val q = s.readStream.schema(schema).parquet(srcDir.toString)
+      .withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "10 seconds")).count()
+      .selectExpr("window.start AS ws", "count")
+      .writeStream.format("memory").queryName("ckpt_rec_base")
+      .outputMode("complete")
+      .option("checkpointLocation", freshCkpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val base = s.table("ckpt_rec_base").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(recovered == base,
+      s"recovered run diverged from uninterrupted: $recovered vs $base")
+    // The split window really did span the restart (2+1 either side).
+    assert(recovered(Timestamp.valueOf("2020-05-12 08:00:10")) == 3L)
+  }
+
+  test("checkpoint recovery: dropDuplicates seen-keys state survives restart") {
+    val s = spark
+    import s.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ckpt_src2")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_rec2")
+    // The memory sink refuses checkpoint recovery in append mode; the
+    // parquet FILE sink is the fault-tolerant production sink, so the
+    // restart goes through it and reads the directory back.
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ckpt_out2")
+    val schema = Seq((1L, "a")).toDF("k", "payload").schema
+    def runOnce(): Seq[Long] = {
+      val q = s.readStream.schema(schema).parquet(srcDir.toString)
+        .dropDuplicates("k")
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outDir.toString).collect().map(_.getLong(0)).toSeq.sorted
+    }
+    landFile(Seq((1L, "a"), (2L, "b")).toDF("k", "payload"),
+      srcDir, "half1.parquet")
+    assert(runOnce() == Seq(1L, 2L))
+    // Second half re-sends key 1: it may only be dropped if the seen-keys
+    // state store was recovered from the checkpoint.
+    landFile(Seq((1L, "a2"), (3L, "c")).toDF("k", "payload"),
+      srcDir, "half2.parquet")
+    val total = runOnce()
+    assert(total == Seq(1L, 2L, 3L),
+      s"restart must drop the key seen before the restart; sink holds $total")
+  }
 }
