@@ -15,10 +15,13 @@ import org.apache.spark.sql.SparkSession
   * per-round gate instead of a scale-soak surprise).
   *
   * Usage (driver-side classpath must reach the executors, hence the
-  * executor.extraClassPath passthrough):
+  * executor.extraClassPath passthrough; SPARK_SCALA_VERSION is REQUIRED
+  * for the local-cluster leg — the binary dist's executor launcher
+  * probes build directories without it and every executor dies with
+  * "Cannot find any build directories"):
   *
-  *   SPARK_HOME=/opt/spark SPARK_WORKER_DIR=target/spark-work \
-  *   SPARK_LOG_DIR=target/spark-logs \
+  *   SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
+  *   SPARK_WORKER_DIR=target/spark-work SPARK_LOG_DIR=target/spark-logs \
   *     sbt "runMain graft.ClusterCheck local[8] /root/testdata/sf0.01" \
   *       > /tmp/local.txt
   *     sbt "runMain graft.ClusterCheck local-cluster[2,8,4096] ..." \
@@ -46,7 +49,12 @@ object ClusterCheck {
       "dedup_overlap_sketch", "maintenance_zorder",
       "text_lm_bigram_nll", "text_inverted_index", "text_chunk_windows",
       "stats_ks_drift", "sample_leakage_split",
-      "stream_ingest_prep")).distinct
+      "stream_ingest_prep",
+      // r10 wave: the real-codec decode (mapPartitions case class runs
+      // IN the executor JVMs — exactly the closure-serialization surface
+      // this check exists for) + a NIST slice spanning the new shapes.
+      "multimodal_decode", "nist_dml022_division_e2",
+      "nist_dml059_having_or", "nist_dml014_self_not_in")).distinct
 
   def main(args: Array[String]): Unit = {
     val master = if (args.nonEmpty) args(0) else "local[8]"

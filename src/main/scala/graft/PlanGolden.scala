@@ -10,7 +10,9 @@ package graft
   * structure only moves when the plan genuinely changes shape.
   *
   * Round-end gate:
-  *   sbt "runMain graft.PlanGolden /root/testdata/sf0.01" > PLANS_GOLDEN.txt
+  *   sbt "runMain graft.PlanGolden /root/testdata/sf0.01" 2>/dev/null \
+  *     | sed 's/^\[info\] //' | grep -E '^(# |[A-Za-z0-9_]+\|)' \
+  *     > PLANS_GOLDEN.txt   # strip sbt's [info] prefixes
   *   git diff --exit-code PLANS_GOLDEN.txt
   * A diff means some query's plan changed shape this round — either a
   * deliberate improvement (commit the new golden with the change that
@@ -53,9 +55,10 @@ object PlanGolden {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = GraftSession.local(8, Some(sfDir))
-    println(s"# structural plan golden over $sfDir — regenerate with " +
-      "`sbt \"runMain graft.PlanGolden\" > PLANS_GOLDEN.txt`; diff = a " +
-      "query changed plan shape")
+    // ASCII only: the forked JVM's default stdout encoding mangles
+    // multi-byte punctuation, which would make the golden host-dependent.
+    println(s"# structural plan golden over $sfDir - regenerate per the " +
+      "README round-end gates; any diff = a query changed plan shape")
     var failed = 0
     Queries.all.sortBy(_.name).foreach { d =>
       // Build only (no collect): golden rows are the deterministic initial
