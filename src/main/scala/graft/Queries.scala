@@ -26,6 +26,7 @@ object Queries {
       MapQueries.defs ++
       PipelineQueries.defs ++
       Pipeline2Queries.defs ++
+      Pipeline3Queries.defs ++
       SourceSinkQueries.defs ++
       ExtraQueries.defs ++
       Extra2Queries.defs ++
@@ -34,13 +35,15 @@ object Queries {
       Extra5Queries.defs
 
   /** Runnable queries that by construction can have NO DuckDB oracle
-    * (plan introspection: the rows describe engine-specific plan shape).
-    * Kept out of [[all]] so the oracle gate scores only oracle-paired
-    * queries; their semantics are asserted by dedicated specs
-    * (PlanIntrospectionSpec) instead.
+    * (plan introspection rows describe engine-specific plan shape;
+    * sketch estimates are engine-specific by definition). Kept out of
+    * [[all]] so the oracle gate scores only oracle-paired queries; their
+    * semantics are asserted by dedicated specs (PlanIntrospectionSpec,
+    * SketchSpec) instead.
     */
   def introspection: Seq[QueryDef] =
-    Seq(SourceSinkQueries.sysPlanNodes, SourceSinkQueries.sysRuleTrace)
+    Seq(SourceSinkQueries.sysPlanNodes, SourceSinkQueries.sysRuleTrace,
+      Pipeline3Queries.profileSketch)
 
   lazy val byName: Map[String, QueryDef] =
     (all ++ introspection).map(d => d.name -> d).toMap

@@ -468,7 +468,7 @@ object Dedup {
   }
 
   /** Distinct md5'd word `n`-grams per document: (idAs, g). */
-  private def wordGrams(df: DataFrame, idAs: String, n: Int): DataFrame =
+  private[operators] def wordGrams(df: DataFrame, idAs: String, n: Int): DataFrame =
     Par.spread(df)
       .select(col("doc_id").as(idAs), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= n)

@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, SessionWindow, TimeWindow}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal, SessionWindow, TimeWindow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.types.CalendarIntervalType
 import org.apache.spark.unsafe.types.CalendarInterval
 
@@ -30,6 +31,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_cosine_q"),
       new ExpressionInfo(classOf[VecCosineQ].getName, "vec_cosine_q"),
       (children: Seq[Expression]) => VecCosineQ(children(0), children(1))))
+
+    // Catalyst's own runtime-filter machinery (SPARK-32268), surfaced as
+    // user-callable functions: `bloom_agg(xxhash64(k) [, est_items
+    // [, num_bits]])` builds an org.apache.spark.util.sketch.BloomFilter
+    // with a distributed partial/final aggregate, and
+    // `bloom_might_contain(filter, xxhash64(k))` probes it inside
+    // WholeStageCodegen (the filter side must be a literal or a scalar
+    // subquery — the same contract InjectRuntimeFilter relies on, which
+    // makes the probe a per-row bitset test, never a per-row
+    // deserialization). graft.operators.Bloom builds on these.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_agg"),
+      (c: Seq[Expression]) => c.size match {
+        case 1 => new BloomFilterAggregate(c(0))
+        case 2 => new BloomFilterAggregate(c(0), c(1))
+        case _ => new BloomFilterAggregate(c(0), c(1), c(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (c: Seq[Expression]) => BloomFilterMightContain(c(0), c(1))))
 
     // Reference streaming-window SQL surface (`/root/reference/qpmodel/
     // Stream.cs:19-165`: tumble(ts, iv), hop(ts, slide, iv),

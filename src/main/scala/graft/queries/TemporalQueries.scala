@@ -173,6 +173,60 @@ object TemporalQueries {
            | AND v.view_ts < c.click_ts
            |GROUP BY c.user_id""".stripMargin))
 
+  /** Stream-stream LEFT OUTER join (see
+    * [[graft.streaming.Streams.clickViewLeftOuterAvailableNow]]):
+    * unmatched clicks emit null-extended once the watermark closes their
+    * match window. Both engines restrict to clicks ≥2 h below the SLOWER
+    * side's max event time (the final-watermark base) — the tail where
+    * an unbounded run would still be undecided.
+    */
+  val streamStreamOuter: QueryDef = QueryDef("stream_ssjoin_outer",
+    (s, dir) => graft.streaming.Streams.clickViewLeftOuterAvailableNow(s, dir),
+    Some("""WITH base AS (SELECT LEAST(
+           |    (SELECT MAX(ts) FROM events
+           |     WHERE event_type = 'click' AND user_id < 20),
+           |    (SELECT MAX(ts) FROM events
+           |     WHERE event_type = 'view' AND user_id < 20)) AS m)
+           |SELECT c.user_id,
+           |  COUNT(v.view_ts) AS n_pairs,
+           |  COUNT(CASE WHEN v.view_ts IS NULL THEN 1 END) AS n_unmatched
+           |FROM (SELECT user_id, ts AS click_ts FROM events
+           |      WHERE event_type = 'click' AND user_id < 20) c
+           |LEFT JOIN (SELECT user_id, ts AS view_ts FROM events
+           |           WHERE event_type = 'view' AND user_id < 20) v
+           |  ON c.user_id = v.user_id
+           | AND v.view_ts >= c.click_ts - INTERVAL '30' MINUTE
+           | AND v.view_ts < c.click_ts
+           |WHERE c.click_ts <= (SELECT m FROM base) - INTERVAL '2' HOUR
+           |GROUP BY c.user_id""".stripMargin))
+
+  /** Stream-stream FULL OUTER join: left-only clicks AND right-only
+    * views both null-extend on watermark expiry (the view side's state
+    * expires at view_ts + range — the mirror eviction). Same 2 h
+    * below-the-slower-side cutoff, applied to whichever side's event
+    * time the row carries.
+    */
+  val streamStreamFull: QueryDef = QueryDef("stream_ssjoin_full",
+    (s, dir) => graft.streaming.Streams.clickViewFullOuterAvailableNow(s, dir),
+    Some("""WITH c AS (SELECT user_id, ts AS click_ts FROM events
+           |           WHERE event_type = 'click' AND user_id < 20),
+           |v AS (SELECT user_id AS v_user, ts AS view_ts FROM events
+           |      WHERE event_type = 'view' AND user_id < 20),
+           |base AS (SELECT LEAST((SELECT MAX(click_ts) FROM c),
+           |                      (SELECT MAX(view_ts) FROM v)) AS m)
+           |SELECT COALESCE(c.user_id, v.v_user) AS uid,
+           |  COUNT(CASE WHEN c.click_ts IS NOT NULL AND v.view_ts IS NOT NULL
+           |             THEN 1 END) AS n_matched,
+           |  COUNT(CASE WHEN v.view_ts IS NULL THEN 1 END) AS n_click_only,
+           |  COUNT(CASE WHEN c.click_ts IS NULL THEN 1 END) AS n_view_only
+           |FROM c FULL JOIN v
+           |  ON c.user_id = v.v_user
+           | AND v.view_ts >= c.click_ts - INTERVAL '30' MINUTE
+           | AND v.view_ts < c.click_ts
+           |WHERE COALESCE(c.click_ts, v.view_ts) <=
+           |      (SELECT m FROM base) - INTERVAL '2' HOUR
+           |GROUP BY 1""".stripMargin))
+
   /** Typed UDAF (Aggregator) registered and called from SQL: weighted
     * mean with explicit zero/reduce/merge — partial/final split like a
     * builtin. Inputs are integer-valued doubles, so the sums are exact
@@ -192,5 +246,6 @@ object TemporalQueries {
 
   val defs: Seq[QueryDef] = Seq(
     joinAsof, joinRangeBinned, skewSalted, skewAqe, streamSession, streamDedup,
-    streamDedupWm, streamHop, streamStreamJoin, udafWavg)
+    streamDedupWm, streamHop, streamStreamJoin, streamStreamOuter,
+    streamStreamFull, udafWavg)
 }

@@ -206,6 +206,113 @@ object Streams {
       .agg(count("*").as("n_pairs"))
   }
 
+  /** The timestamp the outer-join tail cutoffs are measured from: the
+    * SLOWER of the two filtered streams' max event times — the final
+    * global watermark sits exactly one delay below it, so "2 h below
+    * this" provably clears every retained row's state-expiry point
+    * (delay 1 h + range 30 min + 30 min margin).
+    */
+  private def joinWatermarkBase(spark: SparkSession,
+                                dir: String): java.sql.Timestamp =
+    graft.catalog.Tables.load(spark, dir, "events")
+      .filter("user_id < 20")
+      .agg(least(
+        max(when(col("event_type") === "click", col("ts"))),
+        max(when(col("event_type") === "view", col("ts")))))
+      .head().getTimestamp(0)
+
+  /** Stream-stream LEFT OUTER join: every click either pairs with the
+    * same user's views in the preceding 30 minutes or is emitted
+    * null-extended once the watermark proves no matching view can still
+    * arrive (Spark holds the click in join state until the global
+    * watermark passes its match window, then emits the unmatched row —
+    * the outer-join-specific state machine this query exists to pin).
+    *
+    * Unmatched rows near the end of a bounded run are NOT resolvable:
+    * the global watermark is min over BOTH watermarked (filtered)
+    * streams of (max event time − delay), so rows inside that tail stay
+    * unmatched-undecided exactly as an unbounded run would leave them.
+    * The comparison therefore restricts BOTH engines to rows at least
+    * 2 h (watermark delay + range + margin) below the SLOWER side's max
+    * event time — applied AFTER the join, so the tail still drives the
+    * watermark forward and every retained row is decided.
+    */
+  def clickViewLeftOuterAvailableNow(spark: SparkSession, dir: String,
+      queryName: String = "graft_stream_ssjoin_outer"): DataFrame = {
+    val maxTs = joinWatermarkBase(spark, dir)
+    val clicks = eventsStream(spark, dir)
+      .filter("event_type = 'click' AND user_id < 20")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val views = eventsStream(spark, dir)
+      .filter("event_type = 'view' AND user_id < 20")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val joined = clicks.join(views, expr(
+      """user_id = v_user AND
+        |view_ts >= click_ts - INTERVAL 30 MINUTES AND
+        |view_ts < click_ts""".stripMargin), "left_outer")
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_stream_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .filter(col("click_ts") <= lit(maxTs) - expr("INTERVAL 2 HOURS"))
+      .groupBy("user_id")
+      .agg(count(col("view_ts")).as("n_pairs"),
+        count(when(col("view_ts").isNull, 1)).as("n_unmatched"))
+  }
+
+  /** Stream-stream FULL OUTER join over the same click/view ranges:
+    * left-only clicks AND right-only views both emit null-extended when
+    * the watermark proves their match window closed (a view's window is
+    * the FOLLOWING 30 minutes, so its state expires at view_ts + range —
+    * the mirror-image eviction the left-outer query can't exercise).
+    * Same 2 h below-the-slower-side cutoff on both sides' event time,
+    * applied post-join; the key is coalesced across sides.
+    */
+  def clickViewFullOuterAvailableNow(spark: SparkSession, dir: String,
+      queryName: String = "graft_stream_ssjoin_full"): DataFrame = {
+    val maxTs = joinWatermarkBase(spark, dir)
+    val clicks = eventsStream(spark, dir)
+      .filter("event_type = 'click' AND user_id < 20")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val views = eventsStream(spark, dir)
+      .filter("event_type = 'view' AND user_id < 20")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val joined = clicks.join(views, expr(
+      """user_id = v_user AND
+        |view_ts >= click_ts - INTERVAL 30 MINUTES AND
+        |view_ts < click_ts""".stripMargin), "full_outer")
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_stream_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val cutoff = lit(maxTs) - expr("INTERVAL 2 HOURS")
+    spark.table(queryName)
+      .filter(coalesce(col("click_ts"), col("view_ts")) <= cutoff)
+      .groupBy(coalesce(col("user_id"), col("v_user")).as("uid"))
+      .agg(
+        count(when(col("click_ts").isNotNull && col("view_ts").isNotNull, 1))
+          .as("n_matched"),
+        count(when(col("view_ts").isNull, 1)).as("n_click_only"),
+        count(when(col("click_ts").isNull, 1)).as("n_view_only"))
+  }
+
   /** Streaming deduplication: dropDuplicates on (user_id, event_type)
     * across the whole stream — the streaming form of exact dedup, state
     * one key per distinct pair — then an aggregate that the DuckDB

@@ -275,6 +275,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream left-outer: unmatched emits ONLY after the watermark " +
+    "closes its window; the tail stays undecided") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def ts(t: String) = Timestamp.valueOf(s"2020-05-12 $t")
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val views = MemoryStream[(Long, Timestamp)]
+    val c = clicks.toDF().toDF("cu", "click_ts")
+      .withWatermark("click_ts", "10 seconds")
+    val v = views.toDF().toDF("vu", "view_ts")
+      .withWatermark("view_ts", "10 seconds")
+    val j = c.join(v, expr(
+      """cu = vu AND view_ts >= click_ts - INTERVAL 30 SECONDS
+        |AND view_ts < click_ts""".stripMargin), "left_outer")
+    val q = j.writeStream.format("memory").queryName("ssjoin_outer_sem")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_test_ckpt").toString)
+      .start()
+    try {
+      // Batch 1: C1(u1 @07:01:00) has a matching view 10 s earlier;
+      // C2(u2 @07:01:00) has none.
+      clicks.addData((1L, ts("07:01:00")), (2L, ts("07:01:00")))
+      views.addData((1L, ts("07:00:50")))
+      q.processAllAvailable()
+      val afterB1 = spark.table("ssjoin_outer_sem").collect()
+      // The match emits immediately; C2 must NOT be null-extended yet —
+      // the watermark (07:00:40) hasn't proven its view window closed.
+      assert(afterB1.map(_.getLong(0)).toSeq == Seq(1L), afterB1.toSeq)
+      // Batch 2: both sides jump to 07:10:00 → watermark 07:09:50, well
+      // past C2's window; C3's own window is still open.
+      clicks.addData((3L, ts("07:10:00")))
+      views.addData((99L, ts("07:10:00")))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_outer_sem").collect()
+      val byUser = rows.groupBy(_.getLong(0))
+      assert(byUser.keySet == Set(1L, 2L), rows.toSeq)
+      val c2 = byUser(2L).head
+      assert(c2.isNullAt(c2.fieldIndex("vu")) &&
+        c2.isNullAt(c2.fieldIndex("view_ts")),
+        s"C2 must be null-extended: $c2")
+    } finally q.stop()
+  }
+
   test("out-of-order event INSIDE the watermark delay is merged, not dropped") {
     val s = spark
     import s.implicits._
