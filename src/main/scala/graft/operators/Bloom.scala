@@ -75,6 +75,14 @@ object Bloom {
          |FROM $vb b""".stripMargin)
   }
 
+  /** The capacity-sizing measurement the scaladoc prescribes: the
+    * distinct holdout gram count, the number a production deployment
+    * reads from ANALYZE stats instead of recomputing (one cheap
+    * distinct-count job either way — never part of the sweep itself).
+    */
+  def holdoutGramCount(holdout: DataFrame, n: Int = 8): Long =
+    Dedup.wordGrams(holdout, "holdout_id", n).select("g").distinct().count()
+
   /** [[Dedup.contamination]] with the holdout gram set Bloom-folded
     * instead of broadcast: same output exactly (same n-gram semantics,
     * same `maxDf` boilerplate cap, FPs removed by the confirm join), but

@@ -51,6 +51,24 @@ object Pipeline3Queries {
            |SELECT doc_id, h FROM inc
            |WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.h = inc.h)""".stripMargin))
 
+  /** Streaming twin of [[bloomIngest]] (see
+    * [[graft.streaming.Streams.ingestBloomAvailableNow]]): the corpus
+    * fingerprint bitset is built ONCE in batch and rides into the
+    * unbounded query as a binary literal; each micro-batch probes it
+    * map-side, and only probable rows reach the stream-static confirm
+    * anti-join. Same kept set as the batch gate, verified by the same
+    * oracle reduced to a compact aggregate.
+    */
+  val streamIngestBloom: QueryDef = QueryDef("stream_ingest_bloom",
+    (s, dir) => graft.streaming.Streams.ingestBloomAvailableNow(s, dir),
+    Some("""WITH ex AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+           |inc AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
+           |kept AS (SELECT doc_id FROM inc
+           |         WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.h = inc.h))
+           |SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+           |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+           |FROM kept""".stripMargin))
+
   // ------------------------------------------------------- gram census
 
   /** Corpus with planted boilerplate: half the docs get a navigation
@@ -193,6 +211,6 @@ object Pipeline3Queries {
     None)
 
   def defs: Seq[QueryDef] = Seq(
-    decontaminateBloom, bloomIngest, hotNgrams, hotNgramsSampled,
-    corpusProfile)
+    decontaminateBloom, bloomIngest, streamIngestBloom, hotNgrams,
+    hotNgramsSampled, corpusProfile)
 }

@@ -206,6 +206,56 @@ object Streams {
       .agg(count("*").as("n_pairs"))
   }
 
+  /** Streaming exact-dup ingest gate against a corpus-sized fingerprint
+    * set: one BATCH aggregate folds the corpus's md5 fingerprints into a
+    * ~1.2 MB Bloom bitset (the artifact a 100 TB deployment refreshes
+    * offline), the bitset rides into the unbounded query as a BINARY
+    * LITERAL — so each micro-batch probes it map-side in codegen, and
+    * the common case (a genuinely new document) is decided with NO join
+    * input at all. Only Bloom-probable rows (true dupes + ~fpp of the
+    * new) enter the stream-static anti-join that removes false
+    * positives, so the result is EXACT while the per-batch join carries
+    * batch-size × fpp rows, never the corpus. Stateless end to end: no
+    * watermark, no streaming state — the dedup knowledge lives in the
+    * bitset + the static side.
+    *
+    * (Contrast [[graft.operators.Bloom.ingestDedupBloom]], the batch
+    * twin, where the filter arrives as a scalar subquery; a stream
+    * cannot re-aggregate the corpus per batch, hence the literal.)
+    */
+  def ingestBloomAvailableNow(spark: SparkSession, dir: String,
+      queryName: String = "graft_stream_bloom_gate"): DataFrame = {
+    import org.apache.spark.sql.functions.{call_function, typedLit}
+    val ex = graft.catalog.Tables.load(spark, dir, "documents")
+      .filter("doc_id % 2 = 0")
+      .select(md5(col("text")).as("h"))
+    val cap = 1L << 20
+    val bloomBytes = ex.select(expr(
+      s"bloom_agg(xxhash64(h), ${cap}L, ${graft.operators.Bloom.numBits(cap, 0.01)}L)"))
+      .head().getAs[Array[Byte]](0)
+    val incoming = tableStream(spark, dir, "documents")
+      .filter("doc_id % 3 = 0")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val flagged = incoming.withColumn("probable",
+      call_function("bloom_might_contain",
+        typedLit(bloomBytes), xxhash64(col("h"))))
+    val kept = flagged.filter(!col("probable")).drop("probable")
+      .unionByName(flagged.filter(col("probable")).drop("probable")
+        .join(ex, Seq("h"), "left_anti"))
+    val q = kept.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_stream_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .agg(count(lit(1)).as("n_kept"),
+        sum("doc_id").cast("long").as("sum_ids"))
+  }
+
   /** The timestamp the outer-join tail cutoffs are measured from: the
     * SLOWER of the two filtered streams' max event times — the final
     * global watermark sits exactly one delay below it, so "2 h below

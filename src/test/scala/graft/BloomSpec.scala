@@ -71,6 +71,16 @@ class BloomSpec extends AnyFunSuite {
       s"fixture must drop some and keep some (kept $kept of $incoming)")
   }
 
+  test("streaming bloom gate equals the batch gate (same kept set)") {
+    val batch = graft.operators.Bloom.ingestDedupBloom(
+      docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 3 = 0"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum("doc_id").cast("long").as("sum_ids"))
+    val stream = graft.streaming.Streams.ingestBloomAvailableNow(
+      spark, sfDir, "bloom_gate_spec")
+    assert(rows(stream) == rows(batch))
+  }
+
   test("the probe is map-side: no exchange, no join, in the flagged plan") {
     val ex = docs.filter("doc_id % 2 = 0").select(md5(col("text")).as("h"))
     val in = docs.filter("doc_id % 3 = 0")
