@@ -54,7 +54,15 @@ object ClusterCheck {
       // IN the executor JVMs — exactly the closure-serialization surface
       // this check exists for) + a NIST slice spanning the new shapes.
       "multimodal_decode", "nist_dml022_division_e2",
-      "nist_dml059_having_or", "nist_dml014_self_not_in")).distinct
+      "nist_dml059_having_or", "nist_dml014_self_not_in",
+      // r10 second wave: the Bloom family (the bitset crosses the
+      // process boundary twice — as an aggregate partial AND as a
+      // binary literal in the streaming gate), census two-pass, and the
+      // outer-join streaming state machine.
+      "pipeline_decontaminate_bloom", "dedup_bloom_ingest",
+      "stream_ingest_bloom", "text_hot_ngrams_sampled",
+      "stats_corpus_profile", "stream_ssjoin_outer",
+      "stream_ssjoin_full")).distinct
 
   def main(args: Array[String]): Unit = {
     val master = if (args.nonEmpty) args(0) else "local[8]"
