@@ -43,7 +43,7 @@ object Queries {
     */
   def introspection: Seq[QueryDef] =
     Seq(SourceSinkQueries.sysPlanNodes, SourceSinkQueries.sysRuleTrace,
-      Pipeline3Queries.profileSketch)
+      Pipeline3Queries.profileSketch, Pipeline3Queries.heavyHittersQ)
 
   lazy val byName: Map[String, QueryDef] =
     (all ++ introspection).map(d => d.name -> d).toMap

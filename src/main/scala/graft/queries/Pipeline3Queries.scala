@@ -88,11 +88,11 @@ object Pipeline3Queries {
        |  text,
        |  CASE WHEN doc_id % 3 = 0 THEN '$bpB' END)""".stripMargin
 
-  private def planted(d: DataFrame): DataFrame =
+  private[graft] def planted(d: DataFrame): DataFrame =
     d.select(col("doc_id"), expr(plantSql).as("text"))
 
   /** Distinct word trigrams per doc, Spark side. */
-  private def grams3(d: DataFrame): DataFrame =
+  private[graft] def grams3(d: DataFrame): DataFrame =
     d.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -208,6 +208,26 @@ object Pipeline3Queries {
       approx_count_distinct("source").as("n_sources_hll"),
       percentile_approx(col("n_chars"), lit(0.5), lit(10000))
         .as("median_chars_approx")),
+    None)
+
+  /** Single-pass certified heavy hitters over the planted-boilerplate
+    * trigram stream (`graft.functions.heavyHitters`, mergeable
+    * Misra-Gries): ≤ 256 items, each with a HARD count interval
+    * [c_lo, c_hi], containing every gram whose instance count exceeds
+    * n/(k+1) (n = TOTAL gram instances — k must be sized so that
+    * threshold sits below the boilerplate df of interest; 256 puts it
+    * at ~215 on this fixture vs the planted df 250). One corpus read,
+    * shuffle = partitions × k counters — the bounded-memory member of
+    * the census family (exact census shuffles all grams; the sampled
+    * twin reads twice). Final counters depend on merge order, so no
+    * cross-engine oracle exists; HeavyHitterSpec certifies the bounds
+    * against the exact census.
+    */
+  val heavyHittersQ: QueryDef = QueryDef("text_heavy_hitters",
+    (s, dir) => grams3(planted(docs(s, dir)))
+      .agg(graft.functions.heavyHitters(col("g"), 256).as("hh"))
+      .select(explode(col("hh")).as("r"))
+      .select(col("r.item").as("g"), col("r.c_lo"), col("r.c_hi")),
     None)
 
   def defs: Seq[QueryDef] = Seq(
