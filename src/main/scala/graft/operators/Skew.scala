@@ -30,4 +30,46 @@ object Skew {
         salted("__salt") === replicated("__salt"))
       .drop("__salt")
   }
+
+  /** [[saltedJoin]] with the mitigation spent ONLY on detected hot keys:
+    * one certified single-pass summary ([[graft.functions.heavyHitters]])
+    * finds every key above n/(k+1) of the fact side, those keys get the
+    * `factor`-way salt, and everything else joins unsalted — so the
+    * other side replicates `factor`-way for ≤ k keys instead of for its
+    * whole row count (full salting's cost, which is why it must pick a
+    * small replicated side; this variant lifts that pressure).
+    *
+    * The RESULT is exact for ANY detected set — salting any key subset
+    * preserves join semantics; the summary only steers where the
+    * mitigation is spent, and its guarantee bounds what can be missed
+    * (nothing above n/(k+1)). The ≤ k-row summary is a bounded artifact
+    * (like the Bloom bitset): collecting it to the driver is O(k), not
+    * O(data).
+    */
+  def adaptiveSaltedJoin(skewed: DataFrame, other: DataFrame,
+                         key: String, otherKey: String, factor: Int,
+                         k: Int = 64): DataFrame = {
+    import graft.functions.heavyHitters
+    // one detection pass: summary + total row count share the aggregate
+    val hot = skewed
+      .agg(heavyHitters(col(key).cast("string"), k).as("hh"),
+        count(lit(1)).as("n"))
+      .select(col("n"), explode(col("hh")).as("r"))
+      .filter(col("r.c_lo") > col("n") / (k + 1))
+      .select(col("r.item"))
+      .collect().map(_.getString(0)).toSeq
+    val isHot = col(key).cast("string").isInCollection(
+      if (hot.isEmpty) Seq("__graft_no_hot_keys__") else hot)
+    val salted = skewed.withColumn("__salt",
+      when(isHot, (rand(42) * factor).cast("int")).otherwise(lit(0)))
+    val isHotOther = col(otherKey).cast("string").isInCollection(
+      if (hot.isEmpty) Seq("__graft_no_hot_keys__") else hot)
+    val replicated = other.withColumn("__salt", explode(
+      when(isHotOther, expr(s"sequence(0, ${factor - 1})"))
+        .otherwise(array(lit(0)))))
+    salted.join(replicated,
+      salted(key) === replicated(otherKey) &&
+        salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
 }

@@ -87,6 +87,29 @@ object TemporalQueries {
             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             |GROUP BY o_orderpriority""".stripMargin))
 
+  /** Adaptive variant of [[skewSalted]]: hot keys are detected by the
+    * certified single-pass summary (heavy_hitters) and ONLY those are
+    * salted, so the replicated side pays factor× for ≤ k keys instead
+    * of for every row. The result is exact for any detected set (the
+    * summary steers cost, not semantics) — same oracle as the full-salt
+    * and AQE twins. On this uniform fixture the detected set is empty
+    * (nothing above n/(k+1)) and the join degenerates to the plain one;
+    * SkewSpec exercises the hot path on a planted-Zipf frame.
+    */
+  val skewAdaptive: QueryDef = QueryDef("skew_adaptive_salt",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      Skew.adaptiveSaltedJoin(s.table("lineitem"), s.table("orders"),
+          "l_orderkey", "o_orderkey", factor = 8)
+        .groupBy("o_orderpriority")
+        .agg(count("*").as("n"),
+          expr(dsum("l_extendedprice")).as("sum_price"))
+    },
+    Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+            |  ${dsum("l_extendedprice")} AS sum_price
+            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            |GROUP BY o_orderpriority""".stripMargin))
+
   /** The UNSALTED twin of [[skewSalted]]: the same join left to AQE's
     * runtime skew handling instead of explicit salting. Same oracle —
     * both mitigation paths must produce the identical aggregate. On a
@@ -245,7 +268,7 @@ object TemporalQueries {
            |FROM lineitem GROUP BY l_returnflag""".stripMargin))
 
   val defs: Seq[QueryDef] = Seq(
-    joinAsof, joinRangeBinned, skewSalted, skewAqe, streamSession, streamDedup,
-    streamDedupWm, streamHop, streamStreamJoin, streamStreamOuter,
-    streamStreamFull, udafWavg)
+    joinAsof, joinRangeBinned, skewSalted, skewAdaptive, skewAqe,
+    streamSession, streamDedup, streamDedupWm, streamHop, streamStreamJoin,
+    streamStreamOuter, streamStreamFull, udafWavg)
 }

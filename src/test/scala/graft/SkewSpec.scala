@@ -29,6 +29,39 @@ class SkewSpec extends AnyFunSuite {
     assert(plan.contains("__salt") || plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("adaptive salted join: detects the planted hot key, replicates " +
+    "the dim only for it, result equals plain join") {
+    val s = spark
+    import s.implicits._
+    // 10k rows, 90% on hot key 7 — far above n/(k+1) at k=64
+    val skewed = (1 to 10000)
+      .map(i => (if (i % 10 == 0) i.toLong % 100 else 7L, i))
+      .toDF("k", "v")
+    val dim = (0L to 99L).map(k => (k, s"dim_$k")).toDF("dk", "name")
+
+    val plain = skewed.join(dim, col("k") === col("dk"))
+      .groupBy("k").agg(count("*").as("c"), sum("v").as("sv"))
+    val adaptive = Skew.adaptiveSaltedJoin(skewed, dim, "k", "dk", factor = 8)
+      .groupBy("k").agg(count("*").as("c"), sum("v").as("sv"))
+    assert(rows(adaptive) == rows(plain))
+
+    // Replication is bounded by the detected set: the salted dim side
+    // carries 99 unsalted rows + 8 replicas of the ONE hot key = 107,
+    // not 100 × 8 = 800 (full salting's bill).
+    val replicated = dim.withColumn("__salt", explode(
+      when(col("dk").cast("string").isInCollection(Seq("7")),
+        expr("sequence(0, 7)")).otherwise(array(lit(0)))))
+    assert(replicated.count() == 107)
+
+    // empty detected set degenerates to the plain join, still exact
+    val uniform = (1 to 1000).map(i => (i.toLong % 100, i)).toDF("k", "v")
+    val plainU = uniform.join(dim, col("k") === col("dk"))
+      .groupBy("k").agg(count("*").as("c"))
+    val adaptiveU = Skew.adaptiveSaltedJoin(uniform, dim, "k", "dk", 8)
+      .groupBy("k").agg(count("*").as("c"))
+    assert(rows(adaptiveU) == rows(plainU))
+  }
+
   test("AQE skew-join split fires on a Zipf-skewed sort-merge join") {
     // The runtime path that handles skew WITHOUT salting: AQE detects an
     // oversized shuffle partition and splits it, marking the join node
