@@ -47,6 +47,75 @@ object Bench {
     best
   }
 
+  /** Parallel twin of [[calProbe]]: the SAME fixed per-thread work run on
+    * `threads` concurrent threads, wall-clock of the slowest. On a host
+    * whose cores are truly available this reads ≈ the single-core probe;
+    * when the machine is oversubscribed (other tenants, cgroup quota, SMT
+    * contention) it balloons while the single-core probe stays flat —
+    * which is exactly the failure mode the single probe cannot see: this
+    * round observed every query uniformly 1.4–1.8× over trailing mins
+    * with byte-identical plans AND a healthy 0.70 s single-core probe.
+    * Emitted as `cal_probe_par_s`; trend comparisons should calibrate
+    * by this one when both artifacts carry it (parallel Spark stages
+    * scale with aggregate, not single-core, throughput).
+    */
+  /** Memory-bandwidth probe: `threads` concurrent streaming sums over one
+    * shared read-only 256 MB long array, wall-clock of the slowest, min
+    * of 2 after a warm pass. The CPU probes are register-only and blind
+    * to a saturated memory bus — a co-tenant hammering bandwidth slows
+    * every Spark stage (shuffles, hash tables, row buffers are all
+    * memory-bound) while both xorshift probes read healthy, which is the
+    * residual failure mode after this round's probes ruled out per-core
+    * and parallel-CPU degradation. Emitted as `cal_probe_mem_s`.
+    */
+  def calProbeMem(threads: Int): Double = {
+    val n = 32 << 20 // 32M longs = 256 MB
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) { arr(i) = i * 0x9e3779b97f4a7c15L; i += 1 }
+    @volatile var sink = 0L
+    def pass(): Double = {
+      val ts = (1 to threads).map(_ => new Thread(() => {
+        var acc = 0L
+        var j = 0
+        while (j < n) { acc += arr(j); j += 1 }
+        sink ^= acc
+      }))
+      val t0 = System.nanoTime()
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass() // warm
+    val best = math.min(pass(), pass())
+    if (sink == 42L) System.err.println("")
+    best
+  }
+
+  def calProbePar(threads: Int): Double = {
+    def work(): Long = {
+      var x = 0x9e3779b97f4a7c15L
+      var acc = 0L
+      var i = 0
+      while (i < 300000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        acc += java.lang.Long.bitCount(x)
+        i += 1
+      }
+      acc
+    }
+    @volatile var sink = 0L
+    def pass(): Double = {
+      val ts = (1 to threads).map(_ => new Thread(() => { sink ^= work() }))
+      val t0 = System.nanoTime()
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass() // JIT + scheduler warm
+    val best = math.min(pass(), pass())
+    if (sink == 42L) System.err.println("")
+    best
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -106,6 +175,8 @@ object Bench {
     // Host-speed probes bracket the timed passes (r9 showed per-core
     // throughput can halve MID-session): cal_probe_s before, end after.
     val probeStart = calProbe()
+    val probePar = calProbePar(cpus.toInt)
+    val probeMem = calProbeMem(math.min(16, cpus.toInt))
     val c0 = System.nanoTime()
     once(record = false)
     val coldTotal = (System.nanoTime() - c0) / 1e9
@@ -122,7 +193,7 @@ object Bench {
     val total = times.values.sum
     val firstWarmTotal = passes.values.map(_.head).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"all_passes":$ps,"errors":$es,"cold_sec":${f"$coldTotal%.3f"},"first_warm_sec":${f"$firstWarmTotal%.3f"},"cal_probe_s":${f"$probeStart%.3f"},"cal_probe_end_s":${f"$probeEnd%.3f"},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"all_passes":$ps,"errors":$es,"cold_sec":${f"$coldTotal%.3f"},"first_warm_sec":${f"$firstWarmTotal%.3f"},"cal_probe_s":${f"$probeStart%.3f"},"cal_probe_end_s":${f"$probeEnd%.3f"},"cal_probe_par_s":${f"$probePar%.3f"},"cal_probe_mem_s":${f"$probeMem%.3f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

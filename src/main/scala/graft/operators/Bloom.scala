@@ -103,7 +103,12 @@ object Bloom {
       h.groupBy("g").agg(countDistinct("holdout_id").as("df"))
         .filter(col("df") <= maxDf).select("g"),
       "g")
-    val probable = probableFlag(t, "g", hKept.select("g"), "g",
+    // The filter is built from the UNCAPPED gram set: a Bloom filter may
+    // soundly hold a superset of the join keys (extra members only admit
+    // rows the exact confirm join then rejects), and skipping the df-cap
+    // census inside the scalar subquery halves the holdout pipeline —
+    // the census runs once, in the main plan, not again in the subquery.
+    val probable = probableFlag(t, "g", h.select("g"), "g",
       expectedItems, fpp).filter(col("probable")).drop("probable")
     probable.join(hKept, "g")
       .groupBy("train_id")

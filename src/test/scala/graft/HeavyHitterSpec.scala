@@ -44,6 +44,44 @@ class HeavyHitterSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming: guarantees hold across micro-batches (the summary is " +
+    "the aggregation state)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val kk = 8
+    val q = mem.toDF().toDF("g")
+      .agg(graft.functions.heavyHitters(col("g"), kk).as("hh"))
+      .select(explode(col("hh")).as("r"))
+      .select(col("r.item"), col("r.c_lo"), col("r.c_hi"))
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_test_ckpt").toString)
+      .start()
+    try {
+      val b1 = Seq.fill(60)("hot") ++ (1 to 20).map(i => s"rare_a_$i")
+      val b2 = Seq.fill(40)("warm") ++ (1 to 20).map(i => s"rare_b_$i")
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val summary = spark.table("hh_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val trueCounts = (b1 ++ b2).groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val n = b1.size + b2.size // 140; n/(k+1) ≈ 15 → hot, warm guaranteed
+      assert(summary.length <= kk)
+      val present = summary.map(_._1).toSet
+      assert(Set("hot", "warm").subsetOf(present), present)
+      summary.foreach { case (g, lo, hi) =>
+        val t = trueCounts(g)
+        assert(lo <= t && t <= hi, s"$g: true=$t outside [$lo,$hi]")
+      }
+      assert(n / (kk + 1) < 40, "fixture sanity: warm must clear the bound")
+    } finally q.stop()
+  }
+
   test("distributed summary honors coverage, interval, and size bounds " +
     "vs the exact census") {
     val grams = Pipeline3Queries.grams3(Pipeline3Queries.planted(

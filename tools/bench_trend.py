@@ -58,7 +58,8 @@ def metric_of(path):
         qm = re.search(r'"queries":(\{[^{}]*\})', tail)
         if qm:
             out = {"metric": "total", "queries": json.loads(qm.group(1))}
-            for k in ("cal_probe_s", "cal_probe_end_s"):
+            for k in ("cal_probe_s", "cal_probe_end_s", "cal_probe_par_s",
+                      "cal_probe_mem_s"):
                 pm = re.search(r'"%s":([0-9.]+)' % k, tail)
                 if pm:
                     out[k] = float(pm.group(1))
@@ -96,34 +97,52 @@ def main():
               file=sys.stderr)
         return 2
 
-    def probe_of(m):
-        """Mean of the bracketing probes when present (r9: host speed can
-        change mid-session, so one probe alone under- or over-corrects)."""
+    def probes_of(m):
+        """Calibration probes by TYPE — a calibrated comparison must
+        divide both sides by the SAME kind of probe. 'par' is the
+        parallel probe (cal_probe_par_s): Spark stages scale with
+        aggregate throughput, and this session observed every query
+        uniformly 1.4-1.8x over trailing mins with a HEALTHY single-core
+        probe (0.70 s) because the host's PARALLEL throughput, not
+        per-core speed, had degraded. 'single' is the mean of the
+        bracketing single-core probes (r9: host speed can change
+        mid-session, so one probe alone under- or over-corrects)."""
+        out = {}
+        par = m.get("cal_probe_par_s")
+        if isinstance(par, (int, float)) and par > 0:
+            out["par"] = par
         ps = [m.get(k) for k in ("cal_probe_s", "cal_probe_end_s")
               if isinstance(m.get(k), (int, float)) and m.get(k) > 0]
-        return sum(ps) / len(ps) if ps else None
+        if ps:
+            out["single"] = sum(ps) / len(ps)
+        return out
 
-    # Trailing min per query over every PRIOR round that ran it, on two
-    # tracks: raw seconds (all rounds) and calibrated sec/probe (rounds
-    # carrying a probe).
-    tmin_raw, tmin_cal = {}, {}
+    # Trailing min per query over every PRIOR round that ran it, on three
+    # tracks: raw seconds (all rounds), sec/single-probe, sec/par-probe
+    # (each calibrated track only over rounds carrying that probe kind).
+    tmin_raw = {}
+    tmin_cal = {"par": {}, "single": {}}
     for p in history:
         m = metric_of(p)
         if not m:
             continue
-        probe = probe_of(m)
+        probes = probes_of(m)
         for q, sec in (m.get("queries") or {}).items():
             if isinstance(sec, (int, float)) and sec > 0:
                 tmin_raw[q] = min(tmin_raw.get(q, float("inf")), sec)
-                if probe:
-                    tmin_cal[q] = min(tmin_cal.get(q, float("inf")),
-                                      sec / probe)
+                for kind, pv in probes.items():
+                    t = tmin_cal[kind]
+                    t[q] = min(t.get(q, float("inf")), sec / pv)
 
-    latest_probe = probe_of(latest)
+    latest_probes = probes_of(latest)
     regressions, new = [], []
     for q, sec in latest["queries"].items():
-        if latest_probe and q in tmin_cal:
-            val, base, track = sec / latest_probe, tmin_cal[q], "cal"
+        if "par" in latest_probes and q in tmin_cal["par"]:
+            val, base, track = (sec / latest_probes["par"],
+                                tmin_cal["par"][q], "cal-par")
+        elif "single" in latest_probes and q in tmin_cal["single"]:
+            val, base, track = (sec / latest_probes["single"],
+                                tmin_cal["single"][q], "cal")
         elif q in tmin_raw:
             val, base, track = sec, tmin_raw[q], "raw"
         else:
@@ -133,8 +152,10 @@ def main():
             regressions.append((q, val, base, val / base, track))
 
     name = os.path.basename(latest_path)
-    probe_note = (f", probe {latest_probe:.3f}s (calibrated track)"
-                  if latest_probe else ", no probe (raw track)")
+    probe_note = (
+        ", probes " + ", ".join(f"{k}={v:.3f}s"
+                                for k, v in sorted(latest_probes.items()))
+        if latest_probes else ", no probe (raw track)")
     print(f"{name}: {len(latest['queries'])} queries, "
           f"{len(new)} new (no history), threshold {args.threshold}x "
           f"over trailing min of {len(history)} rounds{probe_note}")
