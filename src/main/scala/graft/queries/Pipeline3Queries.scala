@@ -154,6 +154,18 @@ object Pipeline3Queries {
             |FROM g JOIN cand ON g.g = cand.g
             |GROUP BY g.g ORDER BY df DESC, g.g LIMIT 20""".stripMargin))
 
+  /** Trigram-index substring search (`graft.operators.Search`): exact
+    * `contains` semantics answered by probing the needle's posting
+    * lists + one candidate-sized confirm, instead of the full LIKE
+    * scan the oracle runs. "merge batch" hits a few dozen docs at
+    * sf0.01 — non-vacuous at every gated scale.
+    */
+  val substringSearch: QueryDef = QueryDef("text_substring_search",
+    (s, dir) => graft.operators.Search.substringSearch(
+      docs(s, dir).select("doc_id", "text"), "merge batch"),
+    Some("""SELECT doc_id FROM documents
+           |WHERE contains(text, 'merge batch')""".stripMargin))
+
   // ------------------------------------------------------------ census
 
   /** Per-language corpus profile with an EXACT median: the grouped
@@ -231,6 +243,6 @@ object Pipeline3Queries {
     None)
 
   def defs: Seq[QueryDef] = Seq(
-    decontaminateBloom, bloomIngest, streamIngestBloom, hotNgrams,
-    hotNgramsSampled, corpusProfile)
+    decontaminateBloom, bloomIngest, streamIngestBloom, substringSearch,
+    hotNgrams, hotNgramsSampled, corpusProfile)
 }
