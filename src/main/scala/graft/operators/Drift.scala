@@ -53,4 +53,39 @@ object Drift {
       .select(col("n_a"), col("n_b"), col("v").as("ks_at"),
         col("d").as("ks_stat"))
   }
+
+  /** Population Stability Index between the two sides of a split —
+    * the industry-standard ML feature-drift score (rule of thumb:
+    * < 0.1 stable, 0.1–0.25 moderate, > 0.25 action): fixed-width bins
+    * of the feature, PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b). Laplace
+    * add-one smoothing on bin counts keeps empty bins (and even an
+    * empty SIDE) defined without dropping them — a bin present on one
+    * side only is exactly the drift signal PSI exists to amplify.
+    *
+    * Scale shape: identical to [[ksDrift]] — one map-side-combined
+    * group-by reduces the corpus to the bin frame (cardinality =
+    * feature range / binWidth), everything after runs on that bounded
+    * frame. Returns one row (n_a, n_b, n_bins, psi).
+    */
+  def psiDrift(df: DataFrame, valueCol: String, sideACond: String,
+               binWidth: Int = 100): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val perB = df
+      .selectExpr(s"($valueCol div $binWidth) AS b",
+        s"CASE WHEN $sideACond THEN 1 ELSE 0 END AS ia")
+      .groupBy("b")
+      .agg(sum(col("ia")).as("ca"), sum(expr("1 - ia")).as("cb"))
+    val tot = perB.agg(
+      expr("CAST(SUM(ca) AS BIGINT)").as("ta"),
+      expr("CAST(SUM(cb) AS BIGINT)").as("tb"),
+      expr("CAST(COUNT(*) AS BIGINT)").as("nb"))
+    perB.crossJoin(broadcast(tot))
+      .groupBy(col("ta"), col("tb"), col("nb"))
+      .agg(expr(
+        """SUM(((ca + 1.0) / (ta + nb) - (cb + 1.0) / (tb + nb))
+          |  * ln(((ca + 1.0) / (ta + nb)) / ((cb + 1.0) / (tb + nb))))
+          |""".stripMargin).as("psi"))
+      .select(col("ta").as("n_a"), col("tb").as("n_b"),
+        col("nb").as("n_bins"), col("psi"))
+  }
 }

@@ -198,6 +198,29 @@ object Extra5Queries {
         // the paired queries agree on degenerate one-sided inputs too
         // (r10, ADVICE finding).
 
+  /** Population Stability Index over the same split ([[Drift.psiDrift]]):
+    * the binned-proportion drift score (PSI < 0.1 stable, > 0.25 action)
+    * complementing KS's supremum form. Laplace add-one smoothing keeps
+    * one-sided bins defined; both engines compute the identical
+    * rationals-then-ln formula over the same integer bin counts.
+    */
+  val psiDrift: QueryDef = QueryDef("stats_psi_drift",
+    (s, dir) => Drift.psiDrift(docs(s, dir), "n_chars", "doc_id % 2 = 0"),
+    oracle = Some(
+      """WITH pts AS (
+        |  SELECT n_chars // 100 AS b,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS ia
+        |  FROM documents),
+        |perb AS (
+        |  SELECT b, SUM(ia) AS ca, SUM(1 - ia) AS cb FROM pts GROUP BY b),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS ta,
+        |               CAST(SUM(cb) AS BIGINT) AS tb,
+        |               CAST(COUNT(*) AS BIGINT) AS nb FROM perb)
+        |SELECT ta AS n_a, tb AS n_b, nb AS n_bins,
+        |  SUM(((ca + 1.0) / (ta + nb) - (cb + 1.0) / (tb + nb))
+        |    * ln(((ca + 1.0) / (ta + nb)) / ((cb + 1.0) / (tb + nb)))) AS psi
+        |FROM perb, tot GROUP BY ta, tb, nb""".stripMargin))
+
   /** Inverted-index build ([[TextAnalysis.invertedIndex]]): df/cf plus
     * the bounded posting list per token. Oracle re-derives postings with
     * DuckDB's ordered list aggregation over the same distinct pairs.
@@ -278,6 +301,6 @@ object Extra5Queries {
         |FROM g""".stripMargin))
 
   def defs: Seq[QueryDef] =
-    Seq(bm25TopK, lmScore, overlapSketch, zorder, ksDrift, invertedIndex,
-      lmBigram, chunkWindows)
+    Seq(bm25TopK, lmScore, overlapSketch, zorder, ksDrift, psiDrift,
+      invertedIndex, lmBigram, chunkWindows)
 }

@@ -123,6 +123,36 @@ class RetrievalSpec extends AnyFunSuite {
     assert(d.getAs[Long]("ks_at") == 2L) // smallest v attaining the sup
   }
 
+  test("psiDrift: ~0 on identical halves, grows with planted shift, " +
+    "defined on one-sided bins") {
+    val s = spark
+    import s.implicits._
+    // identical distributions in every bin → Laplace-smoothed PSI ≈ 0
+    // (exactly 0 here: same counts → equal proportions → ln(1) = 0)
+    val same = (1 to 100).flatMap(i => Seq((i.toLong, 0L), (i.toLong, 1L)))
+      .toDF("v", "side")
+    val r0 = Drift.psiDrift(same, "v", "side = 0", binWidth = 10)
+      .collect().head
+    assert(r0.getAs[Double]("psi") == 0.0)
+    assert(r0.getLong(0) == 100L && r0.getLong(1) == 100L)
+
+    // planted location shift: side B lives 500 higher → disjoint bins,
+    // PSI far above the 0.25 action threshold
+    val shifted = ((1 to 100).map(i => (i.toLong, 0L)) ++
+      (1 to 100).map(i => (i.toLong + 500, 1L))).toDF("v", "side")
+    val r1 = Drift.psiDrift(shifted, "v", "side = 0", binWidth = 10)
+      .collect().head
+    assert(r1.getAs[Double]("psi") > 0.25, r1.getAs[Double]("psi"))
+
+    // one side empty: Laplace keeps it defined (uniform-vs-data), finite
+    val onlyB = Seq((5L, 1L), (7L, 1L)).toDF("v", "side")
+    val rE = Drift.psiDrift(onlyB, "v", "side = 0").collect().head
+    assert(!rE.isNullAt(rE.fieldIndex("psi")) &&
+      !rE.getAs[Double]("psi").isNaN)
+    assertThrows[IllegalArgumentException](
+      Drift.psiDrift(same, "v", "side = 0", binWidth = 0))
+  }
+
   test("ksDrift: an empty side yields NULL ks_stat (never a NaN ranked first)") {
     val s = spark
     import s.implicits._
