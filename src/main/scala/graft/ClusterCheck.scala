@@ -62,7 +62,13 @@ object ClusterCheck {
       "pipeline_decontaminate_bloom", "dedup_bloom_ingest",
       "stream_ingest_bloom", "text_hot_ngrams_sampled",
       "stats_corpus_profile", "stream_ssjoin_outer",
-      "stream_ssjoin_full")).distinct
+      "stream_ssjoin_full",
+      // r10 third wave. text_heavy_hitters is deliberately ABSENT: its
+      // counters are merge-order-dependent by contract (only the
+      // coverage/interval guarantees are stable), so a cross-master
+      // fingerprint diff would be a false alarm, not a bug.
+      "text_substring_search", "skew_adaptive_salt",
+      "stats_psi_drift")).distinct
 
   def main(args: Array[String]): Unit = {
     val master = if (args.nonEmpty) args(0) else "local[8]"
