@@ -36,10 +36,11 @@ object Queries {
 
   /** Runnable queries that by construction can have NO DuckDB oracle
     * (plan introspection rows describe engine-specific plan shape;
-    * sketch estimates are engine-specific by definition). Kept out of
-    * [[all]] so the oracle gate scores only oracle-paired queries; their
-    * semantics are asserted by dedicated specs (PlanIntrospectionSpec,
-    * SketchSpec) instead.
+    * sketch estimates and merge-order-dependent summary counters are
+    * engine-specific by definition). Kept out of [[all]] so the oracle
+    * gate scores only oracle-paired queries; their semantics are
+    * asserted by dedicated specs (PlanIntrospectionSpec, CensusSpec,
+    * HeavyHitterSpec) instead.
     */
   def introspection: Seq[QueryDef] =
     Seq(SourceSinkQueries.sysPlanNodes, SourceSinkQueries.sysRuleTrace,
