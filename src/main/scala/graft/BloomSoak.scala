@@ -77,13 +77,29 @@ object BloomSoak {
     val dflt = timed("contamination_bloom_default") {
       Bloom.contaminationBloom(train, holdout)
     }
-    val bcast = timed("contamination_broadcast") {
-      Dedup.contamination(train, holdout)
-    }
-    val (fpS, fpD, fpB) = (fp(sized), fp(dflt), fp(bcast))
-    println(s"[bloomsoak] fingerprints sized=$fpS default=$fpD broadcast=$fpB")
-    require(fpS == fpD && fpD == fpB,
-      s"EXACTNESS VIOLATED: $fpS / $fpD / $fpB")
+    // The broadcast twin is EXPECTED to die once the holdout gram set
+    // outgrows what a driver can collect (it did at 1000×: 13.8M grams →
+    // >1 GiB of serialized task results, spark.driver.maxResultSize).
+    // That loud failure is the contract the Bloom variants retire — when
+    // it happens, record it as the demonstration and compare the two
+    // Bloom fingerprints against each other instead.
+    val bcastFp =
+      try {
+        val b = timed("contamination_broadcast") {
+          Dedup.contamination(train, holdout)
+        }
+        Some(fp(b))
+      } catch {
+        case e: org.apache.spark.SparkException =>
+          println("[bloomsoak] contamination_broadcast FAILED as the " +
+            s"contract predicts at this scale: ${e.getMessage.take(160)}")
+          None
+      }
+    val (fpS, fpD) = (fp(sized), fp(dflt))
+    println(s"[bloomsoak] fingerprints sized=$fpS default=$fpD " +
+      s"broadcast=${bcastFp.getOrElse("UNAVAILABLE (contract)")}")
+    require(fpS == fpD && bcastFp.forall(_ == fpS),
+      s"EXACTNESS VIOLATED: $fpS / $fpD / $bcastFp")
 
     val existing = docs.filter("doc_id % 2 = 0")
     val incoming = docs.filter("doc_id % 3 = 0")
