@@ -79,12 +79,20 @@ object Drift {
       expr("CAST(SUM(ca) AS BIGINT)").as("ta"),
       expr("CAST(SUM(cb) AS BIGINT)").as("tb"),
       expr("CAST(COUNT(*) AS BIGINT)").as("nb"))
+    // Per-bin terms are quantized to nano-units (round(x·1e9) as BIGINT)
+    // before summing — the text_lm_nll discipline: double sums are
+    // order-dependent in the last ulps and the oracle gate rounds to
+    // 6 dp, so a float SUM can straddle a rounding boundary between
+    // engines; an integer sum of identically-quantized terms cannot.
+    // 1.0D, not 1.0: Spark parses a bare decimal literal as DECIMAL and
+    // would run the whole ratio chain in limited-scale decimal division
+    // (~1e-7 relative error vs the oracle's IEEE doubles — measured).
     perB.crossJoin(broadcast(tot))
       .groupBy(col("ta"), col("tb"), col("nb"))
       .agg(expr(
-        """SUM(((ca + 1.0) / (ta + nb) - (cb + 1.0) / (tb + nb))
-          |  * ln(((ca + 1.0) / (ta + nb)) / ((cb + 1.0) / (tb + nb))))
-          |""".stripMargin).as("psi"))
+        """SUM(CAST(round((((ca + 1.0D) / (ta + nb) - (cb + 1.0D) / (tb + nb))
+          |  * ln(((ca + 1.0D) / (ta + nb)) / ((cb + 1.0D) / (tb + nb))))
+          |  * 1e9) AS BIGINT)) / 1e9""".stripMargin).as("psi"))
       .select(col("ta").as("n_a"), col("tb").as("n_b"),
         col("nb").as("n_bins"), col("psi"))
   }

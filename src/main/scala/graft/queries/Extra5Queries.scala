@@ -217,9 +217,45 @@ object Extra5Queries {
         |               CAST(SUM(cb) AS BIGINT) AS tb,
         |               CAST(COUNT(*) AS BIGINT) AS nb FROM perb)
         |SELECT ta AS n_a, tb AS n_b, nb AS n_bins,
-        |  SUM(((ca + 1.0) / (ta + nb) - (cb + 1.0) / (tb + nb))
-        |    * ln(((ca + 1.0) / (ta + nb)) / ((cb + 1.0) / (tb + nb)))) AS psi
+        |  SUM(CAST(round((((ca + 1.0) / (ta + nb) - (cb + 1.0) / (tb + nb))
+        |    * ln(((ca + 1.0) / (ta + nb)) / ((cb + 1.0) / (tb + nb))))
+        |    * 1e9) AS BIGINT)) / 1e9 AS psi
         |FROM perb, tot GROUP BY ta, tb, nb""".stripMargin))
+
+  /** Streaming windowed PSI
+    * ([[graft.streaming.Streams.psiDriftWindowedAvailableNow]]):
+    * per-6h-window drift of the event-value distribution vs the static
+    * 'view' reference, streamed to completion. Oracle recomputes the
+    * identical union-of-bins Laplace PSI per time bucket.
+    */
+  val psiDriftStream: QueryDef = QueryDef("stream_psi_drift",
+    (s, dir) => graft.streaming.Streams.psiDriftWindowedAvailableNow(s, dir),
+    oracle = Some(
+      """WITH ref AS (
+        |  SELECT CAST(floor(value / 10) AS BIGINT) AS b, COUNT(*) AS rc
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |win AS (
+        |  SELECT time_bucket(INTERVAL '6 hours', ts) AS w,
+        |    CAST(floor(value / 10) AS BIGINT) AS b, COUNT(*) AS wc
+        |  FROM events GROUP BY 1, 2),
+        |univ AS (
+        |  SELECT w, b FROM (SELECT DISTINCT w FROM win) CROSS JOIN
+        |    (SELECT b FROM ref)
+        |  UNION SELECT w, b FROM win),
+        |j AS (
+        |  SELECT u.w, u.b, coalesce(win.wc, 0) AS wc,
+        |    coalesce(ref.rc, 0) AS rc
+        |  FROM univ u
+        |  LEFT JOIN win ON u.w = win.w AND u.b = win.b
+        |  LEFT JOIN ref ON u.b = ref.b),
+        |tot AS (SELECT w, SUM(wc) AS tw, COUNT(*) AS nb FROM j GROUP BY w),
+        |tr AS (SELECT SUM(rc) AS tr FROM ref)
+        |SELECT j.w AS w_start,
+        |  SUM(CAST(round((((wc + 1.0) / (tw + nb) - (rc + 1.0) / (tr.tr + nb))
+        |    * ln(((wc + 1.0) / (tw + nb)) / ((rc + 1.0) / (tr.tr + nb))))
+        |    * 1e9) AS BIGINT)) / 1e9 AS psi
+        |FROM j JOIN tot ON j.w = tot.w CROSS JOIN tr
+        |GROUP BY 1""".stripMargin))
 
   /** Inverted-index build ([[TextAnalysis.invertedIndex]]): df/cf plus
     * the bounded posting list per token. Oracle re-derives postings with
@@ -302,5 +338,5 @@ object Extra5Queries {
 
   def defs: Seq[QueryDef] =
     Seq(bm25TopK, lmScore, overlapSketch, zorder, ksDrift, psiDrift,
-      invertedIndex, lmBigram, chunkWindows)
+      psiDriftStream, invertedIndex, lmBigram, chunkWindows)
 }

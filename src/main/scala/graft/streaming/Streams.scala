@@ -206,6 +206,59 @@ object Streams {
       .agg(count("*").as("n_pairs"))
   }
 
+  /** Streaming drift monitor: per-tumbling-window PSI of the event-value
+    * distribution against a static reference (the 'view' events'
+    * distribution) — the alert a production ingest actually pages on
+    * ("this 6 h batch's feature histogram no longer matches what we
+    * trained on"). The STREAMING side holds only (window × bin) counts
+    * — state bounded by windows-in-watermark × bin cardinality, never
+    * rows; the PSI arithmetic runs batch-side on that tiny frame after
+    * completion, per window, over the union of the window's and the
+    * reference's bins with Laplace add-one (mirrors
+    * [[graft.operators.Drift.psiDrift]]).
+    */
+  def psiDriftWindowedAvailableNow(spark: SparkSession, dir: String,
+      queryName: String = "graft_stream_psi"): DataFrame = {
+    val binExpr = "CAST(floor(value / 10) AS BIGINT)"
+    runComplete(
+      eventsStream(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"), expr(binExpr).as("b"))
+        .agg(count(lit(1)).as("wc"))
+        .select(col("window.start").as("w"), col("b"), col("wc")),
+      queryName)
+    graft.catalog.Tables.load(spark, dir, "events")
+      .filter("event_type = 'view'")
+      .groupBy(expr(binExpr).as("b")).agg(count(lit(1)).as("rc"))
+      .createOrReplaceTempView(s"${queryName}_ref")
+    // One SQL statement for the finishing math: the sink view is
+    // referenced three times (window list, universe union, count join),
+    // and only the analyzer's in-query view dedup handles that — three
+    // separately built DataFrames over the same MemorySink share
+    // attribute ids and fail resolution as an ambiguous self-join.
+    spark.sql(
+      s"""WITH win AS (SELECT w, b, wc FROM $queryName),
+         |ref AS (SELECT b, rc FROM ${queryName}_ref),
+         |univ AS (
+         |  SELECT w, b FROM (SELECT DISTINCT w FROM win)
+         |    CROSS JOIN (SELECT b FROM ref)
+         |  UNION SELECT w, b FROM win),
+         |j AS (
+         |  SELECT u.w, u.b, coalesce(win.wc, 0) AS wc,
+         |    coalesce(ref.rc, 0) AS rc
+         |  FROM univ u
+         |  LEFT JOIN win ON u.w = win.w AND u.b = win.b
+         |  LEFT JOIN ref ON u.b = ref.b),
+         |tot AS (SELECT w, SUM(wc) AS tw, COUNT(*) AS nb FROM j GROUP BY w),
+         |tr AS (SELECT SUM(rc) AS tr FROM ref)
+         |SELECT j.w AS w_start,
+         |  SUM(CAST(round((((wc + 1.0D) / (tw + nb) - (rc + 1.0D) / (tr.tr + nb))
+         |    * ln(((wc + 1.0D) / (tw + nb)) / ((rc + 1.0D) / (tr.tr + nb))))
+         |    * 1e9) AS BIGINT)) / 1e9 AS psi
+         |FROM j JOIN tot ON j.w = tot.w CROSS JOIN tr
+         |GROUP BY j.w""".stripMargin)
+  }
+
   /** Streaming exact-dup ingest gate against a corpus-sized fingerprint
     * set: one BATCH aggregate folds the corpus's md5 fingerprints into a
     * ~1.2 MB Bloom bitset (the artifact a 100 TB deployment refreshes
