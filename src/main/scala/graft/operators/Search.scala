@@ -61,6 +61,28 @@ object Search {
       .select("doc_id")
   }
 
+  /** Typo-tolerant search on the same index: docs holding at least
+    * `tau` of the NEEDLE's distinct trigrams (containment, the pg_trgm
+    * `%`-operator family). A needle with a typo loses only the ≤ 3
+    * trigrams overlapping the typo'd character, so e.g. τ = 0.7 finds
+    * every true match of a one-typo probe. EXACT by construction — the
+    * posting-probe count IS the similarity (no confirm needed, unlike
+    * [[substringSearch]]'s adjacency-blind candidates); only the
+    * needle's ≤ |needle|−2 posting lists are ever read.
+    */
+  def fuzzySearch(docs: DataFrame, needle: String,
+                  tau: Double = 0.7): DataFrame = {
+    require(needle.length >= 3,
+      s"fuzzy search needs a needle of ≥ 3 chars, got '$needle'")
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    val grams = needle.sliding(3).toSeq.distinct
+    val need = math.ceil(tau * grams.size).toLong
+    trigramIndex(docs)
+      .filter(col("g").isInCollection(grams))
+      .groupBy("doc_id").agg(countDistinct("g").as("shared"))
+      .filter(col("shared") >= need)
+  }
+
   /** Persist the index in probe-friendly layout: range-partitioned and
     * sorted by `g`, so per-gram probes prune at row-group granularity.
     */

@@ -166,6 +166,32 @@ object Pipeline3Queries {
     Some("""SELECT doc_id FROM documents
            |WHERE contains(text, 'merge batch')""".stripMargin))
 
+  /** Typo-tolerant search ([[graft.operators.Search.fuzzySearch]]): the
+    * needle is "merge batch" with a planted typo ("batxh"); containment
+    * τ = 0.7 of its 9 trigrams (≥ 7 shared) recovers the docs a literal
+    * LIKE can no longer see. The oracle recomputes per-doc trigram
+    * intersections from scratch; gram list and threshold are generated
+    * from the same Scala values so the two sides cannot drift.
+    */
+  private val fuzzyNeedle = "merge batxh"
+  private val fuzzyGrams = fuzzyNeedle.sliding(3).toSeq.distinct
+  private val fuzzyNeed = math.ceil(0.7 * fuzzyGrams.size).toLong
+
+  val fuzzySearchQ: QueryDef = QueryDef("text_fuzzy_search",
+    (s, dir) => graft.operators.Search.fuzzySearch(
+      docs(s, dir).select("doc_id", "text"), fuzzyNeedle, 0.7),
+    Some {
+      val lst = fuzzyGrams.map(g => s"'$g'").mkString("[", ", ", "]")
+      s"""WITH dg AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, len(text) - 2), i -> text[i:i+2])) AS gs
+         |  FROM documents WHERE len(text) >= 3)
+         |SELECT doc_id,
+         |  CAST(len(list_intersect(gs, $lst)) AS BIGINT) AS shared
+         |FROM dg
+         |WHERE len(list_intersect(gs, $lst)) >= $fuzzyNeed""".stripMargin
+    })
+
   // ------------------------------------------------------------ census
 
   /** Per-language corpus profile with an EXACT median: the grouped
@@ -244,5 +270,5 @@ object Pipeline3Queries {
 
   def defs: Seq[QueryDef] = Seq(
     decontaminateBloom, bloomIngest, streamIngestBloom, substringSearch,
-    hotNgrams, hotNgramsSampled, corpusProfile)
+    fuzzySearchQ, hotNgrams, hotNgramsSampled, corpusProfile)
 }

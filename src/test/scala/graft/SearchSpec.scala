@@ -47,7 +47,24 @@ class SearchSpec extends AnyFunSuite {
     assert(confirmed == Set(1L), confirmed)
   }
 
+  test("fuzzy search recovers one-typo matches that LIKE cannot see") {
+    // every doc literally containing "merge batch" must survive a
+    // one-typo probe at tau=0.7 (the typo kills ≤ 3 of 9 trigrams)
+    val exactMatches = docs.filter(col("text").contains("merge batch"))
+      .select("doc_id")
+    val fuzzy = Search.fuzzySearch(docs, "merge batxh", 0.7).select("doc_id")
+    assert(exactMatches.join(fuzzy, Seq("doc_id"), "left_anti").isEmpty,
+      "an exact match fell below the fuzzy threshold")
+    assert(exactMatches.count() > 0, "fixture needle must be non-vacuous")
+    // the literal scan for the typo'd needle finds NOTHING — the recall
+    // is the fuzzy index's alone
+    assert(docs.filter(col("text").contains("merge batxh")).isEmpty)
+  }
+
   test("needles shorter than a trigram are rejected loudly") {
     assertThrows[IllegalArgumentException](Search.substringSearch(docs, "ab"))
+    assertThrows[IllegalArgumentException](Search.fuzzySearch(docs, "ab"))
+    assertThrows[IllegalArgumentException](
+      Search.fuzzySearch(docs, "abcdef", tau = 0.0))
   }
 }
