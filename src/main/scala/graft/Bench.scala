@@ -47,18 +47,6 @@ object Bench {
     best
   }
 
-  /** Parallel twin of [[calProbe]]: the SAME fixed per-thread work run on
-    * `threads` concurrent threads, wall-clock of the slowest. On a host
-    * whose cores are truly available this reads ≈ the single-core probe;
-    * when the machine is oversubscribed (other tenants, cgroup quota, SMT
-    * contention) it balloons while the single-core probe stays flat —
-    * which is exactly the failure mode the single probe cannot see: this
-    * round observed every query uniformly 1.4–1.8× over trailing mins
-    * with byte-identical plans AND a healthy 0.70 s single-core probe.
-    * Emitted as `cal_probe_par_s`; trend comparisons should calibrate
-    * by this one when both artifacts carry it (parallel Spark stages
-    * scale with aggregate, not single-core, throughput).
-    */
   /** Memory-bandwidth probe: `threads` concurrent streaming sums over one
     * shared read-only 256 MB long array, wall-clock of the slowest, min
     * of 2 after a warm pass. The CPU probes are register-only and blind
@@ -91,6 +79,18 @@ object Bench {
     best
   }
 
+  /** Parallel twin of [[calProbe]]: the SAME fixed per-thread work run on
+    * `threads` concurrent threads, wall-clock of the slowest. On a host
+    * whose cores are truly available this reads ≈ the single-core probe;
+    * when the machine is oversubscribed (other tenants, cgroup quota, SMT
+    * contention) it balloons while the single-core probe stays flat —
+    * which is exactly the failure mode the single probe cannot see: this
+    * round observed every query uniformly 1.4–1.8× over trailing mins
+    * with byte-identical plans AND a healthy 0.70 s single-core probe.
+    * Emitted as `cal_probe_par_s`; trend comparisons should calibrate
+    * by this one when both artifacts carry it (parallel Spark stages
+    * scale with aggregate, not single-core, throughput).
+    */
   def calProbePar(threads: Int): Double = {
     def work(): Long = {
       var x = 0x9e3779b97f4a7c15L

@@ -61,18 +61,31 @@ object Bloom {
   def probableFlag(big: DataFrame, keyCol: String, small: DataFrame,
                    smallKey: String, expectedItems: Long,
                    fpp: Double): DataFrame = {
+    // Interpolated identifiers are backtick-quoted (with embedded
+    // backticks doubled) so key columns needing quoting can't break or
+    // alter the query text, and the temp views are dropped immediately
+    // after analysis — the analyzed plan has inlined them, so execution
+    // doesn't need the catalog entries and nothing accumulates over the
+    // session lifetime (both r10 ADVICE findings).
+    def quoted(name: String): String = "`" + name.replace("`", "``") + "`"
     val id = viewSeq.incrementAndGet()
     val vb = s"__graft_bloom_big_$id"
     val vs = s"__graft_bloom_small_$id"
     big.createOrReplaceTempView(vb)
     small.createOrReplaceTempView(vs)
     val bits = numBits(expectedItems, fpp)
-    big.sparkSession.sql(
-      s"""SELECT b.*, bloom_might_contain(
-         |  (SELECT bloom_agg(xxhash64($smallKey), ${expectedItems}L, ${bits}L)
-         |   FROM $vs),
-         |  xxhash64(b.$keyCol)) AS probable
-         |FROM $vb b""".stripMargin)
+    try {
+      big.sparkSession.sql(
+        s"""SELECT b.*, bloom_might_contain(
+           |  (SELECT bloom_agg(xxhash64(${quoted(smallKey)}),
+           |          ${expectedItems}L, ${bits}L)
+           |   FROM $vs),
+           |  xxhash64(b.${quoted(keyCol)})) AS probable
+           |FROM $vb b""".stripMargin)
+    } finally {
+      big.sparkSession.catalog.dropTempView(vb)
+      big.sparkSession.catalog.dropTempView(vs)
+    }
   }
 
   /** The capacity-sizing measurement the scaladoc prescribes: the

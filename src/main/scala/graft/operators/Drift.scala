@@ -70,8 +70,16 @@ object Drift {
   def psiDrift(df: DataFrame, valueCol: String, sideACond: String,
                binWidth: Int = 100): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // Floor-division binning (not `div`, which truncates toward zero):
+    // for negative feature values truncation would merge the two bins
+    // straddling zero (-99..99 → bin 0) and diverge from both the DuckDB
+    // oracle's `//` and the streaming twin's floor(value/width) — the
+    // r10 ADVICE finding. Integer-exact (no double round-trip), so bins
+    // stay right even for |value| beyond 2^53.
     val perB = df
-      .selectExpr(s"($valueCol div $binWidth) AS b",
+      .selectExpr(
+        s"(($valueCol - ((($valueCol % $binWidth) + $binWidth) % $binWidth))" +
+          s" div $binWidth) AS b",
         s"CASE WHEN $sideACond THEN 1 ELSE 0 END AS ia")
       .groupBy("b")
       .agg(sum(col("ia")).as("ca"), sum(expr("1 - ia")).as("cb"))

@@ -64,8 +64,13 @@ object Search {
   /** Typo-tolerant search on the same index: docs holding at least
     * `tau` of the NEEDLE's distinct trigrams (containment, the pg_trgm
     * `%`-operator family). A needle with a typo loses only the ≤ 3
-    * trigrams overlapping the typo'd character, so e.g. τ = 0.7 finds
-    * every true match of a one-typo probe. EXACT by construction — the
+    * trigrams overlapping the typo'd character, so one-typo recall is a
+    * function of needle length: τ guarantees every one-typo match iff
+    * ceil(τ·g) ≤ g−3 over the needle's g distinct trigrams — at τ = 0.7
+    * that needs g ≥ 10 (a mid-needle typo on a 9-gram needle kills 3
+    * grams and would be missed; an end typo kills only 2). Callers with
+    * shorter needles should derive τ ≤ (g−3)/g instead of using the
+    * default. EXACT by construction — the
     * posting-probe count IS the similarity (no confirm needed, unlike
     * [[substringSearch]]'s adjacency-blind candidates); only the
     * needle's ≤ |needle|−2 posting lists are ever read.

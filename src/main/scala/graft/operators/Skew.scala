@@ -41,8 +41,15 @@ object Skew {
     *
     * The RESULT is exact for ANY detected set — salting any key subset
     * preserves join semantics; the summary only steers where the
-    * mitigation is spent, and its guarantee bounds what can be missed
-    * (nothing above n/(k+1)). The ≤ k-row summary is a bounded artifact
+    * mitigation is spent. The detection filter is on c_hi (counter +
+    * decTotal), the UPPER bound of each item's certified interval: the
+    * Misra-Gries guarantee is that any item with true count > n/(k+1)
+    * is present in the summary with c_hi ≥ true count, so filtering on
+    * c_hi > n/(k+1) keeps every such item (filtering on c_lo — the r10
+    * ADVICE finding — could drop a genuinely hot key whose counter was
+    * decremented below the threshold). The price is possible extra
+    * salting of borderline-warm keys, which costs a little replication
+    * and never correctness. The ≤ k-row summary is a bounded artifact
     * (like the Bloom bitset): collecting it to the driver is O(k), not
     * O(data).
     */
@@ -55,7 +62,7 @@ object Skew {
       .agg(heavyHitters(col(key).cast("string"), k).as("hh"),
         count(lit(1)).as("n"))
       .select(col("n"), explode(col("hh")).as("r"))
-      .filter(col("r.c_lo") > col("n") / (k + 1))
+      .filter(col("r.c_hi") > col("n") / (k + 1))
       .select(col("r.item"))
       .collect().map(_.getString(0)).toSeq
     val isHot = col(key).cast("string").isInCollection(

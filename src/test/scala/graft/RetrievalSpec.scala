@@ -153,6 +153,28 @@ class RetrievalSpec extends AnyFunSuite {
       Drift.psiDrift(same, "v", "side = 0", binWidth = 0))
   }
 
+  test("psiDrift: floor-division binning keeps negative values in their " +
+    "own bins (r10 ADVICE — truncation merged the bins straddling zero)") {
+    val s = spark
+    import s.implicits._
+    // Side A in [-99, -1] (bin -1 under floor division), side B in
+    // [1, 99] (bin 0): fully disjoint distributions, so PSI must read
+    // far above the action threshold. Truncation-toward-zero binning
+    // put BOTH sides in bin 0 and reported identical distributions
+    // (PSI = 0) — drift silently suppressed.
+    val neg = ((1 to 99).map(i => (-i.toLong, 0L)) ++
+      (1 to 99).map(i => (i.toLong, 1L))).toDF("v", "side")
+    val r = Drift.psiDrift(neg, "v", "side = 0").collect().head
+    assert(r.getAs[Long]("n_bins") == 2L, r)
+    assert(r.getAs[Double]("psi") > 0.25, r.getAs[Double]("psi"))
+
+    // exact bin edge on the negative side: -100 belongs to bin -1 at
+    // width 100, -101 to bin -2
+    val edge = Seq((-100L, 0L), (-101L, 0L), (0L, 1L)).toDF("v", "side")
+    val rEdge = Drift.psiDrift(edge, "v", "side = 0").collect().head
+    assert(rEdge.getAs[Long]("n_bins") == 3L, rEdge)
+  }
+
   test("ksDrift: an empty side yields NULL ks_stat (never a NaN ranked first)") {
     val s = spark
     import s.implicits._
