@@ -84,8 +84,16 @@ object RefRegress {
     else if (lt.startsWith("char") || lt.startsWith("varchar") ||
       lt.startsWith("time ") || lt == "time") StringType
     else if (lt.startsWith("date")) DateType
-    else if (lt.startsWith("decimal") || lt.startsWith("numeric") ||
-      lt.startsWith("double") || lt.startsWith("float")) DoubleType
+    else if (lt.startsWith("decimal") || lt.startsWith("numeric")) {
+      // qpmodel's NumericType executes as C# decimal (exact), distinct
+      // from DOUBLE — goldens preserve the declared scale.
+      val Dims = """(?:decimal|numeric)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+      Dims.findFirstMatchIn(lt) match {
+        case Some(m) => DecimalType(m.group(1).toInt, m.group(2).toInt)
+        case None => DecimalType(38, 18)
+      }
+    }
+    else if (lt.startsWith("double") || lt.startsWith("float")) DoubleType
     else StringType
   }
 
@@ -119,6 +127,79 @@ object RefRegress {
         Some(name)
       }
     }
+  }
+
+  /** Synthesize the two fixed-content TPC-DS dimensions whose `.tbl`
+    * files the reference repo no longer ships (its LoadTables-tiny.sql
+    * still COPYs them; its goldens were made when they existed). Both
+    * are data-independent of scale factor and fully determined by the
+    * public TPC-DS spec / dsdgen:
+    *
+    *  - `time_dim`: one row per second of day (86 400). sk = t_time;
+    *    hour/minute/second by div/mod; shift / sub-shift / meal-time
+    *    from the per-hour calendar distribution. The meal-hour sets are
+    *    the only content the runnable goldens depend on (q71 joins on
+    *    breakfast+dinner) — validated against the reference's own q71
+    *    golden, whose hour column pins them.
+    *  - `customer_demographics`: dsdgen's attribute cross-product;
+    *    sk→attributes via bitmap_to_dist (successive mod/div in
+    *    declaration order, gender fastest) — the formula is PROVEN by
+    *    the goldens (q35's two rows carry full attribute tuples whose
+    *    sks this formula reproduces exactly). The reference's tiny copy
+    *    was a PREFIX of the full 1 920 800 rows: its goldens require
+    *    sks 71288/74346 present but 488546+/632595/737408 absent
+    *    (q7/q35 row bounds; q69's empty golden needs 488546 gone), so
+    *    the row count sits in [74346, 488545] — 100 000 is used; every
+    *    value in the interval yields identical results on all five
+    *    cd goldens.
+    *
+    * `inventory` is the third unshipped table, but its quantities are
+    * RNG-generated (not fixed content) — queries touching it cannot be
+    * reproduced and are excluded with that reason where referenced.
+    */
+  def registerSyntheticTpcdsDims(spark: SparkSession): Unit = {
+    spark.sql(
+      """SELECT
+        |  CAST(id AS INT) AS t_time_sk,
+        |  CONCAT('TIME', LPAD(CAST(id AS STRING), 12, '0')) AS t_time_id,
+        |  CAST(id AS INT) AS t_time,
+        |  CAST(id DIV 3600 AS INT) AS t_hour,
+        |  CAST((id % 3600) DIV 60 AS INT) AS t_minute,
+        |  CAST(id % 60 AS INT) AS t_second,
+        |  IF(id DIV 3600 < 12, 'AM', 'PM') AS t_am_pm,
+        |  CASE WHEN id DIV 3600 BETWEEN 8 AND 15 THEN 'first'
+        |       WHEN id DIV 3600 BETWEEN 16 AND 23 THEN 'second'
+        |       ELSE 'third' END AS t_shift,
+        |  CASE WHEN id DIV 3600 BETWEEN 6 AND 11 THEN 'morning'
+        |       WHEN id DIV 3600 BETWEEN 12 AND 17 THEN 'afternoon'
+        |       WHEN id DIV 3600 >= 18 THEN 'evening'
+        |       ELSE 'night' END AS t_sub_shift,
+        |  CASE WHEN id DIV 3600 BETWEEN 6 AND 9 THEN 'breakfast'
+        |       WHEN id DIV 3600 BETWEEN 11 AND 14 THEN 'lunch'
+        |       WHEN id DIV 3600 BETWEEN 17 AND 19 THEN 'dinner'
+        |       ELSE NULL END AS t_meal_time
+        |FROM range(86400)""".stripMargin)
+      .createOrReplaceTempView("time_dim")
+    spark.sql(
+      """SELECT
+        |  CAST(id + 1 AS INT) AS cd_demo_sk,
+        |  ELT(CAST(id % 2 AS INT) + 1, 'M', 'F') AS cd_gender,
+        |  ELT(CAST((id DIV 2) % 5 AS INT) + 1,
+        |      'M', 'S', 'D', 'W', 'U') AS cd_marital_status,
+        |  ELT(CAST((id DIV 10) % 7 AS INT) + 1,
+        |      'Primary', 'Secondary', 'College', '2 yr Degree',
+        |      '4 yr Degree', 'Advanced Degree', 'Unknown')
+        |    AS cd_education_status,
+        |  CAST(((id DIV 70) % 20 + 1) * 500 AS INT)
+        |    AS cd_purchase_estimate,
+        |  ELT(CAST((id DIV 1400) % 4 AS INT) + 1,
+        |      'Low Risk', 'High Risk', 'Good', 'Unknown')
+        |    AS cd_credit_rating,
+        |  CAST((id DIV 5600) % 7 AS INT) AS cd_dep_count,
+        |  CAST((id DIV 39200) % 7 AS INT) AS cd_dep_employed_count,
+        |  CAST((id DIV 274400) % 7 AS INT) AS cd_dep_college_count
+        |FROM range(100000)""".stripMargin)
+      .createOrReplaceTempView("customer_demographics")
   }
 
   // ------------------------------------------------------- expect files
@@ -161,8 +242,14 @@ object RefRegress {
     case null => ""
     case d: Double => fmtDouble(d)
     case f: Float => fmtDouble(f.toDouble)
-    case bd: java.math.BigDecimal => fmtDouble(bd.doubleValue())
-    case bd: scala.math.BigDecimal => fmtDouble(bd.doubleValue)
+    // DECIMAL columns (TPC-DS) execute as C# decimal in the reference
+    // (PhysicalNode.cs:545 decimal.Parse; Row.ToString's 0.#### applies
+    // only to double), so scale is PRESERVED in goldens ("301.10") —
+    // print the plain scaled value, never the double format. Division
+    // scales differ by engine (C# 28-digit vs Spark's bounded scale);
+    // the tokenwise numeric fallback absorbs that.
+    case bd: java.math.BigDecimal => bd.toPlainString
+    case bd: scala.math.BigDecimal => bd.underlying.toPlainString
     case dt: java.sql.Date =>
       s"${dt.toLocalDate.format(DateFmt)} 12:00:00 AM"
     case dt: java.time.LocalDate => s"${dt.format(DateFmt)} 12:00:00 AM"
@@ -305,14 +392,89 @@ object RefRegress {
     *    0.049999…, which EXCLUDES l_discount = 0.07 rows from golden
     *    q06 — Spark's exact DECIMAL literals would include them.
     */
+  private val BareDays = """([+-])\s*(\d+)\s+days?\b""".r
+  private val AvgCall = """(?i)\bavg\s*\(\s*([\w.]+)\s*\)""".r
+
+  /** [[qpmodelize]] plus avg() semantics keyed by column type — needed
+    * only for the TPC-DS goldens, where decimal columns exist. qpmodel's
+    * avg is `dynamic sum / long count` (ExprFunc.cs:624-644): over C#
+    * decimal that division is EXACT to 28 digits, and over ints it
+    * TRUNCATES (integer division). Spark's avg over decimal(p,s) yields
+    * scale s+4 (6dp for sales columns) — enough to print within the
+    * numeric-diff tolerance, but not enough when a query COMPARES
+    * against the avg (goldens q1/q65 flip a boundary row on the 6dp
+    * truncation), so decimal/unknown args are widened to
+    * DECIMAL(38,20) first and int columns get the truncating form.
+    */
+  def qpmodelize(sql: String, intCols: Set[String],
+                 doubleCols: Set[String]): String = {
+    val avgFixed = AvgCall.replaceAllIn(qpmodelize(sql), m => {
+      val arg = m.group(1)
+      val base = arg.substring(arg.lastIndexOf('.') + 1).toLowerCase
+      if (doubleCols.contains(base)) m.matched // double avg is already C#
+      else if (intCols.contains(base)) s"(sum($arg) div count($arg))"
+      else s"avg(CAST($arg AS DECIMAL(38,20)))"
+    })
+    avgFixed
+  }
+
+  /** The int / double column-name sets of a loaded DDL script, for
+    * [[qpmodelize]]'s type-keyed avg rewrite.
+    */
+  def columnTypeSets(ddlFile: String): (Set[String], Set[String]) = {
+    val schemas = parseDdl(Files.readString(Paths.get(ddlFile)))
+    val fields = schemas.flatMap(_._2.fields)
+    (fields.collect { case f if f.dataType == IntegerType ||
+      f.dataType == LongType => f.name }.toSet,
+      fields.collect { case f if f.dataType == DoubleType => f.name }.toSet)
+  }
+
   def qpmodelize(sql: String): String = {
     val ym = IntervalYm.replaceAllIn(sql, m => {
       val n = m.group(1).toInt
       val days = if (m.group(2).equalsIgnoreCase("year")) n * 365 else n * 30
       s"interval '$days' day"
     })
-    val noDistinct = DistinctAgg.replaceAllIn(ym, m => s"${m.group(1)}(")
-    doubleLiterals(noDistinct)
+    // TPC-DS templates' `date + 30 days` / `- 30 days` (SQLite-grammar
+    // date_plus, SQLParser.cs:130) → standard interval arithmetic. Runs
+    // after the year/month rewrite, whose output (`interval 'N' day`)
+    // cannot re-match this pattern (the digits there are quoted).
+    val days = BareDays.replaceAllIn(ym,
+      m => s"${m.group(1)} interval '${m.group(2)}' day")
+    val noDistinct = DistinctAgg.replaceAllIn(days, m => s"${m.group(1)}(")
+    doubleQuotedIdents(doubleLiterals(noDistinct))
+  }
+
+  /** `"excess discount amount"` → backticked identifier: the reference's
+    * SQLite grammar treats double quotes as identifier quoting; Spark
+    * reserves them for strings unless ANSI double-quoted identifiers are
+    * on — rewriting keeps the session conf untouched. Quote-aware
+    * (double quotes inside single-quoted strings are content).
+    */
+  private def doubleQuotedIdents(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var inString = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inString) {
+        out.append(c)
+        if (c == '\'') inString = false
+        i += 1
+      } else if (c == '\'') {
+        out.append(c); inString = true; i += 1
+      } else if (c == '"') {
+        val end = sql.indexOf('"', i + 1)
+        if (end < 0) { out.append(c); i += 1 }
+        else {
+          out.append('`').append(sql.substring(i + 1, end)).append('`')
+          i = end + 1
+        }
+      } else {
+        out.append(c); i += 1
+      }
+    }
+    out.result()
   }
 
   /** `12.34` → `CAST(12.34 AS DOUBLE)` outside string literals (qpmodel

@@ -41,10 +41,26 @@ class RegressParitySpec extends AnyFunSuite {
     s
   }
 
-  private def check(sqlFile: String, expectFile: String): Unit = {
-    val sql = RefRegress.qpmodelize(RefRegress.querySql(sqlFile))
+  private lazy val tpchTypes: (Set[String], Set[String]) =
+    RefRegress.columnTypeSets(s"$Ref/tpch/sql_scripts/tpch.sql")
+
+  private def run(s: SparkSession, sqlFile: String,
+                  intCols: Set[String] = Set.empty,
+                  doubleCols: Set[String] = Set.empty): Seq[String] =
+    // Some reference files carry two statements (tpcds q24); the golden
+    // tail is the LAST statement's rows — earlier statements still
+    // execute (the expect interleaves their output with plan echoes).
+    SqlRunner.splitStatements(RefRegress.querySql(sqlFile))
+      .map(_.trim).filter(_.nonEmpty)
+      .map(t => RefRegress.resultLines(
+        s.sql(RefRegress.qpmodelize(t, intCols, doubleCols))))
+      .last
+
+  private def check(s: SparkSession, sqlFile: String, expectFile: String,
+                    intCols: Set[String] = Set.empty,
+                    doubleCols: Set[String] = Set.empty): Unit = {
     val exp = RefRegress.expectedRows(expectFile)
-    val act = RefRegress.resultLines(session.sql(sql))
+    val act = run(s, sqlFile, intCols, doubleCols)
     // Full-mode expects carry "(actual rows=N)" markers; an expect
     // without them is a committed explain-only golden (sql06) whose
     // result rows the reference never wrote — assert executability only.
@@ -61,7 +77,9 @@ class RegressParitySpec extends AnyFunSuite {
   (1 to 22).foreach { i =>
     val q = f"q$i%02d"
     test(s"reference golden tpch0001/$q — verbatim SQL, reference data") {
-      check(s"$Ref/tpch/$q.sql", s"$Ref/test/regress/expect/tpch0001/$q.txt")
+      check(session, s"$Ref/tpch/$q.sql",
+        s"$Ref/test/regress/expect/tpch0001/$q.txt",
+        tpchTypes._1, tpchTypes._2)
     }
   }
 
@@ -72,8 +90,97 @@ class RegressParitySpec extends AnyFunSuite {
       Paths.get(s"$Ref/test/regress/expect/tpch0001_select/$q.txt")))
     .foreach { q =>
       test(s"reference golden tpch0001_select/$q") {
-        check(s"$Ref/tpch/select/$q.sql",
-          s"$Ref/test/regress/expect/tpch0001_select/$q.txt")
+        check(session, s"$Ref/tpch/select/$q.sql",
+          s"$Ref/test/regress/expect/tpch0001_select/$q.txt",
+          tpchTypes._1, tpchTypes._2)
       }
     }
+
+  // ------------------------------------------------------------ TPC-DS
+
+  /** The reference's TestTpcdsWithDataAndResult runnable list
+    * (`test/UnitTest.cs:420-428`) on `tpcds/data/tiny`, against
+    * `expect/tpcds0001`. Of its 46 committed expects:
+    *
+    *  - 39 match exactly (below), including q58/q83 — queries the
+    *    reference itself excludes from its list ("bugs in Bind subquery
+    *    in cte") but whose committed goldens this engine reproduces.
+    *  - q1 / q43 / q65 carry goldens that DIVERGE from ground truth on
+    *    the reference's own shipped data — DuckDB executed on the same
+    *    `.tbl` files agrees with this engine row-for-row, and q43's
+    *    golden is visibly self-inconsistent (both stores share six of
+    *    seven day sums). Asserted as pinned divergences below, so a
+    *    regression on OUR side still fails the suite.
+    *  - q21 / q37 / q39 / q82 read `inventory`, whose `.tbl` the
+    *    reference no longer ships; unlike time_dim /
+    *    customer_demographics (fixed content, synthesized in
+    *    [[RefRegress.registerSyntheticTpcdsDims]]) inventory quantities
+    *    are RNG-generated and cannot be reconstructed. Guarded by a
+    *    test that fails if the file reappears.
+    */
+  private lazy val tpcds: (SparkSession, Set[String], Set[String]) = {
+    val s = TestSpark.spark.newSession()
+    RefRegress.loadTables(
+      s, s"$Ref/tpcds/sql_scripts/tpcds.sql", s"$Ref/tpcds/data/tiny")
+    RefRegress.registerSyntheticTpcdsDims(s)
+    val (ic, dc) =
+      RefRegress.columnTypeSets(s"$Ref/tpcds/sql_scripts/tpcds.sql")
+    (s, ic, dc)
+  }
+
+  private val TpcdsExact = Seq(
+    "q2", "q3", "q7", "q15", "q17", "q19", "q24", "q25", "q26", "q28",
+    "q30", "q32", "q34", "q35", "q42", "q45", "q46", "q50", "q52", "q55",
+    "q58", "q59", "q61", "q62", "q68", "q69", "q71", "q73", "q79", "q81",
+    "q83", "q88", "q90", "q91", "q92", "q94", "q95", "q96", "q99")
+
+  TpcdsExact.foreach { q =>
+    test(s"reference golden tpcds0001/$q — verbatim SQL, reference data") {
+      val (s, ic, dc) = tpcds
+      check(s, s"$Ref/tpcds/$q.sql",
+        s"$Ref/test/regress/expect/tpcds0001/$q.txt", ic, dc)
+    }
+  }
+
+  /** golden-divergent queries: (query, rows only in the golden, rows
+    * only in our result) — the full symmetric difference, pinned. Our
+    * side is the DuckDB-confirmed ground truth on the same data.
+    */
+  private val TpcdsDivergent = Seq(
+    ("q1",
+      Seq("AAAAAAAABCCAAAAA"),
+      Seq("AAAAAAAAEJCAAAAA")),
+    ("q43",
+      Seq("able,AAAAAAAACAAAAAAA,10054.17,10584.75,668.24,8755.28," +
+        "10667.57,12983.09,9530.96",
+        "ought,AAAAAAAABAAAAAAA,10054.17,10584.75,,8755.28,10667.57," +
+          "13423.38,9530.96"),
+      Seq("able,AAAAAAAACAAAAAAA,8678.40,5300.84,3492.60,5036.68," +
+        "6497.26,9614.44,5972.79",
+        "ought,AAAAAAAABAAAAAAA,6601.71,7281.64,2426.74,8098.47," +
+          "5288.95,7804.28,7886.58")),
+    ("q65",
+      Seq("able,Super bodies enable in the interests. Dull years " +
+        "understand so diffe,6.72,5.38,4.78,edu packnameless #8"),
+      Seq("ought,Entries ought to go models. Patients retain " +
+        "rele,2.65,0.42,0.27,exportiamalg #1")))
+
+  TpcdsDivergent.foreach { case (q, onlyGolden, onlyActual) =>
+    test(s"reference golden tpcds0001/$q — pinned divergence " +
+      "(golden defect; our rows are the DuckDB-adjudicated truth)") {
+      val (s, ic, dc) = tpcds
+      val exp = RefRegress.expectedRows(
+        s"$Ref/test/regress/expect/tpcds0001/$q.txt")
+      val act = run(s, s"$Ref/tpcds/$q.sql", ic, dc)
+      assert(exp.diff(act) == onlyGolden, "golden-only rows moved")
+      assert(act.diff(exp) == onlyActual, "our divergent rows moved")
+    }
+  }
+
+  test("tpcds inventory queries (q21/q37/q39/q82) stay excluded only " +
+    "while the reference ships no inventory.tbl") {
+    assert(!Files.exists(
+      Paths.get(s"$Ref/tpcds/data/tiny/inventory.tbl")),
+      "inventory.tbl appeared — add q21/q37/q39/q82 to the suite")
+  }
 }
