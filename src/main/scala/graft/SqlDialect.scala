@@ -42,9 +42,17 @@ object SqlDialect {
   private val Copy =
     """(?is)^\s*copy\s+(\w+)\s*(?:\([^)]*\))?\s+from\s+'([^']+)'\s*(?:where\s+(.+?))?\s*$""".r
 
-  /** qpmodel's `datetime` column type → Spark's `timestamp`. */
+  /** qpmodel's `datetime` column type → Spark's `timestamp`; the SQL-92
+    * `double precision` spelling (used by the reference's own tpch_d
+    * DDL) → Spark's `double`.
+    */
   private def cols(text: String): String =
     text.replaceAll("(?i)\\bdatetime\\b", "timestamp")
+      .replaceAll("(?i)\\bdouble\\s+precision\\b", "double")
+      // qpmodel's CHAR(n) is an unpadded C# string (DataType.cs CharType
+      // never pads); Spark's CHAR(n) blank-pads on write, which would
+      // leak trailing spaces into every string comparison and golden row.
+      .replaceAll("(?i)(?<![\\w])char\\s*\\(\\s*\\d+\\s*\\)", "string")
 
   /** Default bucket count for DISTRIBUTED BY: fixed and small — these are
     * DDL-surface tables, and bucket count is a physical tuning knob the
@@ -77,6 +85,13 @@ object SqlDialect {
       val schema = spark.table(name).schema
       val src = spark.read
         .option("delimiter", "|")
+        // The reference's COPY reads via VB TextFieldParser, which trims
+        // field whitespace (Utils.cs:277-292) — dbgen .tbl string fields
+        // carry leading/trailing spaces that its loaded tables never see,
+        // so the shim must trim too or string equality/grouping diverges
+        // from the reference's own regress goldens (RegressParitySpec).
+        .option("ignoreLeadingWhiteSpace", "true")
+        .option("ignoreTrailingWhiteSpace", "true")
         .schema(schema)
         .csv(file)
       val filtered = Option(whereOrNull).fold(src)(src.where)
