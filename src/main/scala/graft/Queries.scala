@@ -44,6 +44,7 @@ object Queries {
     */
   def introspection: Seq[QueryDef] =
     Seq(SourceSinkQueries.sysPlanNodes, SourceSinkQueries.sysRuleTrace,
+      SourceSinkQueries.sysPlanProperties,
       Pipeline3Queries.profileSketch, Pipeline3Queries.heavyHittersQ)
 
   lazy val byName: Map[String, QueryDef] =

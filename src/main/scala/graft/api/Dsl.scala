@@ -36,6 +36,17 @@ final class GraftContext(val spark: SparkSession, val dataDir: String) {
       o: reflect.runtime.universe.TypeTag[R]): Unit =
     spark.udf.register(name, f)
 
+  /** Three-argument form — the reference registers scalar UDFs up to
+    * arity 3 (`ExprFunc.cs:42-76` Register<T1,T2,T3,TResult>); this
+    * closes that arity surface.
+    */
+  def register3[A, B, C, R](name: String, f: (A, B, C) => R)(
+      implicit a: reflect.runtime.universe.TypeTag[A],
+      b: reflect.runtime.universe.TypeTag[B],
+      c: reflect.runtime.universe.TypeTag[C],
+      o: reflect.runtime.universe.TypeTag[R]): Unit =
+    spark.udf.register(name, f)
+
   def sql(text: String): DataFrame = {
     Tables.registerAll(spark, dataDir)
     spark.sql(text)

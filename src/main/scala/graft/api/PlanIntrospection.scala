@@ -36,6 +36,73 @@ object PlanIntrospection {
     rows.toDF("phase", "ord", "depth", "node")
   }
 
+  /** Required-vs-provided plan properties as rows — the Catalyst analog
+    * of the reference's `sys_memo_property` table (required/provided
+    * ordering+distribution per memo group, `optimizer.cs:1239-1328`,
+    * `Catalog.cs:312-317`), completing the introspection triptych next
+    * to [[nodes]] (what was chosen) and [[ruleTrace]] (what rewrote it).
+    *
+    * One row per (operator, child slot) across two phases:
+    *
+    *  - `planned`: the physical plan BEFORE enforcement — `satisfied =
+    *    false` rows are exactly the places EnsureRequirements must
+    *    insert an exchange/sort (the reference's enforcer inserts its
+    *    Redistribute/Order nodes from the same required-vs-provided
+    *    comparison).
+    *  - `final`: the executed adaptive plan — every requirement shows
+    *    how it was met (by an exchange, a bucketed scan, AQE reuse, …).
+    *
+    * Satisfaction verdicts are Spark's own (`Partitioning.satisfies` /
+    * `SortOrder.orderingSatisfies`) — the exact tests EnsureRequirements
+    * runs, re-exposed as data. Expression ids (`#123`) are stripped so
+    * the rows are stable across sessions. Requires execution (for the
+    * final phase); plan-tree-sized, driver-safe by construction.
+    */
+  def properties(spark: SparkSession, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.SortOrder
+    def norm(s: String): String =
+      s.replaceAll("#\\d+[L]?", "").replaceAll("@[0-9a-f]+", "")
+    def rows(phase: String, root: SparkPlan)
+        : Seq[(String, Int, Int, String, Int, String, String, Boolean,
+          String, String, Boolean)] = {
+      val buf = scala.collection.mutable.ArrayBuffer[(String, Int, Int,
+        String, Int, String, String, Boolean, String, String, Boolean)]()
+      var ord = -1
+      def go(n: SparkPlan, depth: Int): Unit = {
+        ord += 1
+        val myOrd = ord
+        val kids: Seq[SparkPlan] = n match {
+          case q: QueryStageExec => Seq(q.plan)
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case _ => n.children
+        }
+        if (n.children.nonEmpty) {
+          n.children.zipWithIndex.foreach { case (c, i) =>
+            val reqD = n.requiredChildDistribution(i)
+            val reqO = n.requiredChildOrdering(i)
+            buf += ((phase, myOrd, depth, n.nodeName, i,
+              norm(reqD.toString), norm(c.outputPartitioning.toString),
+              c.outputPartitioning.satisfies(reqD),
+              norm(reqO.map(_.sql).mkString(", ")),
+              norm(c.outputOrdering.map(_.sql).mkString(", ")),
+              SortOrder.orderingSatisfies(c.outputOrdering, reqO)))
+          }
+        }
+        kids.foreach(go(_, depth + 1))
+      }
+      go(root, 0)
+      buf.toSeq
+    }
+    val planned = rows("planned", df.queryExecution.sparkPlan)
+    // force execution so the adaptive plan is final
+    df.queryExecution.toRdd.foreachPartition(_ => ())
+    val fin = rows("final", df.queryExecution.executedPlan)
+    import spark.implicits._
+    (planned ++ fin).toDF("phase", "ord", "depth", "node", "child",
+      "required_dist", "provided_dist", "dist_satisfied",
+      "required_order", "provided_order", "order_satisfied")
+  }
+
   /** EXPLAIN ANALYZE parity (reference `PhysicProfiling` row/loop
     * counters on every physical node, `PhysicalExec.cs:332-408`, surfaced
     * by `EXPLAIN ANALYZE`, `Plan.cs:125-141`): EXECUTE `df`, then render

@@ -138,6 +138,107 @@ object Multimodal {
       s"unsupported image format (first bytes ${b.take(4).toSeq})")
   }
 
+  /** Decoded pixel statistics — computed over the ACTUAL pixel buffer
+    * of an uncompressed image, not its header.
+    */
+  final case class PixelStats(doc_id: Long, width: Int, height: Int,
+                              n_pixels: Long, px_sum: Long, px_min: Int,
+                              px_max: Int, px_mean: Double)
+
+  /** Build a REAL binary PPM (P6): `P6`, a comment line (forces the
+    * parser to handle comments), ASCII dims + maxval, single whitespace,
+    * then 3·w·h raw RGB bytes.
+    */
+  def buildPpm(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == 3 * width * height,
+      s"P6 needs ${3 * width * height} bytes, got ${pixels.length}")
+    val header = s"P6\n# graft\n$width $height\n255\n"
+      .getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + pixels.length)
+    header.copyToArray(out)
+    pixels.copyToArray(out, header.length)
+    out
+  }
+
+  /** Decode a P6 PPM END-TO-END: tokenize the header (whitespace- and
+    * comment-tolerant, per the netpbm spec), then aggregate the real
+    * pixel bytes — sum, min, max, mean. This is the pixel path the
+    * PNG/JPEG stand-ins can't offer without native codecs: P6 is
+    * uncompressed, so the full decode is pure JVM. Throws on malformed
+    * input or a truncated pixel buffer.
+    */
+  def decodePpm(b: Array[Byte]): PixelStats = {
+    var i = 0
+    def skipWs(): Unit = {
+      var more = true
+      while (more && i < b.length) {
+        val c = b(i) & 0xff
+        if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') i += 1
+        else more = false
+      }
+    }
+    def int(): Int = {
+      skipWs()
+      var v = 0
+      require(i < b.length && (b(i) & 0xff) >= '0' && (b(i) & 0xff) <= '9',
+        s"P6: expected integer at $i")
+      while (i < b.length && (b(i) & 0xff) >= '0' && (b(i) & 0xff) <= '9') {
+        v = v * 10 + (b(i) - '0'); i += 1
+      }
+      v
+    }
+    require(b.length >= 2 && b(0) == 'P' && b(1) == '6', "not a P6 PPM")
+    i = 2
+    val w = int(); val h = int(); val maxval = int()
+    require(maxval == 255, s"P6: unsupported maxval $maxval")
+    i += 1 // exactly one whitespace byte before the raster, per spec
+    val n = 3L * w * h
+    require(b.length - i >= n, s"P6: raster truncated (${b.length - i} < $n)")
+    var sum = 0L
+    var min = 255
+    var max = 0
+    var k = i
+    val end = i + n.toInt
+    while (k < end) {
+      val v = b(k) & 0xff
+      sum += v
+      if (v < min) min = v
+      if (v > max) max = v
+      k += 1
+    }
+    PixelStats(-1, w, h, w.toLong * h, sum, min, max, sum.toDouble / n)
+  }
+
+  /** Build P6 images from the documents table (dims from the text's
+    * BYTE length as in [[decodeDocuments]]; pixel bytes = the utf-8 text
+    * bytes tiled across the raster) and decode them end-to-end,
+    * recovering pixel statistics from the ACTUAL raster. The DuckDB
+    * oracle re-derives the same statistics from the text column alone
+    * (byte sums via hex digits), so this is the one multimodal path
+    * whose PIXELS — not just headers — are cross-engine verified.
+    */
+  def pixelStatsDocuments(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs
+      .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
+        "source", "lang")
+      .as[Payload]
+      .mapPartitions { it =>
+        it.map { p =>
+          val t = p.payload
+          val n = t.length
+          val w = n % DimBase + 1
+          val h = (n / DimBase) % DimBase + 1
+          val raster = new Array[Byte](3 * w * h)
+          var k = 0
+          while (k < raster.length) { raster(k) = t(k % n); k += 1 }
+          decodePpm(buildPpm(w, h, raster)).copy(doc_id = p.doc_id)
+        }
+      }
+      .toDF()
+  }
+
   /** Decode one payload: real header parse, doc_id threaded through. */
   def decode(p: Payload): Meta =
     decodeImageHeader(p.payload).copy(doc_id = p.doc_id)

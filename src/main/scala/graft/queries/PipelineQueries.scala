@@ -972,6 +972,54 @@ object PipelineQueries {
            |       THEN ascii(substr(text, 1, 1)) ELSE -1 END AS INT) AS b0
            |FROM documents""".stripMargin))
 
+  /** Real PIXEL decode (r11, closing the "bodies are stand-ins" caveat
+    * without native codecs): the Spark side builds genuine binary PPMs
+    * (P6 — uncompressed, so pure-JVM end-to-end decodable; raster = the
+    * utf-8 text bytes tiled across 3·w·h), parses the header
+    * (comment-tolerant) and aggregates the ACTUAL raster — sum, min,
+    * max, mean over every pixel byte. The oracle re-derives the same
+    * statistics from the text column alone (per-byte values via hex
+    * digits, tiling as full-cycles·sum + prefix), so a decoder that
+    * misplaces the raster offset or drops a byte hash-mismatches.
+    */
+  val multimodalPixels: QueryDef = QueryDef("multimodal_pixels",
+    (s, dir) => Multimodal.pixelStatsDocuments(s,
+      docs(s, dir).filter("octet_length(encode(text, 'UTF-8')) > 0")),
+    Some("""WITH base AS (
+           |  SELECT doc_id, octet_length(encode(text)) AS n,
+           |    hex(encode(text)) AS hs,
+           |    CAST(octet_length(encode(text)) % 509 + 1 AS INT) AS w,
+           |    CAST((octet_length(encode(text)) // 509) % 509 + 1 AS INT)
+           |      AS h
+           |  FROM documents WHERE octet_length(encode(text)) > 0),
+           |tiled AS (
+           |  SELECT doc_id, n, w, h, (3*w*h) // n AS fl, (3*w*h) % n AS r,
+           |    hs
+           |  FROM base),
+           |bytes AS (
+           |  SELECT doc_id, w, h, fl, r,
+           |    list_transform(range(1, n + 1), j ->
+           |      16*(CASE WHEN hs[CAST(2*j-1 AS INT)] >= 'A'
+           |            THEN ascii(hs[CAST(2*j-1 AS INT)])-55
+           |            ELSE ascii(hs[CAST(2*j-1 AS INT)])-48 END)
+           |        + (CASE WHEN hs[CAST(2*j AS INT)] >= 'A'
+           |            THEN ascii(hs[CAST(2*j AS INT)])-55
+           |            ELSE ascii(hs[CAST(2*j AS INT)])-48 END)) AS bs
+           |  FROM tiled)
+           |SELECT doc_id, w AS width, h AS height,
+           |  CAST(w*h AS BIGINT) AS n_pixels,
+           |  CAST(fl * list_sum(bs)
+           |    + COALESCE(list_sum(bs[1:CAST(r AS INT)]), 0) AS BIGINT)
+           |    AS px_sum,
+           |  CAST(CASE WHEN fl >= 1 THEN list_min(bs)
+           |       ELSE list_min(bs[1:CAST(r AS INT)]) END AS INT) AS px_min,
+           |  CAST(CASE WHEN fl >= 1 THEN list_max(bs)
+           |       ELSE list_max(bs[1:CAST(r AS INT)]) END AS INT) AS px_max,
+           |  (fl * list_sum(bs)
+           |    + COALESCE(list_sum(bs[1:CAST(r AS INT)]), 0)) / (3.0*w*h)
+           |    AS px_mean
+           |FROM bytes""".stripMargin))
+
   /** End-to-end corpus preparation — the composed pre-training shape:
     * exact-dedup the (planted) corpus, keep each cluster's canonical
     * doc, apply the quality gate, then report per-language surviving
@@ -1198,5 +1246,5 @@ object PipelineQueries {
     decontaminate, dedupClusters, dedupClusterMembers, dedupClustersStar,
     textStats, textLangid, textTokens, textQualityFilter, textRepetition,
     textFingerprint, piiRedact,
-    multimodal, corpusPrep)
+    multimodal, multimodalPixels, corpusPrep)
 }

@@ -194,6 +194,28 @@ object SourceSinkQueries {
     },
     None)
 
+  /** Required-vs-provided plan properties
+    * ([[graft.api.PlanIntrospection.properties]]) — the reference's
+    * `sys_memo_property` analog (required/provided ordering+distribution
+    * per group, `optimizer.cs:1239-1328`), on a probe whose shuffle
+    * requirement is guaranteed (a key-grouped aggregate over a join):
+    * the `planned` phase must expose an UNSATISFIED ClusteredDistribution
+    * row (that's where EnsureRequirements inserts the exchange) and the
+    * `final` phase shows it met. Engine-specific by nature → oracle-less;
+    * semantics asserted by PlanIntrospectionSpec.
+    */
+  val sysPlanProperties: QueryDef = QueryDef("sys_plan_properties",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      val probe = s.sql(
+        """SELECT c_nationkey, COUNT(*) AS c, SUM(c_acctbal) AS bal
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+      graft.api.PlanIntrospection.properties(s, probe)
+        .orderBy("phase", "ord", "child")
+    },
+    None)
+
   /** DataFrame DSL façade (reference DataSet stmt.cs:957-1034): the same
     * query built through Read/filter/join/select, verified against plain
     * SQL.
@@ -253,6 +275,23 @@ object SourceSinkQueries {
     Some("""SELECT l_orderkey, l_linenumber,
            |  l_quantity * l_discount + 1.0 AS am
            |FROM lineitem WHERE l_orderkey <= 100""".stripMargin))
+
+  /** Three-argument UDF registration — the reference's max scalar-UDF
+    * arity (Register<T1,T2,T3,TResult>, ExprFunc.cs:42-76). Integer
+    * domain end-to-end, so Spark and DuckDB agree bit-for-bit.
+    */
+  val udfThreeArg: QueryDef = QueryDef("udf_three_arg",
+    (s, dir) => {
+      val ctx = new GraftContext(s, dir)
+      ctx.register3("clamp3",
+        (x: Long, lo: Long, hi: Long) => math.max(lo, math.min(hi, x)))
+      ctx.sql("""SELECT o_orderkey,
+                |  clamp3(o_custkey, 100L, 1000L) AS ck
+                |FROM orders WHERE o_orderkey <= 200""".stripMargin)
+    },
+    Some("""SELECT o_orderkey,
+           |  GREATEST(100, LEAST(1000, o_custkey)) AS ck
+           |FROM orders WHERE o_orderkey <= 200""".stripMargin))
 
   /** Scalar UDF registration (reference README sqroot example,
     * ExprFunc.cs:42-76). sqrt is IEEE-exact, so results match DuckDB's
@@ -372,7 +411,7 @@ object SourceSinkQueries {
   val defs: Seq[QueryDef] = Seq(
     copyCsv, ddlInsert, analyze, statsInject,
     dsl, dslAgg, dslTopk, udfSqroot,
-    udfTwoArg, udfVecDot, streamTumble, streamTumbleParquet,
+    udfTwoArg, udfThreeArg, udfVecDot, streamTumble, streamTumbleParquet,
     streamStaticEnrich, compactFiles,
     ddlPartitioned, ddlTempView,
     havingNoGroupBy)

@@ -349,6 +349,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal pixels: P6 decode aggregates the real raster " +
+    "(sum/min/max/mean), tolerates comments, rejects truncation") {
+    // hand-built 2x1 raster: pixels (1,2,3),(250,0,255)
+    val raster = Array[Byte](1, 2, 3, 250.toByte, 0, 255.toByte)
+    val st = Multimodal.decodePpm(Multimodal.buildPpm(2, 1, raster))
+    assert(st.width == 2 && st.height == 1 && st.n_pixels == 2)
+    assert(st.px_sum == 1 + 2 + 3 + 250 + 0 + 255)
+    assert(st.px_min == 0 && st.px_max == 255)
+    assert(st.px_mean == st.px_sum.toDouble / 6)
+    // truncated raster fails loudly
+    val img = Multimodal.buildPpm(2, 1, raster)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm(img.dropRight(1))
+    }
+    // not-P6 rejected
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("P3\n1 1\n255\n0 0 0".getBytes("US-ASCII"))
+    }
+    // end-to-end over documents: stats equal the tiled-text derivation
+    val s = spark
+    import s.implicits._
+    val text = "hello pixel world" // n=17 -> w=18, h=1, L=54
+    val one = Seq((3L, text, "src", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val r = Multimodal.pixelStatsDocuments(spark, one).collect().head
+    val t = text.getBytes("UTF-8")
+    val tiled = (0 until 3 * 18 * 1).map(k => t(k % t.length) & 0xff)
+    assert(r.getAs[Int]("width") == 18 && r.getAs[Int]("height") == 1)
+    assert(r.getAs[Long]("px_sum") == tiled.sum.toLong)
+    assert(r.getAs[Int]("px_min") == tiled.min)
+    assert(r.getAs[Int]("px_max") == tiled.max)
+  }
+
   test("fingerprint is order-insensitive over vocabulary") {
     val s = spark
     import s.implicits._

@@ -47,6 +47,55 @@ class PlanIntrospectionSpec extends AnyFunSuite {
         .stripMargin).head().getLong(0) == 2)
   }
 
+  test("sys_plan_properties: a key-grouped aggregate's shuffle shows as " +
+    "required-vs-provided rows, unsatisfied planned, satisfied final") {
+    graft.catalog.Tables.registerAll(spark, sfDir)
+    // supplier is small but the group-by key forces a hash distribution
+    // requirement; disable broadcast so the aggregate's requirement is
+    // met by a real exchange, not folded away.
+    val probe = spark.sql(
+      """SELECT s_nationkey, COUNT(*) AS c
+        |FROM supplier GROUP BY s_nationkey""".stripMargin)
+    val props = graft.api.PlanIntrospection.properties(spark, probe)
+    props.createOrReplaceTempView("sys_props")
+    // planned phase: the final aggregate REQUIRES a clustered
+    // distribution its child scan does not provide — the exact spot
+    // EnsureRequirements inserts the exchange
+    //  (reference sys_memo_property: required vs provided per group).
+    val unsat = spark.sql(
+      """SELECT COUNT(*) FROM sys_props
+        |WHERE phase = 'planned' AND NOT dist_satisfied
+        |  AND required_dist LIKE '%ClusteredDistribution%'"""
+        .stripMargin).head().getLong(0)
+    assert(unsat >= 1, "expected an unsatisfied clustered requirement")
+    // final phase: every requirement is satisfied (enforcement done) and
+    // an exchange provides hashpartitioning somewhere below the agg.
+    assert(spark.sql(
+      """SELECT COUNT(*) FROM sys_props
+        |WHERE phase = 'final' AND NOT dist_satisfied""".stripMargin)
+      .head().getLong(0) == 0,
+      "final plan must satisfy every distribution requirement")
+    assert(spark.sql(
+      """SELECT COUNT(*) FROM sys_props
+        |WHERE phase = 'final' AND provided_dist LIKE '%hashpartitioning%'"""
+        .stripMargin).head().getLong(0) >= 1)
+    // ordering side: a global sort expresses its requirement as an
+    // OrderedDistribution (planned: unsatisfied over the raw scan;
+    // final: met by a range-partitioning exchange)
+    val sorted = spark.sql(
+      "SELECT * FROM supplier ORDER BY s_acctbal DESC")
+    val p2 = graft.api.PlanIntrospection.properties(spark, sorted)
+    import org.apache.spark.sql.functions.col
+    assert(p2.filter(col("phase") === "planned" &&
+      col("required_dist").contains("OrderedDistribution") &&
+      !col("dist_satisfied")).count() >= 1,
+      "global sort must demand an OrderedDistribution its scan lacks")
+    assert(p2.filter(col("phase") === "final" &&
+      col("provided_dist").contains("rangepartitioning")).count() >= 1)
+    assert(p2.filter(col("phase") === "final" &&
+      !col("order_satisfied")).count() == 0)
+  }
+
   test("introspection queries stay out of the oracle-scored corpus") {
     // The gate corpus must contain only oracle-paired queries (an
     // oracle-less query permanently costs the correctness file an err
