@@ -27,7 +27,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * so any item with true count > n/(k+1) is GUARANTEED present.
   */
 final class MGSummary(val k: Int) {
-  private[functions] val counts = mutable.HashMap.empty[String, Long]
+  // UTF8String-keyed with mutable long cells (r11 update-path constant
+  // cut, ~2× at the 100× decade): the hot path — an EXISTING key — is
+  // one byte-hash probe plus an in-place increment, with no UTF-16
+  // decode (String), no boxing, and no Option/closure allocation. The
+  // aggregate probes with Spark's REUSED row buffer ([[addProbe]]); a
+  // copy is taken only on first insertion, i.e. at most 2k live keys'
+  // worth per compress cycle, never per row.
+  private[functions] val counts =
+    new java.util.HashMap[UTF8String, MGSummary.Cell]()
   private[functions] var decTotal = 0L
 
   /** Subtract the (k+1)-th largest count from everything, drop ≤ 0 —
@@ -35,23 +43,49 @@ final class MGSummary(val k: Int) {
     */
   private[functions] def compress(): Unit =
     if (counts.size > k) {
-      val s = counts.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      val arr = new Array[Long](counts.size)
+      var i = 0
+      val vit = counts.values.iterator
+      while (vit.hasNext) { arr(i) = vit.next().n; i += 1 }
+      java.util.Arrays.sort(arr)
+      val s = arr(arr.length - 1 - k) // the (k+1)-th largest
       decTotal += s
-      counts.filterInPlace((_, c) => c > s)
-      counts.mapValuesInPlace((_, c) => c - s)
+      val eit = counts.entrySet.iterator
+      while (eit.hasNext) {
+        val e = eit.next()
+        if (e.getValue.n > s) e.getValue.n -= s else eit.remove()
+      }
     }
 
-  def add(item: String, weight: Long = 1L): Unit = {
-    counts.updateWith(item) {
-      case Some(c) => Some(c + weight)
-      case None => Some(weight)
+  /** Probe with a possibly-REUSED buffer: zero-copy on hit; cloned into
+    * the map only on first insertion.
+    */
+  def addProbe(item: UTF8String, weight: Long = 1L): Unit = {
+    val c = counts.get(item)
+    if (c != null) c.n += weight
+    else {
+      counts.put(item.clone(), new MGSummary.Cell(weight))
+      if (counts.size >= 2 * k) compress()
     }
-    if (counts.size >= 2 * k) compress()
   }
 
+  /** Insert an item the summary may keep WITHOUT copying — for merge /
+    * deserialize paths whose keys are already owned.
+    */
+  private def addOwned(item: UTF8String, weight: Long): Unit = {
+    val c = counts.get(item)
+    if (c != null) c.n += weight
+    else counts.put(item, new MGSummary.Cell(weight))
+  }
+
+  def add(item: String, weight: Long = 1L): Unit =
+    addProbe(UTF8String.fromString(item), weight)
+
   def mergeFrom(other: MGSummary): Unit = {
-    other.counts.foreach { case (g, c) =>
-      counts.updateWith(g) { case Some(x) => Some(x + c); case None => Some(c) }
+    val eit = other.counts.entrySet.iterator
+    while (eit.hasNext) {
+      val e = eit.next()
+      addOwned(e.getKey, e.getValue.n) // transient ≤ 3k entries, then
     }
     decTotal += other.decTotal
     compress()
@@ -60,9 +94,23 @@ final class MGSummary(val k: Int) {
   /** Final rows, (counter desc, item asc): (item, c_lo, c_hi). */
   def result: Array[(String, Long, Long)] = {
     compress()
-    counts.toArray.sortBy { case (g, c) => (-c, g) }
-      .map { case (g, c) => (g, c, c + decTotal) }
+    val out = new Array[(String, Long, Long)](counts.size)
+    var i = 0
+    val eit = counts.entrySet.iterator
+    while (eit.hasNext) {
+      val e = eit.next()
+      out(i) = (e.getKey.toString, e.getValue.n, e.getValue.n + decTotal)
+      i += 1
+    }
+    out.sortBy { case (g, c, _) => (-c, g) }
   }
+}
+
+object MGSummary {
+  /** Mutable counter cell — in-place increments keep the per-row update
+    * allocation-free.
+    */
+  final class Cell(var n: Long)
 }
 
 /** Native mergeable heavy-hitter aggregate: `heavy_hitters(item, k)`
@@ -112,8 +160,9 @@ case class HeavyHittersAgg(
 
   override def update(buf: MGSummary, input: InternalRow): MGSummary = {
     val v = item.eval(input)
-    // .toString copies out of Spark's reused row buffer — required.
-    if (v != null) buf.add(v.asInstanceOf[UTF8String].toString)
+    // addProbe probes with the reused row buffer zero-copy and clones
+    // only on first insertion (the r11 hot-path contract).
+    if (v != null) buf.addProbe(v.asInstanceOf[UTF8String])
     buf
   }
 
@@ -129,8 +178,9 @@ case class HeavyHittersAgg(
 
   override def serialize(buf: MGSummary): Array[Byte] = {
     buf.compress()
-    val items = buf.counts.toArray
-    val bytes = items.map(_._1.getBytes(StandardCharsets.UTF_8))
+    import scala.jdk.CollectionConverters._
+    val items = buf.counts.entrySet.asScala.toArray
+    val bytes = items.map(_.getKey.getBytes) // utf-8 already
     val bb = ByteBuffer.allocate(
       12 + items.length * 12 + bytes.map(_.length).sum)
     bb.putLong(buf.decTotal)
@@ -139,7 +189,7 @@ case class HeavyHittersAgg(
     while (i < items.length) {
       bb.putInt(bytes(i).length)
       bb.put(bytes(i))
-      bb.putLong(items(i)._2)
+      bb.putLong(items(i).getValue.n)
       i += 1
     }
     bb.array()
@@ -155,7 +205,8 @@ case class HeavyHittersAgg(
       val len = bb.getInt
       val arr = new Array[Byte](len)
       bb.get(arr)
-      buf.counts.put(new String(arr, StandardCharsets.UTF_8), bb.getLong)
+      buf.counts.put(UTF8String.fromBytes(arr),
+        new MGSummary.Cell(bb.getLong))
       i += 1
     }
     buf
@@ -174,4 +225,122 @@ object heavyHitters {
   /** Column API: certified heavy-hitter summary of a string column. */
   def apply(item: Column, k: Int): Column =
     column(HeavyHittersAgg(expression(item), k).toAggregateExpression())
+}
+
+/** [[HeavyHittersAgg]] with BATCHED gram extraction (r11, the
+  * update-path constant cut): one input row per DOCUMENT; the update
+  * slides the per-doc-distinct word-trigram window in a single byte
+  * scan of the text and probes the summary per gram — replacing the
+  * split/transform/array_distinct/explode expression pipeline, whose
+  * per-gram row machinery dominated the 100×/1000× census decades
+  * (BASELINE.md r10: linear slope 1.06, CPU-bound in the update path).
+  *
+  * Gram semantics are IDENTICAL to the exploded form
+  * (`Pipeline3Queries.grams3`): because the join character equals the
+  * split character, a word trigram is exactly the contiguous byte span
+  * from word i's start to word i+2's end (empty tokens from doubled
+  * spaces included), so each gram is a ZERO-COPY UTF8String view into
+  * the row buffer — copied only when the summary first admits it. The
+  * per-doc distinct set holds transient views, discarded per row.
+  * HeavyHitterSpec proves stream equality against the exploded path on
+  * a single partition (same gram order → identical summary).
+  */
+case class HeavyHittersWordGramsAgg(
+    text: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MGSummary] {
+
+  require(k > 0, s"heavy_hitters_grams requires k > 0, got $k")
+
+  override def children: Seq[Expression] = Seq(text)
+  override def nullable: Boolean = false
+  override def prettyName: String = "heavy_hitters_grams"
+
+  override def checkInputDataTypes(): TypeCheckResult = text.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"heavy_hitters_grams expects a string document, got ${t.sql}")
+  }
+
+  override def dataType: DataType = HeavyHittersAgg(text, k).dataType
+
+  override def createAggregationBuffer(): MGSummary = new MGSummary(k)
+
+  override def update(buf: MGSummary, input: InternalRow): MGSummary = {
+    val v = text.eval(input)
+    if (v != null) {
+      val t = v.asInstanceOf[UTF8String]
+      val base = t.getBaseObject
+      val off = t.getBaseOffset
+      val nb = t.numBytes
+      // word start offsets: 0 and every byte after a 0x20 (single-space
+      // split semantics, empty tokens included — matches Spark's
+      // split(text, ' ') exactly); a space byte is never part of a
+      // multi-byte utf-8 sequence, so the byte walk is codepoint-safe
+      var words = 1
+      var i = 0
+      while (i < nb) {
+        if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ')
+          words += 1
+        i += 1
+      }
+      if (words >= 3) {
+        val starts = new Array[Int](words + 1)
+        var w = 1
+        i = 0
+        while (i < nb) {
+          if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ') {
+            starts(w) = i + 1; w += 1
+          }
+          i += 1
+        }
+        starts(words) = nb + 1 // sentinel: end(j) = starts(j+1) - 1
+        val seen = new java.util.HashSet[UTF8String]()
+        var g = 0
+        while (g + 2 < words) {
+          val from = starts(g)
+          val until = starts(g + 3) - 1
+          val view = UTF8String.fromAddress(base, off + from, until - from)
+          if (seen.add(view)) buf.addProbe(view)
+          g += 1
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: MGSummary, other: MGSummary): MGSummary = {
+    buf.mergeFrom(other)
+    buf
+  }
+
+  override def eval(buf: MGSummary): Any =
+    new GenericArrayData(buf.result.map { case (g, lo, hi) =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString(g), lo, hi))
+    })
+
+  override def serialize(buf: MGSummary): Array[Byte] =
+    HeavyHittersAgg(text, k).serialize(buf)
+  override def deserialize(bytes: Array[Byte]): MGSummary =
+    HeavyHittersAgg(text, k).deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int)
+      : HeavyHittersWordGramsAgg = copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int)
+      : HeavyHittersWordGramsAgg = copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HeavyHittersWordGramsAgg =
+    copy(text = newChildren(0))
+}
+
+object heavyHittersWordGrams {
+  /** Certified heavy-hitter summary of the per-doc-distinct word
+    * trigrams of a text column — the batched-extraction twin of
+    * [[heavyHitters]] over an exploded gram column.
+    */
+  def apply(text: Column, k: Int): Column =
+    column(HeavyHittersWordGramsAgg(expression(text), k)
+      .toAggregateExpression())
 }

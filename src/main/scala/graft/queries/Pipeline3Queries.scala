@@ -262,8 +262,12 @@ object Pipeline3Queries {
     * against the exact census.
     */
   val heavyHittersQ: QueryDef = QueryDef("text_heavy_hitters",
-    (s, dir) => grams3(planted(docs(s, dir)))
-      .agg(graft.functions.heavyHitters(col("g"), 256).as("hh"))
+    // batched gram extraction (r11): one row per DOC into the aggregate,
+    // grams slid zero-copy inside update() — same stream as
+    // grams3+explode (HeavyHitterSpec proves single-partition equality),
+    // ~2× less CPU at the 100× decade (BASELINE.md r11).
+    (s, dir) => planted(docs(s, dir))
+      .agg(graft.functions.heavyHittersWordGrams(col("text"), 256).as("hh"))
       .select(explode(col("hh")).as("r"))
       .select(col("r.item").as("g"), col("r.c_lo"), col("r.c_hi")),
     None)

@@ -110,4 +110,35 @@ class HeavyHitterSpec extends AnyFunSuite {
     // bound alone must already clear the guarantee threshold
     assert(summary.map(_._2).max > n / (k + 1))
   }
+
+  test("batched word-gram extraction produces the IDENTICAL summary to " +
+    "the exploded gram path on one partition (same gram stream)") {
+    // Same docs through both pipelines, single partition so update order
+    // is row order: array_distinct preserves first occurrence and so
+    // does the batched per-doc seen-set, so the streams — and therefore
+    // the merge-order-dependent counters — must match exactly. Doubled
+    // spaces (empty tokens) included: the contiguous-span claim covers
+    // them.
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat the cat sat"), // in-doc dup grams
+      (3L, "a  b c a  b c d"),                    // doubled spaces
+      (4L, "too short"),
+      (5L, "x y z x y z x y z")
+    ).toDF("doc_id", "text").coalesce(1)
+    val exploded = Pipeline3Queries.grams3(docs)
+      .agg(graft.functions.heavyHitters(col("g"), 4).as("hh"))
+      .select(explode(col("hh")).as("r"))
+      .select(col("r.item"), col("r.c_lo"), col("r.c_hi"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val batched = docs
+      .agg(graft.functions.heavyHittersWordGrams(col("text"), 4).as("hh"))
+      .select(explode(col("hh")).as("r"))
+      .select(col("r.item"), col("r.c_lo"), col("r.c_hi"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(batched == exploded, s"\nbatched=$batched\nexploded=$exploded")
+    assert(batched.nonEmpty)
+  }
 }
