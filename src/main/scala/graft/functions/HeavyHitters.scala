@@ -1,9 +1,7 @@
 package graft.functions
 
 import java.nio.ByteBuffer
-import java.nio.charset.StandardCharsets
 
-import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
