@@ -514,14 +514,11 @@ object RefRegress {
     out.result()
   }
 
-  /** Read a reference query file, stripped of `--` comments (qpmodel's
-    * own reader does the same before parsing).
+  /** Read a reference query file. Comment stripping is left to
+    * [[graft.SqlRunner.splitStatements]] (the sole consumer), whose scan
+    * is quote-aware — a naive per-line `--` cut here would corrupt a
+    * string literal containing a double dash.
     */
   def querySql(file: String): String =
-    Files.readString(Paths.get(file)).linesIterator
-      .map(l => l.indexOf("--") match {
-        case -1 => l
-        case i => l.substring(0, i)
-      })
-      .mkString("\n").trim.stripSuffix(";")
+    Files.readString(Paths.get(file)).trim.stripSuffix(";")
 }
