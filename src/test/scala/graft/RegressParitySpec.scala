@@ -256,6 +256,17 @@ class RegressParitySpec extends AnyFunSuite {
     } finally tpchD.conf.set(threshold, old)
   }
 
+  test("tpcds q84/q85 — orphaned by the reference's own runnable list " +
+    "(listed as q00084/q00085, matching no file) — execute here; " +
+    "DuckDB-adjudicated empty at tiny scale") {
+    val (s, ic, dc) = tpcds
+    Seq("q84", "q85").foreach { q =>
+      assert(run(s, s"$Ref/tpcds/$q.sql", ic, dc).isEmpty,
+        s"$q: DuckDB on the same data (+ synthesized dims) returns no " +
+          "rows at this scale; a non-empty result is a regression")
+    }
+  }
+
   test("tpcds inventory queries (q21/q37/q39/q82) stay excluded only " +
     "while the reference ships no inventory.tbl") {
     assert(!Files.exists(
