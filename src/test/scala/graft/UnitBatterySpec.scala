@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.regress.{RefRegress, UnitMiner}
+
+/** The reference's INLINE unit battery, mined from `test/UnitTest.cs`
+  * and replayed sequentially (setup DML included, micro-table state
+  * reset per method) against this engine on the reference's own
+  * micro-table data — see [[UnitMiner]].
+  *
+  * 310 (sql, expected-rows) assertions are mined; one is inherently
+  * nondeterministic (LIMIT without ORDER BY) and of the remaining 309,
+  * **284 pass verbatim** (under the documented qpmodel dialect shims).
+  * The 25 non-passes are each pinned below with their class — three
+  * are reference defects DuckDB refutes on the same data, the rest are
+  * documented semantic or support differences. The pass count is
+  * pinned EXACTLY so both regressions and silent improvements surface.
+  */
+class UnitBatterySpec extends AnyFunSuite {
+
+  /** line in UnitTest.cs → why the case cannot pass verbatim. */
+  private val Pinned: Map[Int, String] = {
+    val multiLevel = "correlation two levels up: Spark resolves outer " +
+      "references only to the immediate outer block (the corpus covers " +
+      "the supported shapes vs DuckDB in SubqueryBattery)"
+    val partialAlias = "partial derived-table column-alias list " +
+      "(reference and DuckDB rename the first k columns; Spark " +
+      "requires the full list)"
+    Map(
+      1048 -> multiLevel, 1050 -> multiLevel, 1062 -> multiLevel,
+      1346 -> multiLevel, 1349 -> multiLevel, 1352 -> multiLevel,
+      1356 -> multiLevel, 1360 -> multiLevel, 1364 -> multiLevel,
+      3403 -> multiLevel, 3416 -> multiLevel, 3442 -> multiLevel,
+      3484 -> multiLevel,
+      1125 -> partialAlias, 2645 -> partialAlias, 2647 -> partialAlias,
+      2649 -> partialAlias,
+      1369 -> ("alias shadowing: `from a a1` then bare `a1` — the " +
+        "reference resolves the column, Spark the table alias (struct)"),
+      1392 -> ("correlated scalar subquery in an aggregate select " +
+        "list: Spark requires it in the GROUP BY"),
+      2215 -> ("select expr not syntactically derivable from the group " +
+        "key (group by round(a1,10), select abs(-a1*2)): Spark rejects"),
+      2672 -> ("set-op precedence: the reference evaluates UNION/" +
+        "INTERSECT left-to-right; standard (and DuckDB on this data) " +
+        "binds INTERSECT tighter — our 3 rows are the standard answer"),
+      2944 -> ("reference defect: aggregate-in-correlated-HAVING-" +
+        "subquery — DuckDB on the same data returns our 3 rows, not " +
+        "the golden 1"),
+      2948 -> ("reference defect: same family — DuckDB returns our " +
+        "empty result, not the golden row"),
+      3680 -> ("ainf is the unbounded stream table: batch replay has " +
+        "no unbounded source (graft.streaming.Streams is the streaming " +
+        "surface, tested in StreamingSpec)"),
+      3700 -> ("hop-window alignment convention differs; this engine's " +
+        "hop is DuckDB-oracle-paired in the corpus " +
+        "(window_hop_dialect)"))
+  }
+
+  /** LIMIT without ORDER BY (L230): any subset is standard-valid — the
+    * expectation encodes the reference's own scan order, and whether
+    * this engine happens to produce the same subset depends on
+    * partitioning. Allowed either way.
+    */
+  private val Nondeterministic = Set(230)
+
+  test("reference inline unit battery: 310 mined, 284 pass verbatim, " +
+    "every non-pass pinned to a documented class") {
+    val src = Files.readString(
+      Paths.get("/root/reference/test/UnitTest.cs"))
+    val events = UnitMiner.mine(src)
+    val checks = events.collect { case c: UnitMiner.Check => c }
+    assert(checks.size == 310, s"mined ${checks.size} checks")
+
+    val s = TestSpark.spark.newSession()
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
+      f.delete(); ()
+    }
+    rmrf(new java.io.File("/root/repo/target/warehouse/graft_unit.db"))
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_unit")
+    s.catalog.setCurrentDatabase("graft_unit")
+    UnitMiner.loadMicroTables(s)
+    UnitMiner.registerUdfs(s)
+    RefRegress.loadTables(s, "/root/reference/tpch/sql_scripts/tpch.sql",
+      "/root/reference/tpch/data/0001")
+
+    val results = UnitMiner.replayAll(s, events)
+      .filterNot(r => Nondeterministic.contains(r.line))
+    val nonPass = results.filter(_.outcome != UnitMiner.Pass)
+
+    val unexpected = nonPass.filterNot(r => Pinned.contains(r.line))
+    assert(unexpected.isEmpty,
+      "unpinned battery failures:\n" + unexpected.map(r =>
+        s"  ${r.method} L${r.line}: ${r.sql.take(90)} -> ${r.outcome}")
+        .mkString("\n"))
+
+    val healed = Pinned.keySet -- nonPass.map(_.line).toSet
+    assert(healed.isEmpty,
+      s"pinned cases now PASS — unpin them and raise the count: $healed")
+
+    assert(results.count(_.outcome == UnitMiner.Pass) == 284)
+  }
+
+  test("battery shims: substring end-position, int division, count()") {
+    assert(UnitMiner.substringEndPos(
+      "select substring(upper('mat') || upper('he'), 3, 8) from a")
+      == "select substring(upper('mat') || upper('he'), 3, (8) - (3) + 1) from a")
+    assert(UnitMiner.intDivide("select(4-a3)/2, a1/2*2 from a")
+      == "select((4-a3) div 2), (a1 div 2)*2 from a")
+    // double operands stay real division
+    assert(UnitMiner.intDivide("select a1/CAST(2.0 AS DOUBLE) from a")
+      == "select a1/CAST(2.0 AS DOUBLE) from a")
+    assert(UnitMiner.shim("select count() from a")
+      .contains("count(*)"))
+  }
+}
