@@ -39,6 +39,12 @@ object UnitMiner {
   final case class Exec(sql: String, line: Int) extends Event
   final case class Check(sql: String, expected: String, line: Int)
     extends Event
+  /** A statement the reference asserts FAILS (`result = ExecuteSQL(sql);
+    * Assert.IsNull(result)`): negative parity — this engine should
+    * reject it too, or the acceptance is a pinned capability
+    * difference.
+    */
+  final case class NegCheck(sql: String, line: Int) extends Event
 
   /** Parse UnitTest.cs into the replay event stream. Tracks the most
     * recent `sql = …;` assignment whose right-hand side is entirely
@@ -132,9 +138,12 @@ object UnitMiner {
         source.startsWith("string sql = ", i)) {
         i += (if (source.startsWith("string", i)) 13 else 6)
         cur = concatLiterals()
-      } else if (source.startsWith("TU.ExecuteSQL(", i)) {
+      } else if (source.startsWith("TU.ExecuteSQL(", i) ||
+        (source.startsWith("ExecuteSQL(", i) &&
+          !(i >= 3 && source.substring(i - 3, i) == "TU."))) {
         val startLine = line
-        i += "TU.ExecuteSQL(".length
+        i += (if (source.charAt(i) == 'T') "TU.ExecuteSQL("
+        else "ExecuteSQL(").length
         skipWs()
         val sqlArg: Option[String] =
           if (source.startsWith("sql", i) && i + 3 < source.length &&
@@ -142,6 +151,15 @@ object UnitMiner {
             i += 3; cur
           } else literal()
         skipWs()
+        // a following Assert.IsNull(result) marks an expected-failure
+        // statement (look ahead past the call's remaining args)
+        def negAhead: Boolean = {
+          val window = source.substring(i,
+            math.min(source.length, i + 180))
+          val nextCall = window.indexOf("ExecuteSQL(")
+          val assertAt = window.indexOf("Assert.IsNull(result)")
+          assertAt >= 0 && (nextCall < 0 || assertAt < nextCall)
+        }
         if (i < source.length && source.charAt(i) == ',') {
           i += 1
           literal() match {
@@ -150,6 +168,8 @@ object UnitMiner {
             case None => // second arg not a literal (out var, option…)
               sqlArg.foreach(s => out += Exec(s, startLine))
           }
+        } else if (negAhead) {
+          sqlArg.foreach(s => out += NegCheck(s, startLine))
         } else {
           // single-arg form: setup DML / fire-and-forget statement
           sqlArg.foreach(s => out += Exec(s, startLine))
@@ -377,6 +397,8 @@ object UnitMiner {
   case object Pass extends Outcome
   final case class Fail(detail: String) extends Outcome
   final case class Errored(msg: String) extends Outcome
+  /** A NegCheck this engine ACCEPTED (the reference rejects it). */
+  final case class NegAccepted(rows: Int) extends Outcome
 
   final case class Result(method: String, line: Int, sql: String,
                           outcome: Outcome)
@@ -398,6 +420,21 @@ object UnitMiner {
               dirty = true
             } catch { case _: Throwable => () }
           }
+      case NegCheck(sql, line) =>
+        val outcome =
+          try {
+            val stmts = graft.SqlRunner.splitStatements(sql)
+              .map(_.trim).filter(_.nonEmpty).map(shim)
+            val n = stmts.map { s =>
+              graft.SqlDialect.exec(spark, s) match {
+                case Some(df) => df.collect().length
+                case None => RefRegress.resultLines(spark.sql(s)).size
+              }
+            }.last
+            dirty = true // an accepted statement may have mutated state
+            NegAccepted(n)
+          } catch { case _: Throwable => Pass } // rejected: parity
+        results += Result(method, line, sql, outcome)
       case Check(sql, expected, line) =>
         val outcome =
           try {

@@ -87,7 +87,9 @@ class UnitBatterySpec extends AnyFunSuite {
     RefRegress.loadTables(s, "/root/reference/tpch/sql_scripts/tpch.sql",
       "/root/reference/tpch/data/0001")
 
+    val checkLines = checks.map(_.line).toSet
     val results = UnitMiner.replayAll(s, events)
+      .filter(r => checkLines.contains(r.line))
       .filterNot(r => Nondeterministic.contains(r.line))
     val nonPass = results.filter(_.outcome != UnitMiner.Pass)
 
@@ -102,6 +104,60 @@ class UnitBatterySpec extends AnyFunSuite {
       s"pinned cases now PASS — unpin them and raise the count: $healed")
 
     assert(results.count(_.outcome == UnitMiner.Pass) == 284)
+  }
+
+  /** Negative battery: statements the reference asserts FAIL
+    * (`Assert.IsNull(result)`). 22 of 27 are rejected here too; the five
+    * accepted ones are standard-semantics supersets, pinned with why:
+    */
+  private val NegAccepted: Map[Int, String] = Map(
+    1555 -> ("select-list aliases are not visible in JOIN ON per " +
+      "standard scoping — `c2` resolves to the column, the query is " +
+      "valid (reference resolves the alias, then rejects as ambiguous)"),
+    1561 -> ("self-join without aliases: both relations are " +
+      "distinguishable internally; `select *` is unambiguous"),
+    1563 -> ("duplicate relation alias with star expansion — " +
+      "unambiguous output, per-column references would still error"),
+    2226 -> ("GROUP BY / HAVING on select-list aliases: supported " +
+      "(spark.sql.groupByAliases), a deliberate capability superset"),
+    2565 -> ("the duplicated derived-table columns are the SAME " +
+      "attribute, so the reference `a2` is not genuinely ambiguous"))
+
+  test("negative battery: 27 expected-failure statements — 22 rejected " +
+    "in parity, 5 pinned standard-semantics acceptances") {
+    val src = Files.readString(
+      Paths.get("/root/reference/test/UnitTest.cs"))
+    val events = UnitMiner.mine(src)
+    val negLines = events.collect {
+      case n: UnitMiner.NegCheck => n.line }.toSet
+    assert(negLines.size == 27, s"mined ${negLines.size} negative cases")
+
+    val s = TestSpark.spark.newSession()
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
+      f.delete(); ()
+    }
+    rmrf(new java.io.File("/root/repo/target/warehouse/graft_unit_neg.db"))
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_unit_neg")
+    s.catalog.setCurrentDatabase("graft_unit_neg")
+    UnitMiner.loadMicroTables(s)
+    UnitMiner.registerUdfs(s)
+    RefRegress.loadTables(s, "/root/reference/tpch/sql_scripts/tpch.sql",
+      "/root/reference/tpch/data/0001")
+
+    val negResults = UnitMiner.replayAll(s, events)
+      .filter(r => negLines.contains(r.line))
+    val accepted = negResults.collect {
+      case r@UnitMiner.Result(_, _, _, UnitMiner.NegAccepted(_)) => r }
+    val unexpected = accepted.filterNot(r => NegAccepted.contains(r.line))
+    assert(unexpected.isEmpty,
+      "engine accepted statements the reference rejects, unpinned:\n" +
+        unexpected.map(r => s"  L${r.line}: ${r.sql.take(90)}")
+          .mkString("\n"))
+    val healed = NegAccepted.keySet -- accepted.map(_.line).toSet
+    assert(healed.isEmpty,
+      s"pinned acceptances now REJECT — reclassify: $healed")
+    assert(negResults.count(_.outcome == UnitMiner.Pass) == 22)
   }
 
   test("battery shims: substring end-position, int division, count()") {
