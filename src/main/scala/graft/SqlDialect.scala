@@ -152,15 +152,24 @@ object SqlDialect {
     val staging = java.nio.file.Files
       .createTempDirectory(s"graft_index_$name").toString
     val files = math.max(1, df.rdd.getNumPartitions)
-    idxCols match {
-      case Seq(c) =>
-        df.repartitionByRange(files, org.apache.spark.sql.functions.col(c))
-          .sortWithinPartitions(c)
-          .write.mode("overwrite").parquet(staging)
-      case Seq(a, b) =>
-        graft.operators.Maintenance.zorderWrite(df, a, b, staging, files)
+    try {
+      idxCols match {
+        case Seq(c) =>
+          df.repartitionByRange(files, org.apache.spark.sql.functions.col(c))
+            .sortWithinPartitions(c)
+            .write.mode("overwrite").parquet(staging)
+        case Seq(a, b) =>
+          graft.operators.Maintenance.zorderWrite(df, a, b, staging, files)
+      }
+      spark.read.parquet(staging).write.mode("overwrite").insertInto(table)
+    } finally {
+      // the staging copy is table-sized — deleting it is not optional
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(staging))
     }
-    spark.read.parquet(staging).write.mode("overwrite").insertInto(table)
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
       s"('graft.index.$name' = '${idxCols.mkString(",")}')")
     spark.sql(

@@ -21,7 +21,11 @@ import graft.regress.{RefRegress, UnitMiner}
   */
 class UnitBatterySpec extends AnyFunSuite {
 
-  /** line in UnitTest.cs → why the case cannot pass verbatim. */
+  /** line in UnitTest.cs → why the case cannot pass verbatim.
+    * Line-number pins are stable because /root/reference is read-only;
+    * if the reference source ever changes, the mined-count assertions
+    * fail first and the pins re-derive from a fresh replay.
+    */
   private val Pinned: Map[Int, String] = {
     val multiLevel = "correlation two levels up: Spark resolves outer " +
       "references only to the immediate outer block (the corpus covers " +
