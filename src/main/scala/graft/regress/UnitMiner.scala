@@ -320,9 +320,6 @@ object UnitMiner {
 
   private val CountEmpty = """(?i)\bcount\s*\(\s*\)""".r
 
-  private val TpchTables = Seq("lineitem", "orders", "customer", "supplier",
-    "partsupp", "nation", "region", " part", "\tpart", "part,", "part ")
-
   private def touchesTpch(sql: String): Boolean = {
     val l = sql.toLowerCase
     Seq("lineitem", "orders", "customer", "supplier", "partsupp",
