@@ -11,9 +11,9 @@ import graft.regress.{RefRegress, UnitMiner}
   * reset per method) against this engine on the reference's own
   * micro-table data — see [[UnitMiner]].
   *
-  * 310 (sql, expected-rows) assertions are mined; one is inherently
-  * nondeterministic (LIMIT without ORDER BY) and of the remaining 309,
-  * **284 pass verbatim** (under the documented qpmodel dialect shims).
+  * 310 (sql, expected-rows) assertions are mined; three are inherently
+  * nondeterministic (LIMIT without ORDER BY) and of the remaining 307,
+  * **282 pass verbatim** (under the documented qpmodel dialect shims).
   * The 25 non-passes are each pinned below with their class — three
   * are reference defects DuckDB refutes on the same data, the rest are
   * documented semantic or support differences. The pass count is
@@ -63,14 +63,15 @@ class UnitBatterySpec extends AnyFunSuite {
         "(window_hop_dialect)"))
   }
 
-  /** LIMIT without ORDER BY (L230): any subset is standard-valid — the
-    * expectation encodes the reference's own scan order, and whether
-    * this engine happens to produce the same subset depends on
-    * partitioning. Allowed either way.
+  /** LIMIT without ORDER BY (L230/L2634/L2813): any subset is
+    * standard-valid — the expectation encodes the reference's own scan
+    * order, and whether this engine happens to produce the same subset
+    * depends on partitioning (two of the three currently do). Allowed
+    * either way.
     */
-  private val Nondeterministic = Set(230)
+  private val Nondeterministic = Set(230, 2634, 2813)
 
-  test("reference inline unit battery: 310 mined, 284 pass verbatim, " +
+  test("reference inline unit battery: 310 mined, 282/307 deterministic pass verbatim, " +
     "every non-pass pinned to a documented class") {
     val src = Files.readString(
       Paths.get("/root/reference/test/UnitTest.cs"))
@@ -107,7 +108,7 @@ class UnitBatterySpec extends AnyFunSuite {
     assert(healed.isEmpty,
       s"pinned cases now PASS — unpin them and raise the count: $healed")
 
-    assert(results.count(_.outcome == UnitMiner.Pass) == 284)
+    assert(results.count(_.outcome == UnitMiner.Pass) == 282)
   }
 
   /** Negative battery: statements the reference asserts FAIL
