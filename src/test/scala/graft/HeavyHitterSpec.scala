@@ -111,6 +111,43 @@ class HeavyHitterSpec extends AnyFunSuite {
     assert(summary.map(_._2).max > n / (k + 1))
   }
 
+  test("streaming: the batched word-gram aggregate is valid streaming " +
+    "state (documents arrive in micro-batches, grams extracted in-agg)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val q = mem.toDF().toDF("text")
+      .agg(graft.functions.heavyHittersWordGrams(col("text"), 8).as("hh"))
+      .select(explode(col("hh")).as("r"))
+      .select(col("r.item"), col("r.c_lo"), col("r.c_hi"))
+      .writeStream.format("memory").queryName("hh_grams_stream")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_test_ckpt2").toString)
+      .start()
+    try {
+      val boiler = "click here to subscribe now"
+      mem.addData(Seq.fill(20)(s"$boiler alpha beta gamma") ++
+        Seq("one off doc", "another stray text"): _*)
+      q.processAllAvailable()
+      mem.addData(Seq.fill(15)(s"$boiler delta epsilon zeta"): _*)
+      q.processAllAvailable()
+      val summary = spark.table("hh_grams_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(summary.length <= 8)
+      val present = summary.map(_._1).toSet
+      // the boilerplate's grams appear in all 35 docs — far above the
+      // n/(k+1) guarantee — and must survive across micro-batches
+      assert(Set("click here to", "here to subscribe", "to subscribe now")
+        .subsetOf(present), present)
+      summary.foreach { case (g, lo, hi) =>
+        assert(lo <= hi && hi <= 35 * 4 + 10, s"$g [$lo,$hi]")
+      }
+    } finally q.stop()
+  }
+
   test("batched word-gram extraction produces the IDENTICAL summary to " +
     "the exploded gram path on one partition (same gram stream)") {
     // Same docs through both pipelines, single partition so update order
