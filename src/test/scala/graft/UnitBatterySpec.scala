@@ -165,6 +165,27 @@ class UnitBatterySpec extends AnyFunSuite {
     assert(negResults.count(_.outcome == UnitMiner.Pass) == 22)
   }
 
+  test("StringCompare.cs battery: all 5 assertions pass verbatim " +
+    "(char/varchar comparison semantics over its own created tables)") {
+    val src = Files.readString(
+      Paths.get("/root/reference/test/StringCompare.cs"))
+    val events = UnitMiner.mine(src)
+    val checks = events.collect { case c: UnitMiner.Check => c }
+    assert(checks.size == 5, s"mined ${checks.size} checks")
+    val s = TestSpark.spark.newSession()
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
+      f.delete(); ()
+    }
+    rmrf(new java.io.File("/root/repo/target/warehouse/graft_unit_str.db"))
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_unit_str")
+    s.catalog.setCurrentDatabase("graft_unit_str")
+    val results = UnitMiner.replayAll(s, events)
+    val nonPass = results.filter(_.outcome != UnitMiner.Pass)
+    assert(nonPass.isEmpty, nonPass.map(r =>
+      s"L${r.line}: ${r.sql.take(80)} -> ${r.outcome}").mkString("\n"))
+  }
+
   test("battery shims: substring end-position, int division, count()") {
     assert(UnitMiner.substringEndPos(
       "select substring(upper('mat') || upper('he'), 3, 8) from a")
