@@ -45,11 +45,30 @@ object SqlDialect {
     """(?is)^\s*create\s+index\s+(\w+)\s+on\s+(\w+)\s*\(\s*([\w\s,]+?)\s*\)\s*$""".r
   // Bare `create table t (cols)` with NO suffix — the reference's own
   // tpch.sql/tpcds.sql text (its CreateTables() feeds these verbatim).
-  // Matched LAST so the suffixed dialect forms above take precedence;
-  // Spark-native DDL (USING/CLUSTERED/AS SELECT…) has trailing tokens
-  // and never matches the $-anchored paren.
+  // Matched LAST so the suffixed dialect forms above take precedence.
+  // The greedy capture would also swallow Spark-native DDL ending in a
+  // parenthesized clause (`… USING parquet TBLPROPERTIES ('k'='v')`), so
+  // the match site additionally requires `balanced(colDefs)`: a capture
+  // that closes the column list early (depth hits -1) is native DDL and
+  // must fall through to plain spark.sql untouched.
   private val CreatePlain =
     """(?is)^\s*create\s+table\s+(\w+)\s*\((.*)\)\s*$""".r
+
+  /** True iff `s` never closes more parens than it opened — i.e. the
+    * CreatePlain capture is a single column list, not a column list plus
+    * trailing native clauses whose final `)` the $-anchor consumed.
+    */
+  private def balanced(s: String): Boolean = {
+    var depth = 0
+    var k = 0
+    while (k < s.length) {
+      val c = s.charAt(k)
+      if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth < 0) return false }
+      k += 1
+    }
+    depth == 0
+  }
 
   /** qpmodel's `datetime` column type → Spark's `timestamp`; the SQL-92
     * `double precision` spelling (used by the reference's own tpch_d
@@ -104,14 +123,22 @@ object SqlDialect {
         .schema(schema)
         .csv(file)
       val filtered = Option(whereOrNull).fold(src)(src.where)
-      filtered.write.mode("append").insertInto(name)
+      // Count during the insert itself (Observation piggybacks on the
+      // write job) — a separate .count() would re-scan the CSV, doubling
+      // the load cost of every regress bootstrap.
+      val obs = new org.apache.spark.sql.Observation(s"graft_copy_$name")
+      filtered
+        .observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows_loaded"))
+        .write.mode("append").insertInto(name)
+      val loaded = obs.get("rows_loaded").asInstanceOf[Long]
       Some(spark.sql(
-        s"SELECT CAST(${filtered.count()} AS BIGINT) AS rows_loaded, " +
+        s"SELECT CAST($loaded AS BIGINT) AS rows_loaded, " +
           s"'$name' AS target"))
     case CreateIndex(name, table, colList) =>
       Some(indexRewrite(spark, name, table,
         colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
-    case CreatePlain(name, colDefs) =>
+    case CreatePlain(name, colDefs) if balanced(colDefs) =>
       Some(spark.sql(
         s"CREATE TABLE $name (${cols(colDefs)}) USING parquet"))
     case _ => None

@@ -192,7 +192,15 @@ object Multimodal {
     i = 2
     val w = int(); val h = int(); val maxval = int()
     require(maxval == 255, s"P6: unsupported maxval $maxval")
-    i += 1 // exactly one whitespace byte before the raster, per spec
+    // exactly one whitespace byte before the raster, per spec — verify it
+    // IS whitespace, or a CRLF/comment-bearing header would silently shift
+    // the raster start and corrupt every statistic downstream.
+    require(i < b.length && ((b(i) & 0xff) match {
+      case ' ' | '\n' | '\r' | '\t' => true
+      case _ => false
+    }), s"P6: expected single whitespace before raster at $i, " +
+      s"got ${if (i < b.length) (b(i) & 0xff).toString else "EOF"}")
+    i += 1
     val n = 3L * w * h
     require(b.length - i >= n, s"P6: raster truncated (${b.length - i} < $n)")
     var sum = 0L
@@ -225,7 +233,10 @@ object Multimodal {
         "source", "lang")
       .as[Payload]
       .mapPartitions { it =>
-        it.map { p =>
+        // An empty text has no bytes to tile into a raster (t(k % 0)
+        // would divide by zero) — skip it rather than rely on callers
+        // pre-filtering, so the method is safe on any docs frame.
+        it.filter(_.payload.nonEmpty).map { p =>
           val t = p.payload
           val n = t.length
           val w = n % DimBase + 1

@@ -61,8 +61,13 @@ object CeBattery {
       "AQEShuffleRead", "InputAdapter", "ColumnarToRow",
       "ShuffleQueryStage", "AdaptiveSparkPlan", "Exchange", "Project",
       "BroadcastQueryStage", "BroadcastExchange", "TableCacheQueryStage")
-    graft.SqlRunner.splitStatements(probes).map(_.trim).filter(_.nonEmpty)
-      .zipWithIndex.map { case (sql, k) =>
+    val stmts =
+      graft.SqlRunner.splitStatements(probes).map(_.trim).filter(_.nonEmpty)
+    require(ref.size == stmts.size,
+      s"parsed ${ref.size} (est, actual) pairs from " +
+        s"/root/reference/test/regress/expect/ce.out but ce.sql has " +
+        s"${stmts.size} probes — golden format drift")
+    stmts.zipWithIndex.map { case (sql, k) =>
         // qpmodelize: probe 3's `.06 - 0.01` BETWEEN must run under the
         // reference's double-literal semantics or the TRUE cardinality
         // itself differs (1131 vs 1135) and the comparison is apples to
