@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Gate for the sf1 plan-golden parity audit (see [[Tpch1Plan]]): the
+  * reference's `TestTpchAndComparePlan("1", …)` plans TPC-H q01–q22
+  * data-free from its serialized sf1 statistics and pins the plan text
+  * under `test/regress/expect/tpch1/` (`/root/reference/test/
+  * UnitTest.cs:541-575`). This suite replays the same setup through
+  * Catalyst and pins what must stay true:
+  *
+  *   - every query plans, every leaf carries the injected sf1 stats,
+  *     every broadcast build is under threshold;
+  *   - the queries whose canonical join TREE matches the reference's
+  *     memo plan exactly stay matching (the subquery-free shapes where
+  *     the two cost models agree);
+  *   - the two estimators' root-cardinality agreement (gmean q-error
+  *     under identical statistics) stays bounded.
+  */
+class Tpch1PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = GraftSession.local(4)
+  private lazy val rows = Tpch1Plan.runAll(spark)
+  private def audits = rows.map(_.audit)
+
+  override def afterAll(): Unit = () // shared session owned by the suite run
+
+  test("all 22 queries plan data-free from the reference's sf1 statistics") {
+    val errs = audits.filter(_.err.isDefined)
+    assert(errs.isEmpty, s"failed: ${errs.map(a => a.name -> a.err)}")
+    assert(audits.size == 22)
+  }
+
+  test("every leaf scan plans from injected sf1 stats, never the empty-table fallback") {
+    val bad = audits.filter(a => a.leavesWithStats != a.relations)
+    assert(bad.isEmpty, s"stat-less leaves in: ${bad.map(_.name)}")
+  }
+
+  test("no broadcast build side is estimated above the configured threshold") {
+    val threshold =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold").toLong
+    val bad = audits.filter(_.maxBroadcastBytes > threshold)
+    assert(bad.isEmpty,
+      s"oversized broadcast in: ${bad.map(a => (a.name, a.maxBroadcastBytes))}")
+  }
+
+  test("at most one nested-loop fallback across the suite (q07's disjunctive nation-pair join)") {
+    val withNl = audits.filter(_.cartesians > 0)
+    assert(withNl.map(_.name).forall(Set("q07")),
+      s"unexpected cartesian/NL in: ${withNl.map(_.name)}")
+  }
+
+  test("the subquery-free shapes where both cost models agree keep exact tree parity") {
+    // These matched the reference memo's canonical join tree under the
+    // sf1 stats when the audit was pinned; a regression here means the
+    // stats conversion or CBO conf drifted. Divergence elsewhere is
+    // expected (decorrelation strategy + cost-model differences) and
+    // REPORTED in TPCH1.md, not asserted.
+    val mustMatch = Set("q01", "q04", "q06", "q12", "q13", "q14", "q17", "q19")
+    val broken = audits.filter(a =>
+      mustMatch(a.name) && !a.shapeMatches)
+    assert(broken.isEmpty,
+      s"lost tree parity: ${broken.map(a => (a.name, a.ourShape, a.refShape))}")
+  }
+
+  test("root-cardinality estimator agreement: gmean q-error bounded under identical stats") {
+    val qerrs = rows.flatMap(_.rootQError)
+    assert(qerrs.size >= 15, s"too few comparable roots: ${qerrs.size}")
+    val g = Tpch1Plan.gmean(qerrs)
+    assert(g <= 2.5, f"gmean root q-error $g%.2f > 2.5")
+  }
+
+  test("stats injection is live: lineitem plans at its sf1 cardinality") {
+    val prevDb = spark.catalog.currentDatabase
+    try {
+      spark.sql("USE tpch1")
+      val est = spark.table("lineitem")
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(est.contains(BigInt(6001215)), s"lineitem rowCount: $est")
+    } finally spark.sql(s"USE $prevDb")
+  }
+}
