@@ -190,17 +190,27 @@ object PlanIntrospection {
   final case class OpProfile(ord: Int, depth: Int, node: String,
       estRows: Option[BigInt], estExact: Boolean, actualRows: Option[Long])
 
-  private def estimatedRows(n: SparkPlan): (Option[BigInt], Boolean) =
-    n.logicalLink.map { l =>
-      val st = l.stats
-      st.rowCount match {
-        case Some(rc) => (Some(rc), true)
-        case None =>
-          val per = org.apache.spark.sql.catalyst.plans.logical.statsEstimation
-            .EstimationUtils.getSizePerRow(l.output)
-          (if (per > 0) Some(st.sizeInBytes / per) else None, false)
-      }
-    }.getOrElse((None, false))
+  private def estimatedRows(spark: SparkSession,
+                            n: SparkPlan): (Option[BigInt], Boolean) = {
+    // Extended statistics refine the multi-key equi-join estimate when
+    // the key tuples carry registered column-group ndv (see
+    // graft.catalog.ExtendedStats) — per-column stats force an
+    // independence assumption that correlated composite keys break.
+    graft.catalog.ExtendedStats.joinCorrection(spark, n) match {
+      case Some(corrected) => (Some(corrected), true)
+      case None =>
+        n.logicalLink.map { l =>
+          val st = l.stats
+          st.rowCount match {
+            case Some(rc) => (Some(rc), true)
+            case None =>
+              val per = org.apache.spark.sql.catalyst.plans.logical
+                .statsEstimation.EstimationUtils.getSizePerRow(l.output)
+              (if (per > 0) Some(st.sizeInBytes / per) else None, false)
+          }
+        }.getOrElse((None, false))
+    }
+  }
 
   /** Post-execution per-operator [[OpProfile]] rows — the optimizer's
     * planned cardinality NEXT TO the SQLMetrics actual, per operator of
@@ -214,7 +224,7 @@ object PlanIntrospection {
     }
     val buf = scala.collection.mutable.ArrayBuffer[OpProfile]()
     def go(n: SparkPlan, depth: Int): Unit = {
-      val (est, exact) = estimatedRows(n)
+      val (est, exact) = estimatedRows(df.sparkSession, n)
       buf += OpProfile(buf.size, depth, n.nodeName, est, exact,
         n.metrics.get("numOutputRows").map(_.value))
       // Query stages and nested adaptive plans hide their subtree behind

@@ -13,11 +13,16 @@ import graft.regress.CeBattery
   *
   *  - every probe gets an EXACT CBO rowCount (ANALYZE-fed estimation,
   *    never the size-based fallback);
-  *  - our worst probe (the correlated 2-key join, ~7×) is far inside
-  *    the reference's worst (LIKE, 35×);
+  *  - our worst probe (LIKE prefix, 5.7×) is far inside the
+  *    reference's worst (LIKE, 35×);
   *  - group-count probes 10–12 are estimated EXACTLY (distinct-count
   *    stats) where the reference errs 2.9×/2.1×;
-  *  - geometric-mean q-error beats the reference's on its own battery.
+  *  - the correlated 2-key join (probe 7) — formerly our worst at 7.2×
+  *    under per-column independence — is priced by the column-group
+  *    containment bound ([[graft.catalog.ExtendedStats]]) at 1.23×,
+  *    beating the reference's min-ndv-product 3.52×;
+  *  - geometric-mean q-error beats the reference's on its own battery
+  *    (1.38 vs 1.71).
   */
 class CeParitySpec extends AnyFunSuite {
 
@@ -41,6 +46,14 @@ class CeParitySpec extends AnyFunSuite {
         s"copy $t from '/root/reference/tpch/data/0001/$t.tbl'")
       s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
     }
+    // extended stats on the composite join key: per-column ndv forces an
+    // independence assumption that the correlated (partkey, suppkey)
+    // tuple breaks — the registered column-group ndv drives the
+    // containment-bound estimate for probe 7 (see ExtendedStats)
+    graft.catalog.ExtendedStats.analyzeColumnGroup(
+      s, "partsupp", Seq("ps_partkey", "ps_suppkey"))
+    graft.catalog.ExtendedStats.analyzeColumnGroup(
+      s, "lineitem", Seq("l_partkey", "l_suppkey"))
     val probes = CeBattery.run(s)
     assert(probes.size == 13, probes.map(_.idx))
     // our true counts must equal the reference's recorded actuals —
@@ -60,10 +73,12 @@ class CeParitySpec extends AnyFunSuite {
     assert(probes.map(_.ourQ).max < probes.map(_.refQ).max,
       s"worst-case: ours=${probes.map(_.ourQ).max} " +
         s"ref=${probes.map(_.refQ).max}")
-    // and the comparison stays honest: the reference is BETTER on the
-    // correlated two-key join (probe 7) — pin that too so the claim
-    // can't silently overreach
-    assert(probes(6).refQ < probes(6).ourQ,
-      "probe 7 (2-key join correlation) is the reference's win")
+    // probe 7 (the correlated 2-key join) was the reference's one win
+    // (3.52× vs our 7.2× under independence); with the column-group
+    // extended stats the containment bound prices it at or near truth —
+    // pin that it now at least matches the reference
+    assert(probes(6).ourQ <= probes(6).refQ,
+      s"probe 7 (2-key join): ours=${probes(6).ourQ} " +
+        s"ref=${probes(6).refQ} — column-group correction missing?")
   }
 }
