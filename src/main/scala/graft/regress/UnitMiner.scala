@@ -347,6 +347,282 @@ object UnitMiner {
       intDivide(RefRegress.qpmodelize(pre, MicroInts, Set.empty))
   }
 
+  // -------------------------------------------- repair-on-error shims
+
+  /** qpmodel (and DuckDB) accept a PARTIAL derived-table column-alias
+    * list — `(select a3, a4 from a) b(a4)` — renaming the first k
+    * output columns and TRUNCATING the derived table to them (the
+    * committed expectations show k-column `select *` output,
+    * UnitTest.cs:1125/2645-2649). Spark requires the full list
+    * (ASSIGNMENT_ARITY_MISMATCH), so on that error the statement is
+    * rewritten to the equivalent explicit form:
+    * `(select c1..ck from (Q) t(c1..ck, __pad{k+1}..__pad{n})) t`.
+    * The subquery's arity comes from analyzing the inner text against
+    * the live catalog; innermost sites fix first (an outer site's inner
+    * text may not analyze until its own nested site is fixed), one fix
+    * per pass until a pass fixes nothing.
+    */
+  def padDerivedAliases(spark: SparkSession, sql: String): String = {
+    val Site = """\)\s*(\w+)\s*\(\s*([\w\s,]+?)\s*\)""".r
+    var cur = sql
+    var fixed = true
+    while (fixed) {
+      fixed = false
+      val it = Site.findAllMatchIn(cur).toSeq.iterator
+      while (!fixed && it.hasNext) {
+        val m = it.next()
+        // match the close paren at m.start backward to its open paren
+        var bal = 1
+        var i = m.start - 1
+        while (i >= 0 && bal > 0) {
+          val c = cur.charAt(i)
+          if (c == ')') bal += 1 else if (c == '(') bal -= 1
+          if (bal > 0) i -= 1
+        }
+        if (i >= 0) {
+          val inner = cur.substring(i + 1, m.start)
+          if (inner.trim.toLowerCase.startsWith("select")) {
+            val aliases = m.group(2).split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq
+            val arity = try Some(spark.sql(inner).columns.length)
+              catch { case _: Throwable => None }
+            arity match {
+              case Some(n) if n > aliases.size =>
+                val t = m.group(1)
+                val full = (aliases ++
+                  (aliases.size until n).map(k => s"__pad${k + 1}"))
+                  .mkString(", ")
+                val repl = s"(select ${aliases.mkString(", ")} from " +
+                  s"($inner) $t($full)) $t"
+                cur = cur.substring(0, i) + repl + cur.substring(m.end)
+                fixed = true
+              case _ => ()
+            }
+          }
+        }
+      }
+    }
+    cur
+  }
+
+  /** qpmodel lets a table alias share a column's name and still
+    * resolves qualified uses to the alias — `from a a1 … a1.a1` — even
+    * from a nested subquery (UnitTest.cs:1369). Spark resolves the
+    * outer reference `a1.a1` as FIELD EXTRACTION from the INT column
+    * a1 (INVALID_EXTRACT_BASE_FIELD_TYPE); renaming the shadowing
+    * alias (and its qualified uses) to a fresh name restores the
+    * intended binding without touching statements that already
+    * resolve.
+    */
+  def renameShadowAliases(sql: String): String = {
+    val Alias = """(?i)\b(from|join)\s+(\w+)\s+([abcdrt][1-4])\b""".r
+    Alias.findAllMatchIn(sql).map(_.group(3)).toSeq.distinct
+      .foldLeft(sql) { (cur, a) =>
+        val renamed = Alias.replaceAllIn(cur, m =>
+          if (m.group(3) == a) s"${m.group(1)} ${m.group(2)} ${a}__t"
+          else m.matched)
+        renamed.replaceAll(s"(?i)\\b$a\\.", s"${a}__t.")
+      }
+  }
+
+  /** Two-level correlation flatten. qpmodel resolves an outer reference
+    * from ANY enclosing block (`select a1 from a where a.a1 = (select b1
+    * from b bo where … b1 = (select b1 from b where b3 = a3 …))` — the
+    * innermost subquery reads `a3` two levels up); Spark resolves outer
+    * references one block deep only (UNRESOLVED_COLUMN). The decidable
+    * shapes — the inner scalar subquery is single-table, its WHERE a
+    * pure conjunction, and it appears as one comparison operand in the
+    * middle block's conjunctive WHERE — flatten mechanically: the inner
+    * block becomes a derived table in the MIDDLE block's FROM carrying
+    * its purely-local predicates, and every correlated conjunct moves
+    * to the middle WHERE (where its outer reference is now one level
+    * up, which Spark supports). Value semantics are preserved on this
+    * corpus: the inner key is unique per correlation binding (scalar),
+    * and an empty inner result makes the comparison UNKNOWN either way.
+    * Column classification uses the micro-schema convention (column
+    * `<letter><digit>` belongs to the table named `<letter>`); moved
+    * conjuncts rename the inner columns through the derived alias, so
+    * middle-block columns of the same name cannot capture them.
+    * Disjunctive contexts (UnitTest.cs:1062's `… or b1 = (subq)`) are
+    * NOT flattened — an inner join is wrong under OR — and stay pinned.
+    */
+  def flattenTwoLevel(sql: String): String = {
+    def matching(s: String, open: Int): Int = {
+      var bal = 0; var i = open
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '(') bal += 1 else if (c == ')') { bal -= 1
+          if (bal == 0) return i }
+        i += 1
+      }
+      -1
+    }
+    val SubOpen = """(?i)\(\s*select\b""".r
+    def subSpans(s: String): Seq[(Int, Int)] =
+      SubOpen.findAllMatchIn(s).map(m => (m.start, matching(s, m.start)))
+        .filter(_._2 > 0).toSeq
+    def topSplitAnd(s: String): Seq[String] = {
+      val parts = Seq.newBuilder[String]
+      var bal = 0; var last = 0; var i = 0
+      val And = """(?i)\band\b""".r
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '(') bal += 1 else if (c == ')') bal -= 1
+        else if (bal == 0 && (c == 'a' || c == 'A') &&
+          And.findPrefixOf(s.substring(i)).isDefined &&
+          (i == 0 || !s.charAt(i - 1).isLetterOrDigit)) {
+          parts += s.substring(last, i); last = i + 3; i += 2
+        }
+        i += 1
+      }
+      parts += s.substring(last)
+      parts.result().map(_.trim).filter(_.nonEmpty)
+    }
+    def hasTopOr(s: String): Boolean = {
+      var bal = 0; var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '(') bal += 1 else if (c == ')') bal -= 1
+        else if (bal == 0 && (c == 'o' || c == 'O') &&
+          s.regionMatches(true, i, "or", 0, 2) &&
+          (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
+          (i + 2 >= s.length || !s.charAt(i + 2).isLetterOrDigit))
+          return true
+        i += 1
+      }
+      false
+    }
+    // keyword position at paren-depth 0, or -1
+    def topKeyword(s: String, kw: String): Int = {
+      var bal = 0; var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '(') bal += 1 else if (c == ')') bal -= 1
+        else if (bal == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
+          (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
+          (i + kw.length >= s.length ||
+            !s.charAt(i + kw.length).isLetterOrDigit))
+          return i
+        i += 1
+      }
+      -1
+    }
+    val InnerShape =
+      """(?is)^\(\s*select\s+([^,()]+?)\s+from\s+([abcdrt])\s+where\s+(.+)\)$""".r
+    val BareCol = """\b([abcdrt])([0-9])\b""".r
+    var fresh = 0
+
+    // rewrite ONE middle block's inner text; None if nothing flattened
+    def rewriteMiddle(mid: String): Option[String] = {
+      val fromAt = topKeyword(mid, "from")
+      val whereAt = topKeyword(mid, "where")
+      if (fromAt < 0 || whereAt < fromAt) return None
+      val head = mid.substring(0, fromAt)
+      var fromPart = mid.substring(fromAt + 4, whereAt)
+      var wherePart = mid.substring(whereAt + 5)
+      if (hasTopOr(wherePart)) return None
+      var changed = false
+      // innermost scalar subqueries inside the middle WHERE, right-to-left
+      val spans = subSpans(wherePart)
+      val innermost = spans.filterNot { case (s, e) =>
+        spans.exists { case (s2, e2) => s2 > s && e2 < e } }
+      innermost.sortBy(-_._1).foreach { case (s, e) =>
+        wherePart.substring(s, e + 1) match {
+          case InnerShape(selExpr, tbl, preds) if !hasTopOr(preds) =>
+            val conjs = topSplitAnd(preds)
+            def isInnerLocal(c: String): Boolean =
+              !c.contains(".") && // qualified refs are middle/outer scope
+                BareCol.findAllMatchIn(c).forall(_.group(1) == tbl)
+            val (local, moved) = conjs.partition(isInnerLocal)
+            // the comparison operand before the span: `<lhs> <op> (`
+            val before = wherePart.substring(0, s)
+            val Cmp = """([\w.]+)\s*(>=|<=|<>|=|>|<)\s*$""".r
+            (Cmp.findFirstMatchIn(before), moved.nonEmpty) match {
+              case (Some(cm), true) =>
+                fresh += 1
+                val q = s"__q$fresh"
+                // inner columns referenced by moved conjuncts, renamed
+                // through the derived alias so middle names can't capture
+                val innerCols = moved.flatMap(c =>
+                  BareCol.findAllMatchIn(c)
+                    .filter(m => m.group(1) == tbl &&
+                      !c.take(m.start).trim.endsWith("."))
+                    .map(_.matched)).distinct
+                val sel = (s"$selExpr as ${q}_v" +:
+                  innerCols.map(c => s"$c as ${q}_$c")).mkString(", ")
+                val derived = s"(select $sel from $tbl" +
+                  (if (local.nonEmpty) s" where ${local.mkString(" and ")}"
+                   else "") + s") $q"
+                val movedRenamed = moved.map(c =>
+                  BareCol.replaceAllIn(c, m =>
+                    if (m.group(1) == tbl &&
+                      !c.take(m.start).trim.endsWith("."))
+                      s"$q.${q}_${m.matched}"
+                    else m.matched))
+                wherePart = before.substring(0, cm.start) +
+                  s"${cm.group(1)} ${cm.group(2)} $q.${q}_v" +
+                  wherePart.substring(e + 1) +
+                  s" and ${movedRenamed.mkString(" and ")}"
+                fromPart = fromPart + s", $derived"
+                changed = true
+              case _ => ()
+            }
+          case _ => ()
+        }
+      }
+      if (changed) Some(s"${head}from $fromPart where $wherePart")
+      else None
+    }
+
+    // middle candidates: subquery spans of the whole statement that
+    // contain another subquery span; rewrite right-to-left
+    var cur = sql
+    val all = subSpans(cur)
+    val middles = all.filter { case (s, e) =>
+      all.exists { case (s2, e2) => s2 > s && e2 < e } }
+      .filterNot { case (s, e) => // only OUTERMOST middles (depth-1)
+        all.exists { case (s2, e2) => s2 < s && e2 > e } }
+      .sortBy(-_._1)
+    middles.foreach { case (s, e) =>
+      rewriteMiddle(cur.substring(s + 1, e)).foreach { r =>
+        cur = cur.substring(0, s + 1) + r + cur.substring(e)
+      }
+    }
+    cur
+  }
+
+  /** Analyze `sql`, applying the error-triggered repairs above (at most
+    * once each) — statements that analyze clean never get rewritten.
+    */
+  def analyzeRepaired(spark: SparkSession, sql: String)
+      : org.apache.spark.sql.DataFrame = {
+    var cur = sql
+    var attempts = 0
+    while (true) {
+      try {
+        val df = spark.sql(cur)
+        df.schema // force analysis so repairs trigger here, not later
+        return df
+      } catch {
+        case e: Throwable if attempts < 2 =>
+          val msg = Option(e.getMessage).getOrElse("")
+          val repairedOpt =
+            if (msg.contains("ASSIGNMENT_ARITY_MISMATCH"))
+              Some(padDerivedAliases(spark, cur))
+            else if (msg.contains("INVALID_EXTRACT_BASE_FIELD_TYPE"))
+              Some(renameShadowAliases(cur))
+            else if (msg.contains("UNRESOLVED_COLUMN"))
+              Some(flattenTwoLevel(cur))
+            else None
+          repairedOpt match {
+            case Some(r) if r != cur => cur = r; attempts += 1
+            case _ => throw e
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   // ------------------------------------------------------- environment
 
   private val MicroSchemas: Seq[(String, String)] = Seq(
@@ -413,7 +689,7 @@ object UnitMiner {
           .foreach { stmt =>
             try {
               graft.SqlDialect.exec(spark, shim(stmt))
-                .getOrElse(spark.sql(shim(stmt))).collect()
+                .getOrElse(analyzeRepaired(spark, shim(stmt))).collect()
               dirty = true
             } catch { case _: Throwable => () }
           }
@@ -438,7 +714,7 @@ object UnitMiner {
             val stmts = graft.SqlRunner.splitStatements(sql)
               .map(_.trim).filter(_.nonEmpty).map(shim)
             val rows = stmts.map(s =>
-              RefRegress.resultLines(spark.sql(s))).last
+              RefRegress.resultLines(analyzeRepaired(spark, s))).last
             // the inline format cannot represent an all-NULL row
             // distinctly (it renders empty) — normalize both sides
             val exp = expected.split(";", -1).toSeq.filter(_.nonEmpty)

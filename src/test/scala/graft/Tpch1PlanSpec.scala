@@ -20,7 +20,10 @@ import org.scalatest.BeforeAndAfterAll
   */
 class Tpch1PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark = GraftSession.local(4)
+  // Isolated session: the shared-JVM suite run mutates session confs
+  // (broadcast thresholds, aggregate modes) that this audit's plans are
+  // sensitive to; newSession() resets SQLConf to the builder values.
+  private lazy val spark = GraftSession.local(4).newSession()
   private lazy val rows = Tpch1Plan.runAll(spark)
   private def audits = rows.map(_.audit)
 

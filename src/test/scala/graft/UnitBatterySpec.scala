@@ -13,11 +13,14 @@ import graft.regress.{RefRegress, UnitMiner}
   *
   * 310 (sql, expected-rows) assertions are mined; three are inherently
   * nondeterministic (LIMIT without ORDER BY) and of the remaining 307,
-  * **282 pass verbatim** (under the documented qpmodel dialect shims).
-  * The 25 non-passes are each pinned below with their class — three
-  * are reference defects DuckDB refutes on the same data, the rest are
-  * documented semantic or support differences. The pass count is
-  * pinned EXACTLY so both regressions and silent improvements surface.
+  * **299 pass verbatim** (under the documented qpmodel dialect shims,
+  * including round 12's repair-on-error rewrites: two-level-correlation
+  * flattening, partial derived-table alias lists, and column-shadowing
+  * table aliases). The 8 non-passes are each pinned below with their
+  * class — three are reference defects DuckDB refutes on the same
+  * data, the rest are documented semantic or support differences. The
+  * pass count is pinned EXACTLY so both regressions and silent
+  * improvements surface.
   */
 class UnitBatterySpec extends AnyFunSuite {
 
@@ -27,22 +30,21 @@ class UnitBatterySpec extends AnyFunSuite {
     * fail first and the pins re-derive from a fresh replay.
     */
   private val Pinned: Map[Int, String] = {
-    val multiLevel = "correlation two levels up: Spark resolves outer " +
-      "references only to the immediate outer block (the corpus covers " +
-      "the supported shapes vs DuckDB in SubqueryBattery)"
-    val partialAlias = "partial derived-table column-alias list " +
-      "(reference and DuckDB rename the first k columns; Spark " +
-      "requires the full list)"
     Map(
-      1048 -> multiLevel, 1050 -> multiLevel, 1062 -> multiLevel,
-      1346 -> multiLevel, 1349 -> multiLevel, 1352 -> multiLevel,
-      1356 -> multiLevel, 1360 -> multiLevel, 1364 -> multiLevel,
-      3403 -> multiLevel, 3416 -> multiLevel, 3442 -> multiLevel,
-      3484 -> multiLevel,
-      1125 -> partialAlias, 2645 -> partialAlias, 2647 -> partialAlias,
-      2649 -> partialAlias,
-      1369 -> ("alias shadowing: `from a a1` then bare `a1` — the " +
-        "reference resolves the column, Spark the table alias (struct)"),
+      // rounds ≤11 pinned 13 two-level-correlation cases (1048/1050/
+      // 1062/1346/1349/1352/1356/1360/1364/3403/3416/3442/3484),
+      // 1125/2645/2647/2649 (partial derived-table alias lists) and
+      // 1369 (column-shadowing table alias). Round 12's repair-on-error
+      // rewrites (UnitMiner.flattenTwoLevel / padDerivedAliases /
+      // renameShadowAliases) close all but 1062, which is correlation
+      // under a top-level OR: the join flatten is only valid in a
+      // conjunctive context (an inner join drops rows the OR's other
+      // arm would admit), so the shape is re-pinned as an engine limit,
+      // not rewrite-incomplete.
+      1062 -> ("correlation two levels up under a disjunctive WHERE " +
+        "(`… or b1 = (subq referencing a1 two levels up)`): Spark " +
+        "resolves outer references one block deep, and the conjunctive " +
+        "flatten rewrite is invalid under OR"),
       1392 -> ("correlated scalar subquery in an aggregate select " +
         "list: Spark requires it in the GROUP BY"),
       2215 -> ("select expr not syntactically derivable from the group " +
@@ -108,7 +110,7 @@ class UnitBatterySpec extends AnyFunSuite {
     assert(healed.isEmpty,
       s"pinned cases now PASS — unpin them and raise the count: $healed")
 
-    assert(results.count(_.outcome == UnitMiner.Pass) == 282)
+    assert(results.count(_.outcome == UnitMiner.Pass) == 299)
   }
 
   /** Negative battery: statements the reference asserts FAIL
