@@ -277,4 +277,196 @@ object Multimodal {
       }
       .toDF()
   }
+
+  // ------------------------------------------- real PNG pixels (r12)
+
+  /** Encode a COMPLETE, spec-conformant PNG: signature, IHDR (8-bit
+    * truecolor), one IDAT whose data is the zlib-DEFLATE of the
+    * filtered scanlines, and IEND — every chunk CRC32'd. Scanline
+    * filters rotate through all five PNG types (None/Sub/Up/Average/
+    * Paeth, row i uses i % 5), so decoding exercises the full filter
+    * algebra, not just the trivial type 0. PNG's compression layer is
+    * zlib (RFC 1950), which `java.util.zip.Deflater` IS — no native
+    * codec needed.
+    */
+  def encodePng(width: Int, height: Int, raster: Array[Byte]): Array[Byte] = {
+    require(raster.length == 3 * width * height,
+      s"PNG needs ${3 * width * height} raster bytes, got ${raster.length}")
+    val bpp = 3
+    val stride = bpp * width
+    val filtered = new Array[Byte](height * (stride + 1))
+    var y = 0
+    while (y < height) {
+      val ft = y % 5
+      filtered(y * (stride + 1)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val raw = raster(y * stride + x) & 0xff
+        val left = if (x >= bpp) raster(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) raster((y - 1) * stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp)
+          raster((y - 1) * stride + x - bpp) & 0xff else 0
+        val enc = ft match {
+          case 0 => raw
+          case 1 => raw - left
+          case 2 => raw - up
+          case 3 => raw - (left + up) / 2
+          case 4 => raw - paeth(left, up, ul)
+        }
+        filtered(y * (stride + 1) + 1 + x) = (enc & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered)
+    deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream(filtered.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+
+    val out = new java.io.ByteArrayOutputStream(zbuf.size + 64)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be32(v: Int): Array[Byte] = Array((v >>> 24).toByte,
+        (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      val td = typ.getBytes("US-ASCII") ++ data
+      out.write(be32(data.length), 0, 4)
+      out.write(td, 0, td.length)
+      val crc = new java.util.zip.CRC32
+      crc.update(td)
+      out.write(be32(crc.getValue.toInt), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (width >>> 24).toByte; ihdr(1) = (width >>> 16).toByte
+    ihdr(2) = (width >>> 8).toByte; ihdr(3) = width.toByte
+    ihdr(4) = (height >>> 24).toByte; ihdr(5) = (height >>> 16).toByte
+    ihdr(6) = (height >>> 8).toByte; ihdr(7) = height.toByte
+    ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, truecolor
+    chunk("IHDR", ihdr)
+    chunk("IDAT", zbuf.toByteArray)
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Decode a PNG END-TO-END: walk the chunks (CRC-verified),
+    * zlib-INFLATE the concatenated IDAT data, reverse all five scanline
+    * filter types, and aggregate the reconstructed pixel bytes. Only
+    * the planted profile (8-bit truecolor, non-interlaced) is in scope
+    * — anything else fails loudly rather than mis-decoding.
+    */
+  def decodePngPixels(b: Array[Byte]): PixelStats = {
+    require(b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G', "not a PNG")
+    def be32(i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    var i = 8
+    var w = 0; var h = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    while (i + 8 <= b.length) {
+      val len = be32(i)
+      val typ = new String(b, i + 4, 4, "US-ASCII")
+      require(i + 8 + len + 4 <= b.length, s"PNG: truncated chunk $typ")
+      val crc = new java.util.zip.CRC32
+      crc.update(b, i + 4, 4 + len)
+      require(crc.getValue.toInt == be32(i + 8 + len),
+        s"PNG: $typ CRC mismatch")
+      typ match {
+        case "IHDR" =>
+          w = be32(i + 8); h = be32(i + 12)
+          require((b(i + 16) & 0xff) == 8 && (b(i + 17) & 0xff) == 2 &&
+            (b(i + 20) & 0xff) == 0,
+            "PNG: only 8-bit truecolor non-interlaced is in scope")
+        case "IDAT" => idat.write(b, i + 8, len)
+        case _ => () // IEND / ancillary
+      }
+      i += 12 + len
+    }
+    require(w > 0 && h > 0 && idat.size > 0, "PNG: missing IHDR/IDAT")
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val bpp = 3
+    val stride = bpp * w
+    val lines = new Array[Byte](h * (stride + 1))
+    var off = 0
+    while (!inflater.finished() && off < lines.length)
+      off += inflater.inflate(lines, off, lines.length - off)
+    inflater.end()
+    require(off == lines.length,
+      s"PNG: inflated $off of ${lines.length} scanline bytes")
+
+    val recon = new Array[Byte](h * stride)
+    var sum = 0L; var min = 255; var max = 0
+    var y = 0
+    while (y < h) {
+      val ft = lines(y * (stride + 1)) & 0xff
+      var x = 0
+      while (x < stride) {
+        val enc = lines(y * (stride + 1) + 1 + x) & 0xff
+        val left = if (x >= bpp) recon(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) recon((y - 1) * stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp)
+          recon((y - 1) * stride + x - bpp) & 0xff else 0
+        val raw = ft match {
+          case 0 => enc
+          case 1 => enc + left
+          case 2 => enc + up
+          case 3 => enc + (left + up) / 2
+          case 4 => enc + paeth(left, up, ul)
+          case other =>
+            throw new IllegalArgumentException(s"PNG: filter $other")
+        }
+        val v = raw & 0xff
+        recon(y * stride + x) = v.toByte
+        sum += v
+        if (v < min) min = v
+        if (v > max) max = v
+        x += 1
+      }
+      y += 1
+    }
+    val n = h.toLong * stride
+    PixelStats(-1, w, h, w.toLong * h, sum, min, max, sum.toDouble / n)
+  }
+
+  /** Real-PNG pixel statistics over the documents table: the raster is
+    * the utf-8 text bytes tiled across 3·w·h (identical to
+    * [[pixelStatsDocuments]]'s PPM raster, so the same oracle verifies
+    * both), but the payload is a COMPRESSED, filtered, CRC'd PNG —
+    * encode and decode both run inside the partition, end to end, on
+    * the JVM's own zlib. This closes the last stand-in asterisk on the
+    * multimodal family: the bytes crossing the "decoder" here are a
+    * genuine image codec stream, not a header stapled to raw text.
+    */
+  def pngPixelStatsDocuments(spark: SparkSession,
+                             docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs
+      .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
+        "source", "lang")
+      .as[Payload]
+      .mapPartitions { it =>
+        it.filter(_.payload.nonEmpty).map { p =>
+          val t = p.payload
+          val n = t.length
+          val w = n % DimBase + 1
+          val h = (n / DimBase) % DimBase + 1
+          val raster = new Array[Byte](3 * w * h)
+          var k = 0
+          while (k < raster.length) { raster(k) = t(k % n); k += 1 }
+          decodePngPixels(encodePng(w, h, raster)).copy(doc_id = p.doc_id)
+        }
+      }
+      .toDF()
+  }
 }

@@ -1020,6 +1020,20 @@ object PipelineQueries {
            |    AS px_mean
            |FROM bytes""".stripMargin))
 
+  /** Real COMPRESSED-PNG pixel decode (r12): same tiled raster and the
+    * same oracle as `multimodal_pixels`, but the payload is a complete
+    * spec-conformant PNG — zlib-deflated IDAT, all five scanline filter
+    * types rotating per row, CRC'd chunks — encoded and decoded
+    * end-to-end on the JVM's own zlib (PNG's compression IS RFC-1950
+    * zlib, so no native codec is involved). A decoder that misreads a
+    * chunk boundary, mis-inflates, or botches any filter's reverse
+    * transform corrupts the statistics and hash-mismatches the oracle.
+    */
+  val multimodalPixelsPng: QueryDef = QueryDef("multimodal_pixels_png",
+    (s, dir) => Multimodal.pngPixelStatsDocuments(s,
+      docs(s, dir).filter("octet_length(encode(text, 'UTF-8')) > 0")),
+    multimodalPixels.oracle)
+
   /** End-to-end corpus preparation — the composed pre-training shape:
     * exact-dedup the (planted) corpus, keep each cluster's canonical
     * doc, apply the quality gate, then report per-language surviving
@@ -1246,5 +1260,5 @@ object PipelineQueries {
     decontaminate, dedupClusters, dedupClusterMembers, dedupClustersStar,
     textStats, textLangid, textTokens, textQualityFilter, textRepetition,
     textFingerprint, piiRedact,
-    multimodal, multimodalPixels, corpusPrep)
+    multimodal, multimodalPixels, multimodalPixelsPng, corpusPrep)
 }
