@@ -60,7 +60,7 @@ object Graph {
     * from [[coOccurrenceEdges]]. Returns a 1-row (triangles: long) frame.
     */
   def triangleCount(edges: DataFrame): DataFrame =
-    edgeTriangles(edges)
+    edgeTriangles(edges.localCheckpoint())
       .select(size(col("tri_nbrs")).as("n"))
       .agg(coalesce(sum(col("n").cast("long")), lit(0L)).as("triangles"))
 
@@ -70,15 +70,22 @@ object Graph {
     * See [[triangleCount]] for the plan-shape rationale.
     */
   private def edgeTriangles(edges: DataFrame): DataFrame = {
-    // The edge list feeds the degree pass AND the orientation join, and
-    // the oriented list feeds the adjacency build AND the probe side —
-    // but every reuse boundary here ends in an exchange (distinct /
-    // groupBy), so Spark's ReuseExchange dedups the physical work
-    // already; a localCheckpoint was measured 2× SLOWER (it breaks
-    // whole-stage pipelining to materialize what the exchange cache
-    // would have shared anyway).
-    val deg = edges.select(col("a").as("node"))
-      .union(edges.select(col("b").as("node")))
+    // Callers pass a CHECKPOINTED edge list (localCheckpoint at each
+    // public entry point): the edge list feeds the degree pass AND the
+    // orientation join, and the oriented list feeds the adjacency build
+    // AND the probe side. Earlier rounds leaned on ReuseExchange to
+    // dedup that physical work; the r12 re-measure (sf0.1, 1.2M-edge
+    // co-occurrence graph) found the checkpointed form at wall-clock
+    // PARITY while collapsing the executed plan from 92 exchanges /
+    // 30 upstream-scan replicas to 5 exchanges / 3 scans — on a
+    // cluster, a guarantee of computing the co-occurrence pipeline
+    // once beats a reuse heuristic that silently degrades to N
+    // recomputations when canonicalization misses. The checkpoint
+    // payload is 2 longs per edge — the cheapest frame in the family.
+    val deg = edges
+      // one pass over the edge list (explode) instead of a two-arm
+      // union — halves the degree stage's input volume
+      .select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val withDeg = edges
       .join(deg.withColumnRenamed("node", "a")
@@ -97,6 +104,9 @@ object Graph {
         .otherwise(col("ob")("node")).as("u"),
       when(col("oa") < col("ob"), col("ob")("node"))
         .otherwise(col("oa")("node")).as("v"))
+      // consumed twice (adjacency build + probe stream); same
+      // guaranteed-once rationale as the edge checkpoint above
+      .localCheckpoint()
     val adj = oriented.groupBy("u").agg(collect_list("v").as("nbrs"))
     // Inner joins are exact: adj(u) exists by construction (u sources
     // this edge); a missing adj(v) means N+(v) = ∅, contribution 0 —
@@ -121,7 +131,14 @@ object Graph {
     * wedge-bounded — the distinction that keeps the plan scale-safe.
     * Returns (node, n_tri > 0).
     */
-  def perNodeTriangles(edges: DataFrame): DataFrame = {
+  def perNodeTriangles(edges: DataFrame): DataFrame =
+    perNodeTrianglesOn(edges.localCheckpoint())
+
+  /** [[perNodeTriangles]] over an already-checkpointed edge list —
+    * lets [[clusteringCoeffTopK]] share ONE checkpoint across the
+    * triangle and degree passes.
+    */
+  private def perNodeTrianglesOn(edges: DataFrame): DataFrame = {
     // All three corners come out of ONE pass over the closure rows (a
     // single explode of [u×n, v×n, w×1…]): consuming the closure frame
     // twice would either recompute its joins or force a checkpoint of
@@ -144,11 +161,13 @@ object Graph {
     * so the doubles are bit-identical in any engine.
     */
   def clusteringCoeffTopK(edges: DataFrame, k: Int): DataFrame = {
-    val deg = edges.select(col("a").as("node"))
-      .union(edges.select(col("b").as("node")))
+    // one checkpoint shared by the degree pass and the whole triangle
+    // pipeline — the co-occurrence edge list is computed exactly once
+    val e = edges.localCheckpoint()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     deg.filter(col("deg") > 1)
-      .join(perNodeTriangles(edges), Seq("node"), "left")
+      .join(perNodeTrianglesOn(e), Seq("node"), "left")
       .select(col("node"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"), col("deg"),
         (lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
