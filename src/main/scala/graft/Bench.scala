@@ -119,11 +119,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.configure(
+    val spark = GraftSession.build(
       SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-    ).getOrCreate()
+        .config("spark.sql.shuffle.partitions", cpus))
     spark.sparkContext.setLogLevel("WARN")
 
     val defs = Queries.all.filter(_.bench)

@@ -84,7 +84,7 @@ object ClusterCheck {
         System.getProperty("java.class.path"))
       b.config("spark.executor.memory", "4g")
     }
-    val spark = GraftSession.configure(b).getOrCreate()
+    val spark = GraftSession.build(b)
     spark.sparkContext.setLogLevel("WARN")
     var failed = 0
     checkNames().foreach { name =>

@@ -82,13 +82,37 @@ object GraftSession {
       .map(_.toInt)
       .orElse(dataDir.map(derivedShufflePartitions(_, cores)))
       .getOrElse(cores)
-    val s = configure(
+    build(
       SparkSession.builder()
         .master(s"local[$cores]")
         .appName("graft")
-        .config("spark.sql.shuffle.partitions", parts.toString)
-    ).getOrCreate()
+        .config("spark.sql.shuffle.partitions", parts.toString))
+  }
+
+  /** Finish constructing a configured session: getOrCreate plus the
+    * setup `spark.sql.extensions` cannot express (post-reorder optimizer
+    * rules live in `experimental`, a live-session field). Every main
+    * (Verify/Bench/soaks) builds through here so the engine under test
+    * is always the complete engine.
+    */
+  def build(b: SparkSession.Builder): SparkSession = {
+    val s = configure(b).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    registerPostReorderRules(s)
     s
   }
+
+  /** Rules that must run AFTER CostBasedJoinReorder go through
+    * `experimental.extraOptimizations` (Spark's `User Provided
+    * Optimizers` batch, the last logical batch) — `spark.sql.extensions`'
+    * injectOptimizerRule lands in the operator-optimization batches
+    * BEFORE join reorder, and a join hint planted there would disable
+    * reordering for the whole chain. Idempotent per session (getOrCreate
+    * can hand back an already-configured session in a shared test JVM).
+    */
+  def registerPostReorderRules(s: SparkSession): Unit =
+    if (!s.experimental.extraOptimizations
+          .exists(_.isInstanceOf[graft.plans.ColumnGroupCertifiedBroadcast]))
+      s.experimental.extraOptimizations ++=
+        Seq(new graft.plans.ColumnGroupCertifiedBroadcast)
 }

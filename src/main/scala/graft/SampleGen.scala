@@ -30,11 +30,10 @@ object SampleGen {
     val (src, out) = (args(0), args(1))
     val m = if (args.length > 2) args(2).toInt else 49
     require(m % 5 != 0, "modulus must be coprime to 5 (decontamination split)")
-    val spark = GraftSession.configure(
+    val spark = GraftSession.build(
       SparkSession.builder()
         .master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-    ).getOrCreate()
+        .config("spark.sql.shuffle.partitions", "32"))
     spark.sparkContext.setLogLevel("WARN")
 
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))

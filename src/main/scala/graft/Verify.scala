@@ -16,11 +16,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // The session under test must be the configured engine (AQE/CBO/UTC),
     // not a bare default SparkSession.
-    val spark = GraftSession.configure(
+    val spark = GraftSession.build(
       SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-    ).getOrCreate()
+        .config("spark.sql.shuffle.partitions", cpus))
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var failed = 0

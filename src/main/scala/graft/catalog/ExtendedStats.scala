@@ -32,36 +32,72 @@ import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHash
   *     multi-key equi-join when BOTH input sides carry a registered
   *     group: |L|·|R| / max(g_L, g_R). This is the estimate graft's
   *     introspection surface ([[graft.api.PlanIntrospection]]) reports
-  *     for the node, and what the CE battery grades.
+  *     for the node, and what the CE battery grades;
+  *   - the F2 moment recorded alongside the ndv feeds
+  *     [[graft.plans.ColumnGroupCertifiedBroadcast]], which turns the
+  *     statistic into actual plan changes (certified broadcasts Spark's
+  *     min-per-key estimator would deny).
   *
-  * At 100 TB the analyze cost is one shuffle-free partial-HLL pass
-  * (`approx_count_distinct` keeps it so); the payoff is join-size
-  * estimates that no longer compound a ×ndv-correlation error into
-  * every downstream broadcast/shuffle decision audit.
+  * At 100 TB the analyze cost is ONE distributed aggregate over the
+  * group (partial map-side combine, one shuffle on the tuple), run for
+  * the handful of composite join keys a schema actually has; the payoff
+  * is join-size estimates that no longer carry the ×ndv-correlation
+  * error into every downstream broadcast/shuffle decision.
   */
 object ExtendedStats {
 
   private val Prefix = "graft.stats.colgroup."
+  private val F2Prefix = "graft.stats.colgroupf2."
 
   def propertyKey(cols: Seq[String]): String =
     Prefix + cols.map(_.toLowerCase).sorted.mkString(",")
 
-  /** Compute ndv over the column tuple (exact distinct count — the
-    * groups a DBA registers are join keys, where exactness matters and
-    * the aggregate is one pass) and persist it on the table. Returns
-    * the ndv.
+  /** Property key of the tuple-frequency SECOND MOMENT F2 = Σ_t c(t)² —
+    * the self-join size of the column group (AMS/sketching literature's
+    * F2). For any equi-join on the tuple, Cauchy–Schwarz gives
+    * |L ⋈ R| = Σ_t c_L(t)·c_R(t) ≤ √(F2_L · F2_R): a TRUE upper bound,
+    * which is what a broadcast decision may safely act on (an estimate,
+    * however good, cannot certify that a build side fits).
+    */
+  def f2PropertyKey(cols: Seq[String]): String =
+    F2Prefix + cols.map(_.toLowerCase).sorted.mkString(",")
+
+  /** Compute ndv and F2 over the column tuple (exact — the groups a DBA
+    * registers are join keys, where exactness matters, and both come
+    * out of the SAME single aggregate pass) and persist them on the
+    * table. Returns the ndv.
     */
   def analyzeColumnGroup(spark: SparkSession, table: String,
                          cols: Seq[String]): Long = {
     require(cols.size >= 2, s"a column group needs ≥2 columns, got $cols")
-    val tuple = cols.map(c => s"`$c`").mkString("struct(", ", ", ")")
-    val ndv = spark.sql(
-      s"SELECT count(DISTINCT $tuple) AS ndv FROM $table")
-      .head().getLong(0)
+    val tuple = cols.map(c => s"`$c`").mkString(", ")
+    // F2 as double: Σc² overflows int64 past ~10^9.5 rows of one tuple,
+    // and a statistic needs relative precision, not exactness.
+    val row = spark.sql(
+      s"""SELECT count(*) AS ndv, sum(cast(c AS double) * c) AS f2
+         |FROM (SELECT count(*) AS c FROM $table GROUP BY $tuple)"""
+        .stripMargin).head()
+    val (ndv, f2) = (row.getLong(0), row.getDouble(1))
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
-      s"('${propertyKey(cols)}' = '$ndv')")
+      s"('${propertyKey(cols)}' = '$ndv', '${f2PropertyKey(cols)}' = '$f2')")
     ndv
   }
+
+  /** The registered group ndv of `cols` from a table-properties map —
+    * the snapshot a resolved plan already carries in its
+    * `LogicalRelation.catalogTable`, so optimizer rules can consult the
+    * statistic without a catalog round-trip per join node.
+    */
+  def groupNdvFromProperties(props: Map[String, String],
+                             cols: Seq[String]): Option[Long] =
+    props.get(propertyKey(cols)).map(_.toLong)
+
+  /** The registered F2 (tuple-frequency second moment) of `cols` from a
+    * table-properties map; see [[f2PropertyKey]].
+    */
+  def groupF2FromProperties(props: Map[String, String],
+                            cols: Seq[String]): Option[Double] =
+    props.get(f2PropertyKey(cols)).map(_.toDouble)
 
   /** The registered group ndv of `cols` on `table`, if analyzed. */
   def columnGroupNdv(spark: SparkSession, table: String,

@@ -403,13 +403,52 @@ object SourceSinkQueries {
             |FROM customer WHERE c_acctbal > 8000
             |GROUP BY c_nationkey""".stripMargin))
 
+  /** Column-group extended statistics driving a REAL plan change
+    * ([[graft.catalog.ExtendedStats]] + the
+    * [[graft.plans.ColumnGroupCertifiedBroadcast]] optimizer rule):
+    * Spark prices the correlated (l_partkey, l_suppkey) self-join with
+    * the minimum per-key containment estimate (~30× over at this SF),
+    * denying the broadcast of its output into the downstream join; the
+    * registered F2 moment certifies via Cauchy–Schwarz that the true
+    * output fits, and the rule flips the static plan to a broadcast
+    * join. The gate row proves the certified plan is result-identical
+    * to the oracle; the plan flip itself is asserted in
+    * ColumnGroupGuardSpec.
+    */
+  val colgroupBroadcast: QueryDef = QueryDef("colgroup_certified_broadcast",
+    (s, dir) => {
+      dropTableAndLocation(s, "gcg_li")
+      s.sql(s"""CREATE TABLE gcg_li USING PARQUET AS
+               |SELECT l_orderkey, l_partkey, l_suppkey
+               |FROM parquet.`$dir/lineitem.parquet`""".stripMargin)
+      s.sql("ANALYZE TABLE gcg_li COMPUTE STATISTICS FOR ALL COLUMNS")
+      graft.catalog.ExtendedStats.analyzeColumnGroup(
+        s, "gcg_li", Seq("l_partkey", "l_suppkey"))
+      s.sql("""SELECT w.l_orderkey, count(p.l_orderkey) AS pair_cnt
+              |FROM gcg_li w LEFT JOIN
+              |     (SELECT a.l_orderkey
+              |      FROM gcg_li a JOIN gcg_li b
+              |        ON a.l_partkey = b.l_partkey
+              |       AND a.l_suppkey = b.l_suppkey) p
+              |  ON p.l_orderkey = w.l_orderkey
+              |GROUP BY w.l_orderkey""".stripMargin)
+    },
+    Some("""SELECT w.l_orderkey, count(p.l_orderkey) AS pair_cnt
+           |FROM lineitem w LEFT JOIN
+           |     (SELECT a.l_orderkey
+           |      FROM lineitem a JOIN lineitem b
+           |        ON a.l_partkey = b.l_partkey
+           |       AND a.l_suppkey = b.l_suppkey) p
+           |  ON p.l_orderkey = w.l_orderkey
+           |GROUP BY w.l_orderkey""".stripMargin))
+
   /** HAVING on a global aggregate (no GROUP BY) — NIST-style edge. */
   val havingNoGroupBy: QueryDef = QueryDef.sameSql("having_no_groupby",
     """SELECT COUNT(*) AS c, MIN(o_orderkey) AS mn FROM orders
       |HAVING COUNT(*) > 10 AND MAX(o_totalprice) > 0""".stripMargin)
 
   val defs: Seq[QueryDef] = Seq(
-    copyCsv, ddlInsert, analyze, statsInject,
+    copyCsv, ddlInsert, analyze, statsInject, colgroupBroadcast,
     dsl, dslAgg, dslTopk, udfSqroot,
     udfTwoArg, udfThreeArg, udfVecDot, streamTumble, streamTumbleParquet,
     streamStaticEnrich, compactFiles,
