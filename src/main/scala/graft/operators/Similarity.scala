@@ -246,6 +246,11 @@ object Similarity {
 
   /** Encode: codes[j] = argmin_cid L2(sub_j, cw) — array_min over
     * struct(d2, cid) is lexicographic, i.e. min distance then min cid.
+    * Every input column except the consumed embedding passes through —
+    * so a caller that already carries the coarse `cid` on each row
+    * (IVF variants) keeps it for free instead of joining the encoded
+    * frame back to itself to recover it (each such join was a full
+    * corpus-sized shuffle+sort pair at scale).
     */
   private def pqEncode(qc: DataFrame, cb: DataFrame, subDim: Int): DataFrame =
     qc.crossJoin(broadcast(cb))
@@ -255,7 +260,7 @@ object Similarity {
            |    aggregate(zip_with(slice(qe, e.j * $subDim + 1, $subDim), c.cw,
            |      (a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v) AS d2,
            |    c.cid AS cid))).cid)""".stripMargin))
-      .select("vec_id", "codes")
+      .drop("qe", "cb")
 
   /** Per-query lookup tables against the broadcast codebook:
     * lut[j+1][cid+1] = dot(q_sub_j, codeword cid of subspace j).
@@ -318,10 +323,12 @@ object Similarity {
     require(m * subDim == dim, s"m=$m must divide dim=$dim")
     val qc = corpus.select(col("vec_id"), vec.quantize(col("embedding")).as("qe"))
     // Coarse: seeded centroids; each corpus vector files under one list.
+    // The assignment keeps qe so pqEncode can carry cid through — no
+    // join back onto the corpus to recover the list id.
     val seedArr = qc.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").cast("int").as("cid"), col("qe").as("ce"))
       .agg(sort_array(collect_list(struct(col("cid"), col("ce")))).as("cents"))
-    val lists = coarseAssign(qc, seedArr).select(col("vec_id"), col("cid"))
+    val lists = coarseAssign(qc, seedArr).select(col("vec_id"), col("qe"), col("cid"))
     // Each query probes its nprobe nearest centroids (cos DESC, cid ASC).
     val probes = queries
       .select(col("vec_id").as("q_id"), vec.quantize(col("embedding")).as("qe"))
@@ -333,8 +340,7 @@ object Similarity {
           x => x.getField("cid"))).as("p_cid"))
     // Fine: global PQ codebook; ADC only inside probed lists.
     val cb = pqCodebook(qc, m, ks, subDim)
-    val scored = pqEncode(qc, cb, subDim)
-      .join(lists, "vec_id")
+    val scored = pqEncode(lists, cb, subDim)
       .join(broadcast(probes.join(pqLut(queries, cb, subDim), "q_id")),
         col("cid") === col("p_cid") && col("vec_id") =!= col("q_id"))
       .withColumn("adc_dot", adcDot(m))
@@ -391,10 +397,10 @@ object Similarity {
       .cache()
     // Residual on the quantized grid: integer − integer is exact, so
     // codebook training, encoding and ADC stay oracle-reproducible.
-    // Lazy localCheckpoint (same rationale as the LSH helpers): three
-    // consumers read this frame (codebook seeds, encode, the cid join) —
-    // without it each re-runs the coarse assignment over the corpus,
-    // measured 2.5x the non-residual variant's wall-clock at sf0.1.
+    // Lazy localCheckpoint (same rationale as the LSH helpers): two
+    // consumers read this frame (codebook seeds, encode) — without it
+    // each re-runs the coarse assignment over the corpus, measured 2.5x
+    // the non-residual variant's wall-clock at sf0.1.
     val resid = coarseAssign(qc, centArr)
       .join(broadcast(centFlat), "cid")
       .select(col("vec_id"), col("cid"),
@@ -412,8 +418,7 @@ object Similarity {
       .select(col("q_id"),
         explode(slice(array_sort(col("__s")), 1, nprobe)).as("p"))
       .select(col("q_id"), col("p.cid").as("p_cid"), col("p.qd").as("q_ce_dot"))
-    val scored = pqEncode(resid.select("vec_id", "qe"), cb, subDim)
-      .join(resid.select("vec_id", "cid"), "vec_id")
+    val scored = pqEncode(resid.select("vec_id", "cid", "qe"), cb, subDim)
       .join(broadcast(probes.join(pqLut(queries, cb, subDim), "q_id")),
         col("cid") === col("p_cid") && col("vec_id") =!= col("q_id"))
       .withColumn("adc_dot", col("q_ce_dot") + adcDot(m))
