@@ -51,7 +51,12 @@ object JobenchPlan {
       leavesWithStats: Int,
       ourShape: Option[String],
       refShape: Option[String],
-      err: Option[String]) {
+      err: Option[String],
+      /** CBO row estimate at the optimized plan's root — captured here
+        * so stats-only harnesses (Tpch1Plan) don't re-plan the query a
+        * second time just to read it.
+        */
+      rootEst: Option[BigInt] = None) {
     def joinCount: Int = joins.values.sum
 
     /** Same join TREE as the reference — compared on the canonical
@@ -122,7 +127,9 @@ object JobenchPlan {
       }
 
       Audit(name, leaves.size, joins, cartesians, maxBcast, withStats,
-        Some(canonical(plan)), refShape, None)
+        Some(canonical(plan)), refShape, None,
+        rootEst = scala.util.Try(qe.optimizedPlan.stats.rowCount)
+          .toOption.flatten)
     } catch {
       case e: Exception =>
         Audit(name, 0, Map.empty, 0, 0L, 0, None, refShape,

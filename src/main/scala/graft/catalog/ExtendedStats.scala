@@ -72,9 +72,12 @@ object ExtendedStats {
     require(cols.size >= 2, s"a column group needs ≥2 columns, got $cols")
     val tuple = cols.map(c => s"`$c`").mkString(", ")
     // F2 as double: Σc² overflows int64 past ~10^9.5 rows of one tuple,
-    // and a statistic needs relative precision, not exactness.
+    // and a statistic needs relative precision, not exactness. The
+    // coalesce covers the empty table: ndv=0, F2=0 are its true values
+    // (any join on the tuple yields zero rows).
     val row = spark.sql(
-      s"""SELECT count(*) AS ndv, sum(cast(c AS double) * c) AS f2
+      s"""SELECT count(*) AS ndv,
+         |       coalesce(sum(cast(c AS double) * c), 0D) AS f2
          |FROM (SELECT count(*) AS c FROM $table GROUP BY $tuple)"""
         .stripMargin).head()
     val (ndv, f2) = (row.getLong(0), row.getDouble(1))
@@ -99,13 +102,16 @@ object ExtendedStats {
                             cols: Seq[String]): Option[Double] =
     props.get(f2PropertyKey(cols)).map(_.toDouble)
 
-  /** The registered group ndv of `cols` on `table`, if analyzed. */
+  /** The registered group ndv of `cols` on `table`, if analyzed. None
+    * for a missing table too — an introspection convenience must never
+    * throw where its caller would just fall back to Spark's estimate.
+    */
   def columnGroupNdv(spark: SparkSession, table: String,
-                     cols: Seq[String]): Option[Long] = {
-    val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    spark.sessionState.catalog.getTableMetadata(id)
-      .properties.get(propertyKey(cols)).map(_.toLong)
-  }
+                     cols: Seq[String]): Option[Long] =
+    scala.util.Try {
+      val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      spark.sessionState.catalog.getTableMetadata(id).properties
+    }.toOption.flatMap(groupNdvFromProperties(_, cols))
 
   /** Collect nodes through AQE stage boundaries (QueryStageExec hides
     * its subtree behind a leaf).
@@ -134,18 +140,32 @@ object ExtendedStats {
         p.logicalLink.get.stats.rowCount.get
     }.headOption
 
-  /** Resolve a side's join-key attributes to (table, columns) — defined
-    * only when every key column comes from the SAME base-table scan
-    * (aliased/derived keys keep Spark's own estimate).
+  /** Resolve a side's join-key attributes to (table properties,
+    * columns) — defined only when every key column comes from the SAME
+    * base-table scan (aliased/derived keys keep Spark's own estimate).
+    * Properties come from the scan's own `logicalLink` catalog snapshot
+    * (no catalog round-trip, and database-qualification is moot); the
+    * fallback metadata lookup uses the scan's FULL identifier and
+    * degrades to None rather than throwing — a same-named table in the
+    * current database must never be consulted by accident.
     */
-  private def keyOrigin(side: SparkPlan,
+  private def keyOrigin(spark: SparkSession, side: SparkPlan,
                         keys: Seq[AttributeReference])
-      : Option[(String, Seq[String])] = {
+      : Option[(Map[String, String], Seq[String])] = {
     val scans = collectThroughStages(side) { case s: FileSourceScanExec => s }
     val home = scans.filter(s =>
       keys.forall(k => s.output.exists(_.exprId == k.exprId)))
     home match {
-      case Seq(s) => s.tableIdentifier.map(_.table -> keys.map(_.name))
+      case Seq(s) =>
+        s.logicalLink
+          .collect {
+            case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+                if r.catalogTable.isDefined => r.catalogTable.get.properties
+          }
+          .orElse(s.tableIdentifier.flatMap(ti => scala.util.Try(
+            spark.sessionState.catalog.getTableMetadata(ti).properties)
+            .toOption))
+          .map(_ -> keys.map(_.name))
       case _ => None
     }
   }
@@ -176,10 +196,10 @@ object ExtendedStats {
         .filter(_.size == lk.size)
       rAttrs <- Option(rk.collect { case a: AttributeReference => a })
         .filter(_.size == rk.size)
-      (lTable, lCols) <- keyOrigin(left, lAttrs)
-      (rTable, rCols) <- keyOrigin(right, rAttrs)
-      gL <- columnGroupNdv(spark, lTable, lCols)
-      gR <- columnGroupNdv(spark, rTable, rCols)
+      (lProps, lCols) <- keyOrigin(spark, left, lAttrs)
+      (rProps, rCols) <- keyOrigin(spark, right, rAttrs)
+      gL <- groupNdvFromProperties(lProps, lCols)
+      gR <- groupNdvFromProperties(rProps, rCols)
       cardL <- inputCard(left)
       cardR <- inputCard(right)
     } yield {

@@ -226,7 +226,19 @@ object Multimodal {
     * (byte sums via hex digits), so this is the one multimodal path
     * whose PIXELS — not just headers — are cross-engine verified.
     */
-  def pixelStatsDocuments(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def pixelStatsDocuments(spark: SparkSession, docs: DataFrame): DataFrame =
+    rasterRoundTrip(spark, docs)((w, h, raster) =>
+      decodePpm(buildPpm(w, h, raster)))
+
+  /** The shared payload→raster convention of [[pixelStatsDocuments]]
+    * and [[pngPixelStatsDocuments]]: dims from the text's byte length,
+    * utf-8 bytes tiled across 3·w·h, then one codec round-trip per
+    * document. ONE implementation on purpose — both queries share the
+    * same DuckDB oracle, so a tiling tweak in a lone copy would
+    * silently break the other's oracle match.
+    */
+  private def rasterRoundTrip(spark: SparkSession, docs: DataFrame)(
+      roundTrip: (Int, Int, Array[Byte]) => PixelStats): DataFrame = {
     import spark.implicits._
     docs
       .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
@@ -244,7 +256,7 @@ object Multimodal {
           val raster = new Array[Byte](3 * w * h)
           var k = 0
           while (k < raster.length) { raster(k) = t(k % n); k += 1 }
-          decodePpm(buildPpm(w, h, raster)).copy(doc_id = p.doc_id)
+          roundTrip(w, h, raster).copy(doc_id = p.doc_id)
         }
       }
       .toDF()
@@ -399,8 +411,15 @@ object Multimodal {
     val stride = bpp * w
     val lines = new Array[Byte](h * (stride + 1))
     var off = 0
-    while (!inflater.finished() && off < lines.length)
-      off += inflater.inflate(lines, off, lines.length - off)
+    while (!inflater.finished() && off < lines.length) {
+      val k = inflater.inflate(lines, off, lines.length - off)
+      // A truncated deflate stream (the IDAT CRC only covers the bytes
+      // PRESENT, so it passes) makes inflate() return 0 forever once
+      // input is exhausted — fail loudly instead of spinning.
+      require(k > 0, s"PNG: deflate stream truncated at $off of " +
+        s"${lines.length} scanline bytes")
+      off += k
+    }
     inflater.end()
     require(off == lines.length,
       s"PNG: inflated $off of ${lines.length} scanline bytes")
@@ -449,24 +468,7 @@ object Multimodal {
     * genuine image codec stream, not a header stapled to raw text.
     */
   def pngPixelStatsDocuments(spark: SparkSession,
-                             docs: DataFrame): DataFrame = {
-    import spark.implicits._
-    docs
-      .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload",
-        "source", "lang")
-      .as[Payload]
-      .mapPartitions { it =>
-        it.filter(_.payload.nonEmpty).map { p =>
-          val t = p.payload
-          val n = t.length
-          val w = n % DimBase + 1
-          val h = (n / DimBase) % DimBase + 1
-          val raster = new Array[Byte](3 * w * h)
-          var k = 0
-          while (k < raster.length) { raster(k) = t(k % n); k += 1 }
-          decodePngPixels(encodePng(w, h, raster)).copy(doc_id = p.doc_id)
-        }
-      }
-      .toDF()
-  }
+                             docs: DataFrame): DataFrame =
+    rasterRoundTrip(spark, docs)((w, h, raster) =>
+      decodePngPixels(encodePng(w, h, raster)))
 }
