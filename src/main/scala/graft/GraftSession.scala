@@ -109,6 +109,10 @@ object GraftSession {
     * BEFORE join reorder, and a join hint planted there would disable
     * reordering for the whole chain. Idempotent per session (getOrCreate
     * can hand back an already-configured session in a shared test JVM).
+    * NOTE: `newSession()` clones build fresh session state and do NOT
+    * inherit these — call this again on the clone if it needs the
+    * post-reorder rules (the extension-injected rules carry over on
+    * their own).
     */
   def registerPostReorderRules(s: SparkSession): Unit =
     if (!s.experimental.extraOptimizations

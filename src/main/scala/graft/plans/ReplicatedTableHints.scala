@@ -12,9 +12,21 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * threshold — the planner then picks BroadcastHashJoin/BNLJ exactly as
   * the reference's property enforcement would place a PhysicBroadcast.
   *
-  * Injected via GraftExtensions (spark.sql.extensions); runs in the
-  * user-provided optimizer batch, after join reordering. Idempotent: a
-  * side with an existing hint is left untouched.
+  * Injected via GraftExtensions (spark.sql.extensions), which lands in
+  * the operator-optimization batches — BEFORE join reorder. That is a
+  * deliberate trade-off, not an accident: a hinted join becomes a
+  * single reorder ITEM (CostBasedJoinReorder only flattens hint-free
+  * inner joins), so the chains on either side of a replicated join
+  * still reorder freely while the replicated side's broadcast is
+  * guaranteed no matter what order wins — the reference's semantics
+  * require the broadcast unconditionally, so there is nothing for the
+  * cost model to decide at that join. Staying inside the extension
+  * also keeps the rule active for config-only users
+  * (`spark.sql.extensions` alone) and for `newSession()` clones, which
+  * do not inherit `experimental.extraOptimizations` (where the
+  * post-reorder rules live — see GraftSession.registerPostReorderRules
+  * for the placement contrast). Idempotent: a side with an existing
+  * hint is left untouched.
   */
 class ReplicatedTableHints extends Rule[LogicalPlan] {
 

@@ -7,12 +7,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = GraftSession.configure(
+    // build, not configure+getOrCreate: the suites must test the
+    // complete engine, including the post-reorder optimizer rules that
+    // live outside spark.sql.extensions.
+    val s = GraftSession.build(
       SparkSession.builder()
         .master("local[4]")
         .appName("graft-test")
-        .config("spark.sql.shuffle.partitions", "4")
-    ).getOrCreate()
+        .config("spark.sql.shuffle.partitions", "4"))
     s.sparkContext.setLogLevel("ERROR")
     s
   }
