@@ -43,6 +43,14 @@ object SqlDialect {
     """(?is)^\s*copy\s+(\w+)\s*(?:\([^)]*\))?\s+from\s+'([^']+)'\s*(?:where\s+(.+?))?\s*$""".r
   private val CreateIndex =
     """(?is)^\s*create\s+index\s+(\w+)\s+on\s+(\w+)\s*\(\s*([\w\s,]+?)\s*\)\s*$""".r
+  // SQL surface for graft.catalog.ExtendedStats (column-group tuple-ndv
+  // + F2 moment): ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMN GROUP
+  // (c1, c2[, ...]). Not a qpmodel form — an engine extension, so the
+  // statistic that drives the certified-broadcast rule is reachable
+  // from the SQL runner, not only the Scala API. Matched BEFORE plain
+  // spark.sql would reject the non-standard clause.
+  private val AnalyzeColumnGroup =
+    """(?is)^\s*analyze\s+table\s+([\w.]+)\s+compute\s+statistics\s+for\s+column\s+group\s*\(\s*([\w\s,]+?)\s*\)\s*$""".r
   // Bare `create table t (cols)` with NO suffix — the reference's own
   // tpch.sql/tpcds.sql text (its CreateTables() feeds these verbatim).
   // Matched LAST so the suffixed dialect forms above take precedence.
@@ -138,6 +146,14 @@ object SqlDialect {
     case CreateIndex(name, table, colList) =>
       Some(indexRewrite(spark, name, table,
         colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+    case AnalyzeColumnGroup(table, colList) =>
+      val groupCols = colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val ndv = catalog.ExtendedStats.analyzeColumnGroup(
+        spark, table, groupCols)
+      Some(spark.sql(
+        s"SELECT '$table' AS target, " +
+          s"'${groupCols.mkString(",")}' AS column_group, " +
+          s"CAST($ndv AS BIGINT) AS tuple_ndv"))
     case CreatePlain(name, colDefs) if balanced(colDefs) =>
       Some(spark.sql(
         s"CREATE TABLE $name (${cols(colDefs)}) USING parquet"))

@@ -189,6 +189,31 @@ class SqlRunnerSpec extends AnyFunSuite {
     s.sql("DROP TABLE dlct_ainf")
   }
 
+  test("dialect: ANALYZE ... FOR COLUMN GROUP registers tuple-ndv and F2") {
+    val s = spark
+    resetTable("dlct_cg")
+    assert(SqlDialect.exec(s,
+      "create table dlct_cg (a1 int, a2 int, a3 int)").isDefined)
+    s.sql("INSERT INTO dlct_cg VALUES (1,1,0),(1,1,0),(1,2,0),(2,1,0)")
+    val r = SqlDialect.exec(s,
+      "analyze table dlct_cg compute statistics for column group (a1, a2)")
+    assert(r.isDefined, "dialect must intercept the statement")
+    val row = r.get.collect().head
+    assert(row.getAs[Long]("tuple_ndv") == 3L) // (1,1) (1,2) (2,1)
+    val props = s.sessionState.catalog.getTableMetadata(
+      s.sessionState.sqlParser.parseTableIdentifier("dlct_cg")).properties
+    import graft.catalog.ExtendedStats
+    assert(props.get(ExtendedStats.propertyKey(Seq("a1", "a2")))
+      .contains("3"))
+    // F2 = 2^2 + 1 + 1 = 6 — the exact self-join size of the group.
+    assert(ExtendedStats.groupF2FromProperties(props, Seq("a1", "a2"))
+      .contains(6.0))
+    // Standard ANALYZE forms must still fall through to plain spark.sql.
+    assert(SqlDialect.exec(s,
+      "analyze table dlct_cg compute statistics for all columns").isEmpty)
+    s.sql("DROP TABLE dlct_cg")
+  }
+
   test("dialect: COPY FROM '|'-csv with WHERE inserts filtered rows") {
     val s = spark
     resetTable("dlct_copy")
