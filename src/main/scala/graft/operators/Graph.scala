@@ -181,8 +181,12 @@ object Graph {
     * order: (degree desc, node).
     */
   def degreeTopK(edges: DataFrame, k: Int): DataFrame =
-    edges.select(col("a").as("node"))
-      .union(edges.select(col("b").as("node")))
+    edges
+      // one explode pass, not a two-arm union: each union arm is a full
+      // replica of the upstream edge pipeline (the co-occurrence join +
+      // distinct) unless ReuseExchange happens to dedup it — the same
+      // guaranteed-once reasoning as edgeTriangles' degree stage
+      .select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .orderBy(col("deg").desc, col("node"))
       .limit(k)
