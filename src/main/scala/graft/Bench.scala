@@ -182,17 +182,21 @@ object Bench {
     (1 to 3).foreach(_ => once(record = true))
     val probeEnd = calProbe()
     errors.keys.foreach { k => times.remove(k); passes.remove(k) }
-    val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: the driver json.loads this line; f"%.3f" under a
+    // comma-decimal default locale would emit 2,640 and corrupt it.
+    def s3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = times.map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val ps = passes.map { case (k, vs) =>
-      "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
+      "\"" + k + "\":" + vs.map(s3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = times.values.sum
     val firstWarmTotal = passes.values.map(_.head).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"all_passes":$ps,"errors":$es,"cold_sec":${f"$coldTotal%.3f"},"first_warm_sec":${f"$firstWarmTotal%.3f"},"cal_probe_s":${f"$probeStart%.3f"},"cal_probe_end_s":${f"$probeEnd%.3f"},"cal_probe_par_s":${f"$probePar%.3f"},"cal_probe_mem_s":${f"$probeMem%.3f"},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"all_passes":$ps,"errors":$es,"cold_sec":${s3(coldTotal)},"first_warm_sec":${s3(firstWarmTotal)},"cal_probe_s":${s3(probeStart)},"cal_probe_end_s":${s3(probeEnd)},"cal_probe_par_s":${s3(probePar)},"cal_probe_mem_s":${s3(probeMem)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -69,9 +69,13 @@ object ColumnGroupSoak {
     val certified = runPasses(spark, passes)
     val certJoin = joinLine(spark)
 
+    // Locale.ROOT: f"%.3f" under a comma-decimal default locale would
+    // emit 2,640 and corrupt the JSON line.
+    def s3(t: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
     println(s"""{"sf_dir":"$sfDir","tuple_ndv":$ndv,""" +
-      s""""baseline_sec":[${baseline.map(t => f"$t%.3f").mkString(",")}],""" +
-      s""""certified_sec":[${certified.map(t => f"$t%.3f").mkString(",")}],""" +
+      s""""baseline_sec":[${baseline.map(s3).mkString(",")}],""" +
+      s""""certified_sec":[${certified.map(s3).mkString(",")}],""" +
       s""""baseline_join":"$baseJoin","certified_join":"$certJoin"}""")
     spark.sql("DROP TABLE IF EXISTS gcgs_li")
     spark.sql("DROP TABLE IF EXISTS gcgs_wide")

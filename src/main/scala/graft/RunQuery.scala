@@ -26,7 +26,8 @@ object RunQuery {
       println(f"""[runquery] $n $sec%.3f""")
       n -> sec
     }
-    val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = times.map { case (k, v) => "\"" + k + "\":" +
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
     println(s"""{"runquery":$qs,"dir":"$dir"}""")
     spark.stop()

@@ -71,7 +71,9 @@ object SkewSoak {
       n -> (sec, skewJoins)
     }
     val qs = results.map { case (n, (sec, sj)) =>
-      "\"" + n + "\":{\"sec\":" + f"$sec%.3f" + ",\"skew_joins\":" + sj + "}"
+      "\"" + n + "\":{\"sec\":" + String.format(
+        java.util.Locale.ROOT, "%.3f", Double.box(sec)) +
+        ",\"skew_joins\":" + sj + "}"
     }.mkString("{", ",", "}")
     println(s"""{"skewsoak":$qs,"dir":"$dir"}""")
     spark.stop()

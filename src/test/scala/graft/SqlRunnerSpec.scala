@@ -211,6 +211,12 @@ class SqlRunnerSpec extends AnyFunSuite {
     // Standard ANALYZE forms must still fall through to plain spark.sql.
     assert(SqlDialect.exec(s,
       "analyze table dlct_cg compute statistics for all columns").isEmpty)
+    // A 1-column "group" is a clear per-statement error (require with a
+    // message), which SqlRunner's statement-level catch reports without
+    // aborting the batch — same contract as a native parse failure.
+    val e = intercept[IllegalArgumentException](SqlDialect.exec(s,
+      "analyze table dlct_cg compute statistics for column group (a1)"))
+    assert(e.getMessage.contains("column group"))
     s.sql("DROP TABLE dlct_cg")
   }
 
