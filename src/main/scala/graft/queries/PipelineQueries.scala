@@ -502,7 +502,11 @@ object PipelineQueries {
         .select(col("q_id"), col("nn_id"))
       val ivf = Similarity.ivfKmeansTopK(embs(s, dir), annQueries(s, dir), 3)
         .select(col("q_id"), col("nn_id"), lit(1).as("hit"))
-      brute.join(ivf, Seq("q_id", "nn_id"), "left")
+      // Both sides are |queries|·k rows by construction, but Spark's
+      // size fallback (no stats through the top-k aggregates) prices
+      // them huge and plans a sort-merge join; the broadcast is the
+      // plan this k-bounded compare deserves at any corpus size.
+      brute.join(broadcast(ivf), Seq("q_id", "nn_id"), "left")
         .agg(count(lit(1)).as("n_true"),
           sum(coalesce(col("hit"), lit(0))).as("n_hit"))
         .select(col("n_true"), col("n_hit"),
@@ -804,7 +808,9 @@ object PipelineQueries {
         .select(col("q_id"), col("nn_id"))
       val pq = Similarity.pqTopK(embs(s, dir), annQueries(s, dir), 3)
         .select(col("q_id"), col("nn_id"), lit(1).as("hit"))
-      exact.join(pq, Seq("q_id", "nn_id"), "left")
+      // |queries|·k rows by construction — broadcast the compare side
+      // (same rationale as ann_ivf_recall).
+      exact.join(broadcast(pq), Seq("q_id", "nn_id"), "left")
         .agg(count(lit(1)).as("n_true"),
           sum(coalesce(col("hit"), lit(0))).as("n_hit"))
         .select(col("n_true"), col("n_hit"),
