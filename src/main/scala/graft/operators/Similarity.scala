@@ -445,7 +445,16 @@ object Similarity {
                    m: Int = 8, ks: Int = 16, dim: Int = 64): DataFrame = {
     val subDim = dim / m
     require(m * subDim == dim, s"m=$m must divide dim=$dim")
+    // Lazy localCheckpoint: the quantized corpus feeds the seed pass,
+    // the Lloyd assignment AND the final encode — without it each
+    // consumer re-scans the raw embedding column (measured 8 corpus
+    // scans in the initial plan), dedup'd only if ReuseExchange happens
+    // to fire. Same guaranteed-once trade as ivfPqResidualTopK's
+    // residual frame and Spark ML's cache-before-kmeans practice: one
+    // scan plus a corpus-sized local spill beats k re-reads of the
+    // fattest column in the lake.
     val qc = corpus.select(col("vec_id"), vec.quantize(col("embedding")).as("qe"))
+      .localCheckpoint(eager = false)
     val flat0 = pqSeedsFlat(qc, m, ks, subDim)
     val cb0 = pqNest(flat0)
     // Assign every (vector, subspace) to its nearest seed codeword.
