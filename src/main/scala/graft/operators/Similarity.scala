@@ -240,7 +240,10 @@ object Similarity {
              m: Int = 8, ks: Int = 16, dim: Int = 64): DataFrame = {
     val subDim = dim / m
     require(m * subDim == dim, s"m=$m must divide dim=$dim")
+    // Checkpointed once: the quantized corpus feeds the codebook seeds
+    // AND the encode (guaranteed-once rationale of pqKmeansTopK).
     val qc = corpus.select(col("vec_id"), vec.quantize(col("embedding")).as("qe"))
+      .localCheckpoint(eager = false)
     pqAdc(qc, queries, pqCodebook(qc, m, ks, subDim), k, m, subDim)
   }
 
@@ -321,7 +324,12 @@ object Similarity {
                 m: Int = 8, ks: Int = 16, dim: Int = 64): DataFrame = {
     val subDim = dim / m
     require(m * subDim == dim, s"m=$m must divide dim=$dim")
+    // Checkpointed once: the quantized corpus feeds the seed filter,
+    // the coarse assignment, the codebook AND the encode (measured 7
+    // file scans without it — guaranteed-once rationale of
+    // pqKmeansTopK).
     val qc = corpus.select(col("vec_id"), vec.quantize(col("embedding")).as("qe"))
+      .localCheckpoint(eager = false)
     // Coarse: seeded centroids; each corpus vector files under one list.
     // The assignment keeps qe so pqEncode can carry cid through — no
     // join back onto the corpus to recover the list id.

@@ -1049,8 +1049,14 @@ object PipelineQueries {
   val corpusPrep: QueryDef = QueryDef("pipeline_corpus_prep",
     (s, dir) => {
       val d = docs(s, dir).select("doc_id", "text", "lang")
+      // Checkpointed once: three consumers (exact dedup, the canonical
+      // text join, the language join) otherwise each re-scan the
+      // text-heavy documents source — 6 file scans measured in the
+      // initial plan, dedup'd only if ReuseExchange fires. One scan of
+      // the lake's fattest table, guaranteed.
       val corpus = d.unionByName(d.filter("doc_id % 5 = 0")
         .selectExpr("doc_id + 10000 AS doc_id", "text", "lang"))
+        .localCheckpoint(eager = false)
       val canonical = Dedup.exact(corpus)
         .join(corpus, org.apache.spark.sql.functions.expr("keep_id = doc_id"))
       val quality = TextAnalysis.stats(
