@@ -313,10 +313,15 @@ object TextAnalysis {
     * Returns (doc_id, n_tokens, nll).
     */
   def lmUnigramNll(docs: DataFrame): DataFrame = {
-    val toks = Par.spread(docs)
-      .select(col("doc_id"),
-        explode(wordTokens)
-          .as("tok"))
+    // Tokenize ONCE: the token stream feeds both the model build and
+    // the scoring join; without the checkpoint each consumer re-scans
+    // the text column and re-runs the tokenizer regex (the CPU cost
+    // here), dedup'd only if ReuseExchange fires. The checkpoint
+    // payload is the compact per-doc token array.
+    val base = Par.spread(docs)
+      .select(col("doc_id"), wordTokens.as("ws"))
+      .localCheckpoint(eager = false)
+    val toks = base.select(col("doc_id"), explode(col("ws")).as("tok"))
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     val tot = counts.agg(sum("c").as("t_tokens"),
       count(lit(1)).as("v_vocab"))
@@ -388,9 +393,15 @@ object TextAnalysis {
     * quantization keeps per-doc sums exact integer arithmetic.
     */
   def lmBigramNll(docs: DataFrame): DataFrame = {
+    // Tokenize ONCE (same rationale as lmUnigramNll): base feeds the
+    // bigram stream twice (model build + scoring) and the vocabulary
+    // count — 4 text scans and 4 tokenizer passes without the
+    // checkpoint; the in-row bigram transform recomputed from the
+    // token arrays is cheap by comparison.
     val base = Par.spread(docs)
       .select(col("doc_id"),
         wordTokens.as("ws"))
+      .localCheckpoint(eager = false)
     val bigrams = base.filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(ws) - 1),
