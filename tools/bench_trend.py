@@ -20,6 +20,18 @@ so a host running 2x slower (round 9's measured failure mode: probe
 probe participate in a separate RAW track; a query gates on the
 calibrated track when calibrated history exists for it, else on raw.
 
+The RAW track uses a TRIMMED trailing min — the single fastest history
+round per query is dropped whenever two or more rounds recorded it.
+Rationale (round 12 post-mortem): round 8's captures were anomalously
+fast across the board (tpch_q1 0.57 s there vs 0.77-1.02 s in every
+other round, byte-identical plans) — a host-speed outlier with no probe
+to calibrate it away — so an untrimmed min gated every later round
+against an unreachable floor and flagged ~10 false regressions at
+1.3-1.5x. One-sided noise justifies min-of-N; a one-round outlier FLOOR
+is exactly what a single-drop trim removes, while a genuine capability
+gain (reproduced in >=2 rounds) still lowers the baseline. Calibrated
+tracks are untrimmed: the probe already removes the host-speed term.
+
 Usage:
     python3 tools/bench_trend.py [--latest BENCH_rX.json] [--threshold 1.3]
 
@@ -55,9 +67,22 @@ def metric_of(path):
         # Salvage a tail truncated mid-line (r9's capture lost the line
         # head): the per-query map and probe fields are flat sub-objects
         # recoverable on their own.
+        queries = None
         qm = re.search(r'"queries":(\{[^{}]*\})', tail)
         if qm:
-            out = {"metric": "total", "queries": json.loads(qm.group(1))}
+            queries = json.loads(qm.group(1))
+        else:
+            # The driver keeps only the LAST 2000 bytes of bench stdout, so
+            # a long metric line loses its head — including the "queries"
+            # key (r12's capture starts mid-map). The "all_passes" map sits
+            # later in the line and survives whole; min() per query is
+            # exactly how Bench.scala derives "queries" from it.
+            am = re.search(r'"all_passes":(\{.*?\]\}),"errors"', tail)
+            if am:
+                queries = {q: min(v) for q, v in
+                           json.loads(am.group(1)).items() if v}
+        if queries:
+            out = {"metric": "total", "queries": queries}
             for k in ("cal_probe_s", "cal_probe_end_s", "cal_probe_par_s",
                       "cal_probe_mem_s"):
                 pm = re.search(r'"%s":([0-9.]+)' % k, tail)
@@ -118,9 +143,10 @@ def main():
         return out
 
     # Trailing min per query over every PRIOR round that ran it, on three
-    # tracks: raw seconds (all rounds), sec/single-probe, sec/par-probe
-    # (each calibrated track only over rounds carrying that probe kind).
-    tmin_raw = {}
+    # tracks: raw seconds (all rounds; trimmed — see module docstring),
+    # sec/single-probe, sec/par-probe (each calibrated track only over
+    # rounds carrying that probe kind).
+    raw_hist = {}
     tmin_cal = {"par": {}, "single": {}}
     for p in history:
         m = metric_of(p)
@@ -129,10 +155,14 @@ def main():
         probes = probes_of(m)
         for q, sec in (m.get("queries") or {}).items():
             if isinstance(sec, (int, float)) and sec > 0:
-                tmin_raw[q] = min(tmin_raw.get(q, float("inf")), sec)
+                raw_hist.setdefault(q, []).append(sec)
                 for kind, pv in probes.items():
                     t = tmin_cal[kind]
                     t[q] = min(t.get(q, float("inf")), sec / pv)
+    # Trimmed raw baseline: drop each query's single fastest history round
+    # so one probe-less outlier round (r8) cannot set an unreachable floor.
+    tmin_raw = {q: min(sorted(v)[1:]) if len(v) > 1 else v[0]
+                for q, v in raw_hist.items()}
 
     latest_probes = probes_of(latest)
     regressions, new = [], []
