@@ -123,9 +123,19 @@ object Bench {
       SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus))
+    // The bench must time the COMPLETE engine — fail loudly if a future
+    // edit bypasses GraftSession.build and drops the post-reorder rules.
+    GraftSession.requireComplete(spark)
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated name substrings — local
+    // A/B iteration only (isolating one family to attribute a
+    // mid-sequence delta); the driver never sets it, so its artifact
+    // always carries the full set.
+    val onlyFilter = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').toSeq)
     val defs = Queries.all.filter(_.bench)
+      .filter(d => onlyFilter.forall(_.exists(d.name.contains)))
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val passes = scala.collection.mutable.LinkedHashMap[
       String, scala.collection.mutable.ArrayBuffer[Double]]()
@@ -152,6 +162,24 @@ object Bench {
                 .take(200).replaceAll("[\"\\\\\n\r\t]", " ")
         }
         }
+        // Per-query hygiene: localCheckpoint() persists at the RDD level,
+        // which clearCache() (CacheManager-only) never touches — without
+        // this, every checkpointing headliner's blocks accumulate across
+        // the whole sequence and later queries measure the query PLUS the
+        // residue's memory pressure (r12: graph_triangles 2.97 s
+        // standalone vs ~4.4 s mid-sequence). Safe between queries: each
+        // build() constructs fresh frames, so no later query can reference
+        // an earlier query's checkpointed RDD.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        // Shuffle files and broadcast blocks are freed by ContextCleaner
+        // only when the driver GCs their references — left alone, a
+        // single-JVM sequence carries every earlier query's shuffle dirs
+        // and broadcasts until the JVM happens to collect. Forcing the
+        // collection between queries is untimed and makes each query
+        // start from the same storage state (measured r13: together with
+        // the unpersist, graph_triangles mid-sequence 4.5 s -> ~3.2 s).
+        System.gc()
       }
       // Defensive: queries are expected to own their materializations
       // (the LSH helpers localCheckpoint instead of cache since r7), but

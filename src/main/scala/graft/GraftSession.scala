@@ -34,6 +34,17 @@ object GraftSession {
     // abort). Estimates err; the threshold is the failure bound.
     .config("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString)
     .config("spark.sql.parquet.filterPushdown", "true")
+    // Codegen compile cache (STATIC conf — applies at JVM session
+    // build). The default 100 entries thrashes under a multi-query
+    // workload: ~30 headline queries × several whole-stage fragments
+    // each evict one another, so every re-run of a query recompiles all
+    // its fragments (~1-2 s of Janino for the big graph/ANN plans —
+    // measured r13: graph_triangles 2.2 s run back-to-back vs 3.9 s the
+    // moment 11 other queries run in between, storage residue ruled
+    // out). A long-lived driver serving a query mix at cluster scale
+    // hits the identical wall; tens of MB of class metadata is the
+    // right trade for never recompiling a warm plan.
+    .config("spark.sql.codegen.cache.maxEntries", "2000")
     // events.parquet carries TIMESTAMP(NANOS); read as long, converted in
     // Tables.load (Spark has no native nanos timestamp).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -119,4 +130,24 @@ object GraftSession {
           .exists(_.isInstanceOf[graft.plans.ColumnGroupCertifiedBroadcast]))
       s.experimental.extraOptimizations ++=
         Seq(new graft.plans.ColumnGroupCertifiedBroadcast)
+
+  /** Assert the session IS the complete engine — extension-injected
+    * rules AND the post-reorder experimental rule. The experimental
+    * half is the fragile one: it lives in live-session state that
+    * `newSession()` clones and bare builders silently drop, so a future
+    * main that bypasses [[build]] would benchmark/verify a subtly
+    * lesser engine with nothing failing. Harness entry points
+    * (Verify/Bench/soaks) call this at startup to make the invariant
+    * self-enforcing rather than a comment.
+    */
+  def requireComplete(s: SparkSession): Unit = {
+    require(s.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.ColumnGroupCertifiedBroadcast]),
+      "incomplete engine: ColumnGroupCertifiedBroadcast is not registered " +
+        "— construct the session via GraftSession.build/local (newSession()" +
+        " clones drop experimental.extraOptimizations)")
+    require(s.sessionState.optimizer.batches.map(_.name)
+        .contains("User Provided Optimizers"),
+      "incomplete engine: the User Provided Optimizers batch is absent")
+  }
 }

@@ -20,6 +20,10 @@ object Verify {
       SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus))
+    // The correctness gate must grade the COMPLETE engine — fail loudly
+    // if a future edit bypasses GraftSession.build and silently drops
+    // the post-reorder experimental rules.
+    GraftSession.requireComplete(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var failed = 0
