@@ -48,6 +48,7 @@ object ExtendedStats {
 
   private val Prefix = "graft.stats.colgroup."
   private val F2Prefix = "graft.stats.colgroupf2."
+  private val RowsPrefix = "graft.stats.colgrouprows."
 
   def propertyKey(cols: Seq[String]): String =
     Prefix + cols.map(_.toLowerCase).sorted.mkString(",")
@@ -62,10 +63,22 @@ object ExtendedStats {
   def f2PropertyKey(cols: Seq[String]): String =
     F2Prefix + cols.map(_.toLowerCase).sorted.mkString(",")
 
-  /** Compute ndv and F2 over the column tuple (exact — the groups a DBA
-    * registers are join keys, where exactness matters, and both come
-    * out of the SAME single aggregate pass) and persist them on the
-    * table. Returns the ndv.
+  /** Property key of the table row count AT ANALYZE TIME — the moments
+    * above are a snapshot, and rows inserted after the analyze silently
+    * under-state F2. A consumer that acts on F2 as a HARD certificate
+    * (the broadcast rule) must be able to tell the snapshot is still
+    * current: it compares this recorded count against the catalog's
+    * live rowCount and declines when the table has grown. (Deletes are
+    * safe without any check: removing rows can only shrink every tuple
+    * frequency, so the recorded F2 stays a true upper bound.)
+    */
+  def rowsPropertyKey(cols: Seq[String]): String =
+    RowsPrefix + cols.map(_.toLowerCase).sorted.mkString(",")
+
+  /** Compute ndv, F2 and the row count over the column tuple (exact —
+    * the groups a DBA registers are join keys, where exactness matters,
+    * and all three come out of the SAME single aggregate pass) and
+    * persist them on the table. Returns the ndv.
     */
   def analyzeColumnGroup(spark: SparkSession, table: String,
                          cols: Seq[String]): Long = {
@@ -73,16 +86,29 @@ object ExtendedStats {
     val tuple = cols.map(c => s"`$c`").mkString(", ")
     // F2 as double: Σc² overflows int64 past ~10^9.5 rows of one tuple,
     // and a statistic needs relative precision, not exactness. The
-    // coalesce covers the empty table: ndv=0, F2=0 are its true values
-    // (any join on the tuple yields zero rows).
+    // coalesce covers the empty table: ndv=0, F2=0, rows=0 are its true
+    // values (any join on the tuple yields zero rows).
     val row = spark.sql(
       s"""SELECT count(*) AS ndv,
-         |       coalesce(sum(cast(c AS double) * c), 0D) AS f2
+         |       coalesce(sum(cast(c AS double) * c), 0D) AS f2,
+         |       coalesce(sum(c), 0L) AS rows
          |FROM (SELECT count(*) AS c FROM $table GROUP BY $tuple)"""
         .stripMargin).head()
-    val (ndv, f2) = (row.getLong(0), row.getDouble(1))
+    val (ndv, f2, rows) = (row.getLong(0), row.getDouble(1), row.getLong(2))
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
-      s"('${propertyKey(cols)}' = '$ndv', '${f2PropertyKey(cols)}' = '$f2')")
+      s"('${propertyKey(cols)}' = '$ndv', '${f2PropertyKey(cols)}' = '$f2'," +
+      s" '${rowsPropertyKey(cols)}' = '$rows')")
+    // The broadcast rule verifies snapshot freshness against the
+    // catalog's LIVE rowCount; a never-ANALYZEd table has none, which
+    // would leave this statement silently insufficient to arm the
+    // certificate. Establish one (a count, not a column scan) so
+    // `ANALYZE ... FOR COLUMN GROUP` alone is self-sufficient.
+    val hasRowCount = scala.util.Try {
+      val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      spark.sessionState.catalog.getTableMetadata(id).stats
+        .exists(_.rowCount.isDefined)
+    }.getOrElse(true) // non-catalog relation: nothing to establish
+    if (!hasRowCount) spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
     ndv
   }
 
@@ -101,6 +127,15 @@ object ExtendedStats {
   def groupF2FromProperties(props: Map[String, String],
                             cols: Seq[String]): Option[Double] =
     props.get(f2PropertyKey(cols)).map(_.toDouble)
+
+  /** The analyze-time row count recorded next to the group moments; see
+    * [[rowsPropertyKey]]. Absent on snapshots written before the count
+    * was recorded or injected without one — consumers that need a hard
+    * certificate must treat absence as "cannot verify freshness".
+    */
+  def groupRowsFromProperties(props: Map[String, String],
+                              cols: Seq[String]): Option[Long] =
+    props.get(rowsPropertyKey(cols)).map(_.toLong)
 
   /** The registered group ndv of `cols` on `table`, if analyzed. None
     * for a missing table too — an introspection convenience must never

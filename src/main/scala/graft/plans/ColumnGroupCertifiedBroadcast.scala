@@ -2,12 +2,13 @@ package graft.plans
 
 import scala.annotation.tailrec
 
+import org.apache.spark.sql.catalyst.catalog.CatalogTable
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, HintInfo, Join, LogicalPlan, Project}
-import org.apache.spark.sql.catalyst.plans.logical.statsEstimation.EstimationUtils
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types._
 
 import graft.catalog.ExtendedStats
 
@@ -44,8 +45,13 @@ import graft.catalog.ExtendedStats
   *     on both base tables (reached by Filter/Project only — anything
   *     row-increasing in between, another join, a generator, would
   *     break the bound and disqualifies the side);
+  *   - the statistic snapshot is verifiably CURRENT (analyze-time row
+  *     count vs live catalog rowCount — see [[groupF2]]);
+  *   - every output byte is accounted for by evidence, not schema
+  *     defaults (fixed-width types or ANALYZE avgLen — see
+  *     [[certifiedRowWidth]]);
   *   - Spark's own size estimate denies the broadcast, but
-  *     √(F2_L·F2_R) · avg-row-width fits under
+  *     √(F2_L·F2_R) · certified-row-width fits under
   *     `autoBroadcastJoinThreshold`.
   *
   * Runs in the `User Provided Optimizers` batch
@@ -97,10 +103,60 @@ class ColumnGroupCertifiedBroadcast extends Rule[LogicalPlan]
     for {
       join <- joinRoot(side)
       rowBound <- joinRowUpperBound(join)
-      width = EstimationUtils.getSizePerRow(side.output)
+      width <- certifiedRowWidth(side)
       if rowBound * BigDecimal(width) <= BigDecimal(threshold)
       if side.stats.sizeInBytes > threshold // not already broadcastable
     } yield HintInfo(Some(BROADCAST))
+  }
+
+  /** A row width the certificate may multiply the row bound by — None
+    * when no trustworthy width exists, in which case the side is NOT
+    * certified. A bound on rows times a GUESSED width is not a bound on
+    * bytes: Spark's schema-default widths price every string at 20
+    * bytes, so a side carrying long VARCHARs could exceed the broadcast
+    * threshold by the width error while "certified" (the r12 advisory).
+    * Accepted evidence, per output attribute:
+    *
+    *   - a fixed-width type: the width is the type's, no stats needed;
+    *   - a string/binary attribute whose ORIGIN column carries an
+    *     ANALYZE `avgLen` (read off the base relations' catalog
+    *     snapshots under the side): avgLen, plus Spark's own per-string
+    *     object overhead so the figure matches what the broadcast
+    *     actually builds;
+    *   - anything else (no avgLen, a computed variable-width value, an
+    *     array/map/struct): decline.
+    *
+    * avgLen is a mean, not a max — but the certificate multiplies it by
+    * the TOTAL row bound, and Σ len ≤ rows · avgLen holds exactly for
+    * the analyzed snapshot (the freshness gate in [[groupF2]] already
+    * pins the table to that snapshot), so the product stays a true
+    * byte bound up to the join's multiplicity mix; the ×1.001 slack on
+    * the row bound absorbs the stored double's rounding, and the 8-byte
+    * row overhead mirrors `EstimationUtils.getSizePerRow`.
+    */
+  private def certifiedRowWidth(side: LogicalPlan): Option[BigInt] = {
+    lazy val avgLens: Map[Long, Long] = side.collect {
+      case r: LogicalRelation if r.catalogTable.isDefined =>
+        val colStats = r.catalogTable.get.stats
+          .map(_.colStats).getOrElse(Map.empty)
+        r.output.flatMap(a =>
+          colStats.get(a.name).flatMap(_.avgLen).map(a.exprId.id -> _))
+    }.flatten.toMap
+    val widths = side.output.map { a =>
+      a.dataType match {
+        case _: NumericType | BooleanType | DateType | TimestampType |
+             TimestampNTZType | _: DayTimeIntervalType |
+             _: YearMonthIntervalType | NullType =>
+          Some(BigInt(a.dataType.defaultSize))
+        case StringType =>
+          // + (8 + 4) = UTF8String object + offset overhead, the same
+          // constant Spark's own estimator adds on top of avgLen.
+          avgLens.get(a.exprId.id).map(l => BigInt(l) + 8 + 4)
+        case BinaryType => avgLens.get(a.exprId.id).map(BigInt(_))
+        case _ => None
+      }
+    }
+    if (widths.forall(_.isDefined)) Some(widths.flatten.sum + 8) else None
   }
 
   /** The nearest Join under row-non-increasing operators; the F2 bound
@@ -143,6 +199,18 @@ class ColumnGroupCertifiedBroadcast extends Rule[LogicalPlan]
     * convenience: an operator that can RAISE per-tuple multiplicities
     * (a join, a generator, a union) would invalidate the base table's
     * moment as a bound for this side.
+    *
+    * Freshness gate: the moment is a point-in-time snapshot, and rows
+    * inserted AFTER the analyze under-state it — Spark's native stats
+    * only bias a threshold-guarded cost decision, but this rule acts on
+    * F2 as a hard certificate, so staleness it can detect must decline
+    * it. The analyze-time row count recorded next to F2 is compared to
+    * the catalog's live rowCount: grown table → no certificate; shrunk
+    * table is safe (deletes only lower tuple frequencies, the recorded
+    * F2 stays a true upper bound). Either count missing → cannot verify
+    * → no certificate. A catalog rowCount itself stale (no re-ANALYZE
+    * after the insert) is undetectable by ANY stats consumer; the
+    * contract is the standard one — stats reflect the last ANALYZE.
     */
   @tailrec private def groupF2(side: LogicalPlan,
                                keys: Seq[AttributeReference]): Option[Double] =
@@ -150,10 +218,17 @@ class ColumnGroupCertifiedBroadcast extends Rule[LogicalPlan]
       case r: LogicalRelation =>
         r.catalogTable
           .filter(_ => keys.forall(k => r.output.exists(_.exprId == k.exprId)))
+          .filter(snapshotFresh(_, keys.map(_.name)))
           .flatMap(t => ExtendedStats.groupF2FromProperties(
             t.properties, keys.map(_.name)))
       case Project(_, c) => groupF2(c, keys)
       case Filter(_, c) => groupF2(c, keys)
       case _ => None
     }
+
+  private def snapshotFresh(t: CatalogTable, cols: Seq[String]): Boolean =
+    (for {
+      recorded <- ExtendedStats.groupRowsFromProperties(t.properties, cols)
+      current <- t.stats.flatMap(_.rowCount)
+    } yield current <= BigInt(recorded)).getOrElse(false)
 }

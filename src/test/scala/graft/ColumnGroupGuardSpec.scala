@@ -29,14 +29,24 @@ class ColumnGroupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val sfDir = "/root/testdata/sf0.01"
   private var spark: SparkSession = _
   private val cols = Seq("l_partkey", "l_suppkey")
+  private val tables = Seq("cg_li", "cg_li_wide", "cg_li_str", "cg_li_grow")
+
+  /** Managed-table root from the session's own conf (the hardcoded repo
+    * path silently missed orphans whenever warehouse.dir differed —
+    * worktree checkout, CI path).
+    */
+  private def warehouseDir: java.io.File = {
+    val raw = spark.conf.get("spark.sql.warehouse.dir")
+    val uri = new java.net.URI(raw)
+    new java.io.File(if (uri.getScheme == "file") uri.getPath else raw)
+  }
 
   override def beforeAll(): Unit = {
     spark = GraftSession.local(cores = 4)
-    spark.sql("DROP TABLE IF EXISTS cg_li")
-    spark.sql("DROP TABLE IF EXISTS cg_li_wide")
-    // A previous JVM's crash can orphan the managed locations.
-    Seq("cg_li", "cg_li_wide").foreach { t =>
-      val dir = new java.io.File(s"/root/repo/target/warehouse/$t")
+    tables.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // A previous JVM's crash can orphan the managed locations.
+      val dir = new java.io.File(warehouseDir, t)
       if (dir.exists()) {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
@@ -51,19 +61,28 @@ class ColumnGroupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(
       s"""CREATE TABLE cg_li_wide USING parquet AS
          |SELECT * FROM parquet.`$sfDir/lineitem.parquet`""".stripMargin)
+    // A variable-width payload rides along with the pair key: ~120-char
+    // strings, 6x the 20-byte schema default — the gap the byte
+    // certificate must price from ANALYZE avgLen, not guess.
+    spark.sql(
+      s"""CREATE TABLE cg_li_str USING parquet AS
+         |SELECT l_orderkey, l_partkey, l_suppkey,
+         |       repeat(concat(l_returnflag, l_linestatus,
+         |                     cast(l_orderkey % 10 AS string)), 40) AS pad
+         |FROM parquet.`$sfDir/lineitem.parquet`""".stripMargin)
     spark.sql("ANALYZE TABLE cg_li COMPUTE STATISTICS FOR ALL COLUMNS")
     spark.sql("ANALYZE TABLE cg_li_wide COMPUTE STATISTICS FOR ALL COLUMNS")
+    spark.sql("ANALYZE TABLE cg_li_str COMPUTE STATISTICS")
   }
 
-  override def afterAll(): Unit = {
-    spark.sql("DROP TABLE IF EXISTS cg_li")
-    spark.sql("DROP TABLE IF EXISTS cg_li_wide")
-  }
+  override def afterAll(): Unit =
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
-  private def dropGroup(): Unit =
-    spark.sql("ALTER TABLE cg_li UNSET TBLPROPERTIES IF EXISTS " +
+  private def dropGroup(table: String = "cg_li"): Unit =
+    spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES IF EXISTS " +
       s"('${ExtendedStats.propertyKey(cols)}', " +
-      s"'${ExtendedStats.f2PropertyKey(cols)}')")
+      s"'${ExtendedStats.f2PropertyKey(cols)}', " +
+      s"'${ExtendedStats.rowsPropertyKey(cols)}')")
 
   /** The probe: self-join on the composite pair, feeding the right side
     * of a downstream LEFT join (outer joins don't reorder, so the pair
@@ -72,15 +91,22 @@ class ColumnGroupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     * join over a 2.3M-row fiction; with it, a certified broadcast of
     * the real ~78k rows.
     */
-  private val probe =
-    """SELECT w.l_orderkey, count(p.l_orderkey) AS pair_cnt
-      |FROM cg_li_wide w LEFT JOIN
-      |     (SELECT a.l_orderkey
-      |      FROM cg_li a JOIN cg_li b
-      |        ON a.l_partkey = b.l_partkey AND a.l_suppkey = b.l_suppkey) p
-      |  ON p.l_orderkey = w.l_orderkey
-      |GROUP BY w.l_orderkey
-      |ORDER BY pair_cnt DESC, w.l_orderkey LIMIT 20""".stripMargin
+  /** `counted` must reference every column the test wants to SURVIVE to
+    * the broadcast side — column pruning runs before the rule, so an
+    * unconsumed payload is (correctly) gone by certification time.
+    */
+  private def probeOn(pairTable: String, extraCol: String = "",
+                      counted: String = "p.l_orderkey"): String =
+    s"""SELECT w.l_orderkey, count($counted) AS pair_cnt
+       |FROM cg_li_wide w LEFT JOIN
+       |     (SELECT a.l_orderkey$extraCol
+       |      FROM $pairTable a JOIN $pairTable b
+       |        ON a.l_partkey = b.l_partkey AND a.l_suppkey = b.l_suppkey) p
+       |  ON p.l_orderkey = w.l_orderkey
+       |GROUP BY w.l_orderkey
+       |ORDER BY pair_cnt DESC, w.l_orderkey LIMIT 20""".stripMargin
+
+  private val probe = probeOn("cg_li")
 
   /** True iff the static plan broadcasts the OUTPUT OF A JOIN — the
     * missed opportunity the rule exists to reclaim. (Broadcasting a
@@ -210,5 +236,88 @@ class ColumnGroupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(broadcastsAJoinOutput(df.queryExecution.sparkPlan))
       }
     } finally dropGroup()
+  }
+
+  test("bytes are certified, not guessed: a wide string output blocks " +
+    "certification when schema-default pricing would have passed") {
+    val strProbe = probeOn("cg_li_str", extraCol = ", a.pad",
+      counted = "p.pad")
+    ExtendedStats.analyzeColumnGroup(spark, "cg_li_str", cols)
+    try {
+      // No column stats yet (plain ANALYZE): the string width is pure
+      // schema default — no byte evidence, so no certificate at ANY
+      // threshold, even one the default-width product sits under.
+      withThreshold(8L << 20) {
+        assert(!hasBroadcastHint(spark.sql(strProbe)),
+          "certified a variable-width side with no avgLen evidence")
+      }
+      spark.sql("ANALYZE TABLE cg_li_str COMPUTE STATISTICS FOR ALL COLUMNS")
+      spark.catalog.refreshTable("cg_li_str") // new catalog snapshot
+      // With avgLen the certificate prices the REAL bytes. Place the
+      // threshold strictly between the schema-default product (what the
+      // pre-r13 rule multiplied) and the avgLen product: a hint here
+      // would mean the guess, not the evidence, decided.
+      val f2 = ExtendedStats.groupF2FromProperties(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier("cg_li_str"))
+          .properties, cols).get
+      val avgLen = spark.sql(
+        "SELECT avg(length(pad)) FROM cg_li_str").head().getDouble(0)
+      val defaultBytes = f2 * (8 + 8 + 20) // row overhead + bigint + default
+      val realBytes = f2 * (8 + 8 + (avgLen + 12))
+      assert(realBytes > 2 * defaultBytes,
+        s"scenario lost its teeth: real $realBytes vs default $defaultBytes")
+      withThreshold(((defaultBytes + realBytes) / 2).toLong) {
+        assert(!hasBroadcastHint(spark.sql(strProbe)),
+          "certificate used schema-default width, not ANALYZE avgLen")
+      }
+      // Positive control — strings are certifiable WITH evidence: above
+      // the real byte bound the hint fires (and Spark alone still
+      // wouldn't broadcast: its estimate is ~30x over).
+      withThreshold((realBytes * 2).toLong) {
+        val df = spark.sql(strProbe)
+        assert(hasBroadcastHint(df),
+          "avgLen evidence present and bytes fit, but no certificate")
+        assert(broadcastsAJoinOutput(df.queryExecution.sparkPlan))
+      }
+    } finally dropGroup("cg_li_str")
+  }
+
+  test("a grown table declines the certificate until re-analyzed") {
+    spark.sql(
+      s"""CREATE TABLE cg_li_grow USING parquet AS
+         |SELECT l_orderkey, l_partkey, l_suppkey
+         |FROM parquet.`$sfDir/lineitem.parquet`""".stripMargin)
+    try {
+      spark.sql("ANALYZE TABLE cg_li_grow COMPUTE STATISTICS FOR ALL COLUMNS")
+      ExtendedStats.analyzeColumnGroup(spark, "cg_li_grow", cols)
+      val growProbe = probeOn("cg_li_grow")
+      withThreshold(4L << 20) {
+        assert(hasBroadcastHint(spark.sql(growProbe)))
+        // Inserts after the analyze under-state F2; once the catalog
+        // row count shows growth the rule must stop certifying (Spark's
+        // native stats merely bias a guarded cost decision — this rule
+        // FORCES a broadcast, so staleness it can see must disarm it).
+        spark.sql(
+          """INSERT INTO cg_li_grow
+            |SELECT l_orderkey + 10000000, l_partkey, l_suppkey
+            |FROM cg_li LIMIT 1000""".stripMargin)
+        spark.sql("ANALYZE TABLE cg_li_grow COMPUTE STATISTICS")
+        assert(!hasBroadcastHint(spark.sql(growProbe)),
+          "stale F2 snapshot still certified after the table grew")
+        // Re-analyze refreshes the moments: certificate restored.
+        ExtendedStats.analyzeColumnGroup(spark, "cg_li_grow", cols)
+        assert(hasBroadcastHint(spark.sql(growProbe)))
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS cg_li_grow")
+  }
+
+  test("requireComplete: a bare session clone is caught, the built " +
+    "engine passes") {
+    GraftSession.requireComplete(spark)
+    val bare = spark.newSession() // drops experimental.extraOptimizations
+    intercept[IllegalArgumentException] {
+      GraftSession.requireComplete(bare)
+    }
   }
 }

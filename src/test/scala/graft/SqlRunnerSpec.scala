@@ -208,6 +208,14 @@ class SqlRunnerSpec extends AnyFunSuite {
     // F2 = 2^2 + 1 + 1 = 6 — the exact self-join size of the group.
     assert(ExtendedStats.groupF2FromProperties(props, Seq("a1", "a2"))
       .contains(6.0))
+    // Analyze-time row count rides along (the broadcast rule's
+    // freshness evidence), and the statement is self-sufficient: a
+    // never-ANALYZEd table gets a catalog rowCount to verify against.
+    assert(ExtendedStats.groupRowsFromProperties(props, Seq("a1", "a2"))
+      .contains(4L))
+    assert(s.sessionState.catalog.getTableMetadata(
+      s.sessionState.sqlParser.parseTableIdentifier("dlct_cg"))
+      .stats.exists(_.rowCount.contains(BigInt(4))))
     // Standard ANALYZE forms must still fall through to plain spark.sql.
     assert(SqlDialect.exec(s,
       "analyze table dlct_cg compute statistics for all columns").isEmpty)
