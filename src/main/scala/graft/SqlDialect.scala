@@ -51,6 +51,14 @@ object SqlDialect {
   // spark.sql would reject the non-standard clause.
   private val AnalyzeColumnGroup =
     """(?is)^\s*analyze\s+table\s+([\w.]+)\s+compute\s+statistics\s+for\s+column\s+group\s*\(\s*([\w\s,]+?)\s*\)\s*$""".r
+  // Sibling extensions (r13): STRING HISTOGRAM (equal-depth boundaries
+  // driving the LIKE-prefix range estimate) and EXACT NDV (exact
+  // distinct counts next to ANALYZE's HLL sketch — the containment
+  // divisor is sensitive to the ±2% the sketch carries).
+  private val AnalyzeStringHistogram =
+    """(?is)^\s*analyze\s+table\s+([\w.]+)\s+compute\s+statistics\s+for\s+string\s+histogram\s*\(\s*(\w+)\s*\)\s*$""".r
+  private val AnalyzeExactNdv =
+    """(?is)^\s*analyze\s+table\s+([\w.]+)\s+compute\s+statistics\s+for\s+exact\s+ndv\s*\(\s*([\w\s,]+?)\s*\)\s*$""".r
   // Bare `create table t (cols)` with NO suffix — the reference's own
   // tpch.sql/tpcds.sql text (its CreateTables() feeds these verbatim).
   // Matched LAST so the suffixed dialect forms above take precedence.
@@ -154,6 +162,18 @@ object SqlDialect {
         s"SELECT '$table' AS target, " +
           s"'${groupCols.mkString(",")}' AS column_group, " +
           s"CAST($ndv AS BIGINT) AS tuple_ndv"))
+    case AnalyzeStringHistogram(table, col) =>
+      val buckets = catalog.ExtendedStats.analyzeStringHistogram(
+        spark, table, col)
+      Some(spark.sql(
+        s"SELECT '$table' AS target, '$col' AS col_name, " +
+          s"CAST($buckets AS INT) AS buckets"))
+    case AnalyzeExactNdv(table, colList) =>
+      val ndvCols = colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val ndvs = catalog.ExtendedStats.analyzeExactNdv(spark, table, ndvCols)
+      import spark.implicits._
+      Some(ndvCols.map(c => (table, c, ndvs(c)))
+        .toDF("target", "col_name", "ndv"))
     case CreatePlain(name, colDefs) if balanced(colDefs) =>
       Some(spark.sql(
         s"CREATE TABLE $name (${cols(colDefs)}) USING parquet"))

@@ -192,11 +192,15 @@ object PlanIntrospection {
 
   private def estimatedRows(spark: SparkSession,
                             n: SparkPlan): (Option[BigInt], Boolean) = {
-    // Extended statistics refine the multi-key equi-join estimate when
-    // the key tuples carry registered column-group ndv (see
-    // graft.catalog.ExtendedStats) — per-column stats force an
-    // independence assumption that correlated composite keys break.
-    graft.catalog.ExtendedStats.joinCorrection(spark, n) match {
+    // Extended statistics refine what Spark's estimation chain gets
+    // wrong (see graft.catalog.ExtendedStats): equi-joins are priced by
+    // per-edge containment composed recursively through join chains
+    // (column-group ndv for correlated composite keys, catalog ndv per
+    // single key), and LIKE-prefix filters by the registered string
+    // equal-depth histogram. Everything else reports Spark's own CBO
+    // rowCount, falling back to the size-derived quotient.
+    graft.catalog.ExtendedStats.containmentEstimate(spark, n)
+      .orElse(likePrefixEstimate(n)) match {
       case Some(corrected) => (Some(corrected), true)
       case None =>
         n.logicalLink.map { l =>
@@ -210,6 +214,57 @@ object PlanIntrospection {
           }
         }.getOrElse((None, false))
     }
+  }
+
+  /** Corrected estimate for a Filter whose condition carries top-level
+    * `col LIKE 'prefix%'` conjuncts over columns with a registered
+    * string histogram. Spark's FilterEstimation has no handler for
+    * StartsWith (selectivity 1.0 — its histograms cover numeric types
+    * only), so the correction multiplies Spark's own estimate for the
+    * REMAINING conjuncts by the histogram range selectivity of
+    * [prefix, succ(prefix)) per LIKE. Only positive top-level
+    * conjuncts are priced — a StartsWith under OR/NOT keeps Spark's
+    * estimate rather than guessing a polarity.
+    */
+  private def likePrefixEstimate(n: SparkPlan): Option[BigInt] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression, Literal, StartsWith}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.types.StringType
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    n.logicalLink.collect {
+      case f @ LFilter(cond, child) =>
+        val prefixes = conjuncts(cond).collect {
+          case StartsWith(a: AttributeReference, Literal(p, StringType))
+              if p != null => (a, p.toString)
+        }
+        if (prefixes.isEmpty) None
+        else {
+          val sels = prefixes.map { case (a, p) =>
+            child.collectFirst {
+              case r: LogicalRelation
+                  if r.catalogTable.isDefined &&
+                    r.output.exists(_.exprId == a.exprId) =>
+                r.catalogTable.get
+            }.flatMap { t =>
+              graft.catalog.ExtendedStats.prefixSelectivity(
+                t.properties, a.name, p,
+                t.stats.flatMap(_.rowCount).getOrElse(BigInt(0)))
+            }
+          }
+          for {
+            _ <- Option(()).filter(_ => sels.forall(_.isDefined))
+            base <- f.stats.rowCount
+          } yield {
+            val est = sels.flatten.foldLeft(BigDecimal(base))(_ * _)
+            est.setScale(0, BigDecimal.RoundingMode.HALF_UP)
+              .toBigInt.max(1)
+          }
+        }
+    }.flatten
   }
 
   /** Post-execution per-operator [[OpProfile]] rows — the optimizer's

@@ -28,11 +28,15 @@ import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHash
   *     order-insensitive), next to where ANALYZE keeps row counts;
   *   - [[StatsImport]]-style injection works too — the property is
   *     plain catalog metadata, settable without a scan;
-  *   - [[joinCorrection]] applies the containment bound to a physical
-  *     multi-key equi-join when BOTH input sides carry a registered
-  *     group: |L|·|R| / max(g_L, g_R). This is the estimate graft's
-  *     introspection surface ([[graft.api.PlanIntrospection]]) reports
-  *     for the node, and what the CE battery grades;
+  *   - [[containmentEstimate]] applies the containment bound to a
+  *     physical equi-join — max(g_L, g_R) for a registered composite
+  *     group, max(ndv_L, ndv_R) from catalog column stats per single
+  *     key — and composes it RECURSIVELY through join chains (each
+  *     side that roots at another join is priced the same way, not by
+  *     Spark's compounding intermediate re-derivation). This is the
+  *     estimate graft's introspection surface
+  *     ([[graft.api.PlanIntrospection]]) reports for join nodes, and
+  *     what the CE battery grades;
   *   - the F2 moment recorded alongside the ndv feeds
   *     [[graft.plans.ColumnGroupCertifiedBroadcast]], which turns the
   *     statistic into actual plan changes (certified broadcasts Spark's
@@ -148,6 +152,176 @@ object ExtendedStats {
       spark.sessionState.catalog.getTableMetadata(id).properties
     }.toOption.flatMap(groupNdvFromProperties(_, cols))
 
+  private val NdvPrefix = "graft.stats.ndv."
+
+  def ndvPropertyKey(col: String): String = NdvPrefix + col.toLowerCase
+
+  /** EXACT single-column ndv, persisted like the group stats. ANALYZE's
+    * own distinctCount is an HLL sketch (±2–5%), which is fine for
+    * threshold decisions but visible in the containment divisor: a
+    * join-key ndv read 199 instead of 200 inflates every chain estimate
+    * through that edge by the same ratio. Join keys are few and their
+    * exactness pays on every join, so the facility mirrors what it
+    * already does for tuples — one distributed aggregate per column
+    * batch (count(distinct) columns share the pass via expand).
+    */
+  def analyzeExactNdv(spark: SparkSession, table: String,
+                      cols: Seq[String]): Map[String, Long] = {
+    require(cols.nonEmpty)
+    val row = spark.sql(cols.map(c => s"count(DISTINCT `$c`)")
+      .mkString("SELECT ", ", ", s" FROM $table")).head()
+    val ndvs = cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      ndvs.map { case (c, n) => s"'${ndvPropertyKey(c)}' = '$n'" }
+        .mkString(", ") + ")")
+    ndvs.toMap
+  }
+
+  def exactNdvFromProperties(props: Map[String, String],
+                             col: String): Option[Long] =
+    props.get(ndvPropertyKey(col)).map(_.toLong)
+
+  // ---------------------------------------------------------------
+  // String equal-depth histogram — the statistic behind LIKE-prefix
+  // estimation. Spark's ANALYZE histograms cover numeric/date types
+  // only, so `p_type LIKE 'MEDIUM%'` gets selectivity 1.0 from
+  // FilterEstimation (the CE battery's worst remaining probe at 5.7×).
+  // The reference instead uses PostgreSQL's per-character heuristic
+  // (0.2 per fixed char — `Statis.cs:405-420`), which is why ITS LIKE
+  // probe errs 35×. A prefix predicate is exactly the string range
+  // [p, succ(p)), and an equal-depth histogram prices a range to
+  // ±1-bucket resolution — this is that histogram for strings.
+  // ---------------------------------------------------------------
+
+  private val StrHistPrefix = "graft.stats.strhist."
+
+  def strHistPropertyKey(col: String): String =
+    StrHistPrefix + col.toLowerCase
+
+  /** Rows the boundary sort may process before sampling kicks in. At
+    * warehouse scale an exact full sort per analyzed column is not the
+    * deal — equal-depth boundaries from a uniform row sample converge
+    * at O(1/√sample) per bucket, so 2M rows price a 10^11-row column to
+    * well under the histogram's own bucket resolution.
+    */
+  private val StrHistSampleCap = 2000000L
+
+  /** Build an equal-depth histogram (≤ `buckets` buckets) over a string
+    * column and persist its boundaries + non-null count in
+    * TBLPROPERTIES. One pass for the non-null count, one (sampled,
+    * capped) sort for the boundaries — an explicit ANALYZE-time cost,
+    * paid only for columns a DBA registers. Returns the bucket count.
+    */
+  def analyzeStringHistogram(spark: SparkSession, table: String,
+                             column: String, buckets: Int = 254): Int = {
+    import org.apache.spark.sql.functions.{col, expr, max, min}
+    val base = spark.table(table)
+      .select(col(column).cast("string").as("c"))
+      .where("c IS NOT NULL")
+    val total = base.count()
+    val frac = if (total > StrHistSampleCap)
+      StrHistSampleCap.toDouble / total else 1.0
+    val sampled = if (frac < 1.0) base.sample(frac, 42L) else base
+    val k = math.max(1, math.min(buckets, total.min(Int.MaxValue).toInt))
+    // ntile over a global ORDER BY: a single-partition sort of ≤2M
+    // sampled rows — bounded by the cap above, never by table size.
+    val rows = sampled
+      .select(col("c"), expr(s"ntile($k) OVER (ORDER BY c) AS b"))
+      .groupBy("b").agg(min("c").as("lo"), max("c").as("hi"))
+      .orderBy("b").collect()
+    val boundaries =
+      if (rows.isEmpty) Seq.empty[String]
+      else rows.head.getAs[String]("lo") +:
+        rows.map(_.getAs[String]("hi")).toSeq
+    val enc = (total.toString +: boundaries.map(b =>
+      java.net.URLEncoder.encode(b, "UTF-8"))).mkString(";")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('${strHistPropertyKey(column)}' = '${enc.replace("'", "''")}')")
+    boundaries.size - 1
+  }
+
+  /** (non-null count, boundaries) of a registered string histogram. */
+  def stringHistogramFromProperties(props: Map[String, String],
+      col: String): Option[(Long, IndexedSeq[String])] =
+    props.get(strHistPropertyKey(col)).flatMap { enc =>
+      val parts = enc.split(";", -1)
+      scala.util.Try((parts.head.toLong, parts.tail.toIndexedSeq
+        .map(java.net.URLDecoder.decode(_, "UTF-8")))).toOption
+        .filter(_._2.size >= 2)
+    }
+
+  /** 8 UTF-8 bytes starting at `skip` as a base-256 fraction in [0,1)
+    * — the interpolation device for a string's position inside a
+    * bucket. `skip` is the bucket bounds' common prefix length, so the
+    * 8 bytes of resolution are spent where the bounds actually differ
+    * (long shared prefixes — 'MEDIUM ANODIZED' vs 'MEDIUM POLISHED' —
+    * would otherwise exhaust the window before any signal).
+    */
+  private def strFrac(s: String, skip: Int): Double = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var v = 0.0; var scale = 1.0 / 256; var i = skip
+    while (i < math.min(skip + 8, b.length)) {
+      v += (b(i) & 0xff) * scale; scale /= 256; i += 1
+    }
+    v
+  }
+
+  /** Fraction of the histogram's rows in [lo, hi) — sum of full-bucket
+    * depths plus byte-interpolated partial ends. String comparisons
+    * decide full/empty/partial (exact); fractions only place interior
+    * endpoints within a straddled bucket. Result is in [0,1] by
+    * construction.
+    */
+  def rangeSelectivity(boundaries: IndexedSeq[String],
+                       lo: String, hi: Option[String]): Double = {
+    val k = boundaries.size - 1
+    if (k < 1) return 0.0
+    def bucketOverlap(i: Int): Double = {
+      val (bLo, bHi) = (boundaries(i), boundaries(i + 1))
+      if (hi.exists(_ <= bLo) || lo > bHi) 0.0
+      else if (lo <= bLo && hi.forall(_ > bHi)) 1.0
+      else {
+        val skip = bLo.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .zip(bHi.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .takeWhile { case (x, y) => x == y }.length
+        val (fLo, fHi) = (strFrac(bLo, skip), strFrac(bHi, skip))
+        if (fHi <= fLo) 0.5 // single-value bucket straddled: half credit
+        else {
+          val from = if (lo <= bLo) fLo else math.max(fLo, strFrac(lo, skip))
+          val to = hi match {
+            case Some(h) if h < bHi => math.min(fHi, strFrac(h, skip))
+            case _ => fHi
+          }
+          math.min(1.0, math.max(0.0, (to - from) / (fHi - fLo)))
+        }
+      }
+    }
+    (0 until k).map(bucketOverlap).sum / k
+  }
+
+  /** Selectivity of `col LIKE 'prefix%'` against a registered string
+    * histogram, as a fraction of the TABLE's rows (the non-null count
+    * the histogram recorded over `tableRows`). None when no histogram
+    * is registered for the column.
+    */
+  def prefixSelectivity(props: Map[String, String], col: String,
+                        prefix: String, tableRows: BigInt): Option[Double] =
+    stringHistogramFromProperties(props, col).map { case (nonNull, bs) =>
+      val sel = rangeSelectivity(bs, prefix, prefixSuccessor(prefix))
+      if (tableRows <= 0) sel
+      else sel * (BigDecimal(nonNull) / BigDecimal(tableRows)).toDouble
+    }
+
+  /** The least string greater than every string with this prefix —
+    * increment the last non-maximal char, dropping any U+FFFF tail.
+    * None for prefixes of only U+FFFF (match is unbounded above).
+    */
+  def prefixSuccessor(prefix: String): Option[String] = {
+    val trimmed = prefix.reverse.dropWhile(_ == Char.MaxValue).reverse
+    if (trimmed.isEmpty) None
+    else Some(trimmed.init + (trimmed.last + 1).toChar)
+  }
+
   /** Collect nodes through AQE stage boundaries (QueryStageExec hides
     * its subtree behind a leaf).
     */
@@ -165,15 +339,6 @@ object ExtendedStats {
     go(n)
     buf.toSeq
   }
-
-  /** The CBO row count of a join input: first node down the side with a
-    * propagated logical rowCount.
-    */
-  private def inputCard(side: SparkPlan): Option[BigInt] =
-    collectThroughStages(side) {
-      case p if p.logicalLink.exists(_.stats.rowCount.isDefined) =>
-        p.logicalLink.get.stats.rowCount.get
-    }.headOption
 
   /** Resolve a side's join-key attributes to (table properties,
     * columns) — defined only when every key column comes from the SAME
@@ -205,41 +370,130 @@ object ExtendedStats {
     }
   }
 
-  /** Containment-bound estimate for a multi-key INNER equi-join whose
-    * key tuples have registered column-group ndv on both sides:
-    * |L|·|R| / max(g_L, g_R), clamped to [1, |L|·|R|]. None when the
-    * node is not such a join or a group is missing — callers fall back
-    * to Spark's estimate.
+  // ---------------------------------------------------------------
+  // Recursive per-edge containment through join CHAINS. Spark's own
+  // estimator composes a chain by re-deriving per-column ndv on each
+  // intermediate (histogram bin sums under
+  // spark.sql.statistics.histogram.enabled), and the error compounds
+  // multiplicatively — the reference instead applies the containment
+  // formula edge by edge against BASE-table ndv
+  // (`LogicCard.cs:154-200`) and wins the battery's 3-way-chain and
+  // outer-join probes (1.00×/1.50× vs Spark's 2.69×/2.59×). This is
+  // that composition for graft's introspection estimator: each side of
+  // a join is priced by recursing into its own join subtree (or by
+  // Spark's filter/scan estimate where the side is join-free — those
+  // are the probes Spark already prices at ~1.0×), and each edge
+  // divides by the max side ndv read from the CATALOG's column stats,
+  // seeded by the registered column-group ndv for composite keys.
+  // ---------------------------------------------------------------
+
+  private type JoinParts = (org.apache.spark.sql.catalyst.plans.JoinType,
+    Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+    Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+    SparkPlan, SparkPlan)
+
+  private def joinParts(n: SparkPlan): Option[JoinParts] = n match {
+    case j: ShuffledHashJoinExec =>
+      Some((j.joinType, j.leftKeys, j.rightKeys, j.left, j.right))
+    case j: SortMergeJoinExec =>
+      Some((j.joinType, j.leftKeys, j.rightKeys, j.left, j.right))
+    case j: BroadcastHashJoinExec =>
+      Some((j.joinType, j.leftKeys, j.rightKeys, j.left, j.right))
+    case _ => None
+  }
+
+  /** Base-table ndv of one join-key attribute: the scan under `side`
+    * that outputs the attribute, then its catalog column stats. Base
+    * ndv (not filter-scaled) is deliberate — it matches the reference's
+    * estimator and keeps the containment divisor independent of the
+    * side's own estimate.
     */
-  def joinCorrection(spark: SparkSession, n: SparkPlan): Option[BigInt] = {
-    val parts = n match {
-      case j: ShuffledHashJoinExec
-          if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
-        Some((j.leftKeys, j.rightKeys, j.left, j.right))
-      case j: SortMergeJoinExec
-          if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
-        Some((j.leftKeys, j.rightKeys, j.left, j.right))
-      case j: BroadcastHashJoinExec
-          if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
-        Some((j.leftKeys, j.rightKeys, j.left, j.right))
-      case _ => None
+  private def keyNdv(spark: SparkSession, side: SparkPlan,
+                     key: AttributeReference): Option[BigInt] =
+    collectThroughStages(side) {
+      case s: FileSourceScanExec
+          if s.output.exists(_.exprId == key.exprId) => s
+    }.headOption.flatMap { s =>
+      s.logicalLink.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if r.catalogTable.isDefined => r.catalogTable.get
+      }.orElse(s.tableIdentifier.flatMap(ti => scala.util.Try(
+        spark.sessionState.catalog.getTableMetadata(ti)).toOption))
+        .flatMap(t => exactNdvFromProperties(t.properties, key.name)
+          .map(BigInt(_))
+          .orElse(t.stats
+            .flatMap(_.colStats.get(key.name).flatMap(_.distinctCount))))
     }
+
+  /** Cardinality of one join input for the chain composition: recurse
+    * when the side roots (through exchanges/stages/projections) at
+    * another supported join; take Spark's own logical rowCount at the
+    * first join-free estimable node otherwise (filters and scans are
+    * where Spark's ANALYZE-fed estimates are already near-exact). A
+    * Filter ABOVE a join keeps Spark's estimate for the whole side —
+    * scaling a recursed join estimate by a filter selectivity Spark
+    * derived for a different input estimate would mix models.
+    */
+  private def sideCard(spark: SparkSession, side: SparkPlan): Option[BigInt] =
+    side match {
+      case q: QueryStageExec => sideCard(spark, q.plan)
+      case a: AdaptiveSparkPlanExec => sideCard(spark, a.executedPlan)
+      case j if joinParts(j).isDefined => containmentEstimate(spark, j)
+      case p =>
+        val joinBeneath = collectThroughStages(p) {
+          case j if joinParts(j).isDefined => j
+        }.nonEmpty
+        p.logicalLink.map(_.stats.rowCount) match {
+          case Some(Some(rc)) if !joinBeneath => Some(rc)
+          case _ if p.children.size == 1 => sideCard(spark, p.children.head)
+          case _ => None
+        }
+    }
+
+  /** Per-edge containment estimate for a (possibly chained) equi-join:
+    * |L|·|R| / divisor, where the divisor is the registered
+    * column-group ndv containment max(g_L, g_R) for composite keys and
+    * max(ndv_L, ndv_R) from catalog column stats for a single key;
+    * outer joins floor at the preserved side (every preserved row
+    * survives). None — caller falls back to Spark — when the node is
+    * not a supported join, a multi-key join has no registered group
+    * (per-key independence is exactly the error this module exists to
+    * avoid), or any input/ndv lacks catalog evidence.
+    */
+  def containmentEstimate(spark: SparkSession, n: SparkPlan): Option[BigInt] = {
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
     for {
-      (lk, rk, left, right) <- parts
-      if lk.size >= 2
+      (jt, lk, rk, left, right) <- joinParts(n)
+      if Seq(Inner, LeftOuter, RightOuter, FullOuter).contains(jt)
       lAttrs <- Option(lk.collect { case a: AttributeReference => a })
         .filter(_.size == lk.size)
       rAttrs <- Option(rk.collect { case a: AttributeReference => a })
         .filter(_.size == rk.size)
-      (lProps, lCols) <- keyOrigin(spark, left, lAttrs)
-      (rProps, rCols) <- keyOrigin(spark, right, rAttrs)
-      gL <- groupNdvFromProperties(lProps, lCols)
-      gR <- groupNdvFromProperties(rProps, rCols)
-      cardL <- inputCard(left)
-      cardR <- inputCard(right)
+      cardL <- sideCard(spark, left)
+      cardR <- sideCard(spark, right)
+      divisor <- {
+        if (lAttrs.size >= 2)
+          for {
+            (lProps, lCols) <- keyOrigin(spark, left, lAttrs)
+            (rProps, rCols) <- keyOrigin(spark, right, rAttrs)
+            gL <- groupNdvFromProperties(lProps, lCols)
+            gR <- groupNdvFromProperties(rProps, rCols)
+          } yield BigInt(math.max(gL, gR))
+        else
+          for {
+            dL <- keyNdv(spark, left, lAttrs.head)
+            dR <- keyNdv(spark, right, rAttrs.head)
+          } yield dL.max(dR)
+      }
     } yield {
       val cross = cardL * cardR
-      (cross / BigInt(math.max(gL, gR)).max(1)).min(cross).max(1)
+      val inner = (cross / divisor.max(1)).min(cross).max(1)
+      jt match {
+        case LeftOuter => inner.max(cardL)
+        case RightOuter => inner.max(cardR)
+        case FullOuter => inner.max(cardL).max(cardR)
+        case _ => inner
+      }
     }
   }
 }

@@ -104,6 +104,34 @@ object SourceSinkQueries {
             |FROM lineitem WHERE l_orderkey <= 1000
             |GROUP BY l_returnflag""".stripMargin))
 
+  /** Extended-statistics dialect forms (r13): EXACT NDV and STRING
+    * HISTOGRAM — the statistics behind the containment chain estimator
+    * and the LIKE-prefix range estimate
+    * ([[graft.catalog.ExtendedStats]]). The registered exact ndv IS
+    * oracle-checkable (DuckDB counts the same distincts), so the gate
+    * row proves the analyze pass computes the statistic it claims; the
+    * histogram's effect on estimates is graded by CeParitySpec against
+    * the reference's own CE battery.
+    */
+  val analyzeExtended: QueryDef = QueryDef("analyze_exact_ndv",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      dropTableAndLocation(s, "graft_ord_ndv")
+      s.sql("""CREATE TABLE graft_ord_ndv USING PARQUET AS
+              |SELECT * FROM orders""".stripMargin)
+      graft.SqlDialect.exec(s, "analyze table graft_ord_ndv compute statistics " +
+        "for string histogram (o_orderpriority)")
+      graft.SqlDialect.exec(s, "analyze table graft_ord_ndv compute statistics " +
+        "for exact ndv (o_custkey, o_orderpriority)").get
+        .orderBy("col_name")
+    },
+    Some("""SELECT 'graft_ord_ndv' AS target, 'o_custkey' AS col_name,
+           |       COUNT(DISTINCT o_custkey) AS ndv FROM orders
+           |UNION ALL
+           |SELECT 'graft_ord_ndv', 'o_orderpriority',
+           |       COUNT(DISTINCT o_orderpriority) FROM orders
+           |ORDER BY col_name""".stripMargin))
+
   /** External stats injection (reference Presto-format stats import,
     * `PrestoStats.cs:38-119`, planning JOBench data-free): register
     * external parquet tables, inject warehouse-supplied rowCount/ndv
@@ -448,7 +476,8 @@ object SourceSinkQueries {
       |HAVING COUNT(*) > 10 AND MAX(o_totalprice) > 0""".stripMargin)
 
   val defs: Seq[QueryDef] = Seq(
-    copyCsv, ddlInsert, analyze, statsInject, colgroupBroadcast,
+    copyCsv, ddlInsert, analyze, analyzeExtended, statsInject,
+    colgroupBroadcast,
     dsl, dslAgg, dslTopk, udfSqroot,
     udfTwoArg, udfThreeArg, udfVecDot, streamTumble, streamTumbleParquet,
     streamStaticEnrich, compactFiles,

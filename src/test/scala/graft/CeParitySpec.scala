@@ -9,20 +9,30 @@ import graft.regress.CeBattery
 /** Cardinality-estimation parity on the reference's own CE battery
   * (`test/regress/sql/ce.sql` + committed `expect/ce.out`): 13 probes,
   * both estimators' q-errors compared on identical data and identical
-  * (qpmodel-semantics) predicates. Measured state this spec pins:
+  * (qpmodel-semantics) predicates. Measured state this spec pins
+  * (post-r13 estimator extensions):
   *
   *  - every probe gets an EXACT CBO rowCount (ANALYZE-fed estimation,
   *    never the size-based fallback);
-  *  - our worst probe (LIKE prefix, 5.7×) is far inside the
-  *    reference's worst (LIKE, 35×);
+  *  - LIKE-prefix (probe 5): priced from the registered string
+  *    equal-depth histogram as the range [MEDIUM, MEDIUN) — 1.03×,
+  *    where Spark's FilterEstimation has no StartsWith handler (5.7×
+  *    before r13) and the reference's per-character heuristic errs
+  *    35×;
   *  - group-count probes 10–12 are estimated EXACTLY (distinct-count
   *    stats) where the reference errs 2.9×/2.1×;
   *  - the correlated 2-key join (probe 7) — formerly our worst at 7.2×
   *    under per-column independence — is priced by the column-group
   *    containment bound ([[graft.catalog.ExtendedStats]]) at 1.23×,
   *    beating the reference's min-ndv-product 3.52×;
-  *  - geometric-mean q-error beats the reference's on its own battery
-  *    (1.38 vs 1.71).
+  *  - the chain probes the reference used to win — left-join+filter
+  *    (probe 8, ours was 2.59× vs its 1.50×) and the 3-way join
+  *    (probe 9, 2.69× vs 1.00×) — are priced by recursive per-edge
+  *    containment over exact registered ndv at 1.00×: Spark's own
+  *    chain estimation re-derives intermediate ndv per join and the
+  *    error compounds; the containment composition doesn't;
+  *  - geometric-mean q-error ~1.04 vs the reference's 1.71 on its own
+  *    battery, worst probe 1.23 vs its 35×.
   */
 class CeParitySpec extends AnyFunSuite {
 
@@ -54,6 +64,20 @@ class CeParitySpec extends AnyFunSuite {
       s, "partsupp", Seq("ps_partkey", "ps_suppkey"))
     graft.catalog.ExtendedStats.analyzeColumnGroup(
       s, "lineitem", Seq("l_partkey", "l_suppkey"))
+    // r13 estimator extensions, registered as a DBA would for the
+    // schema's join keys and LIKE-probed column: exact ndv (ANALYZE's
+    // HLL ±2% is visible in every containment divisor) and the string
+    // equal-depth histogram behind LIKE-prefix ranges.
+    graft.catalog.ExtendedStats.analyzeStringHistogram(s, "part", "p_type")
+    Seq("orders" -> Seq("o_orderkey", "o_custkey"),
+      "customer" -> Seq("c_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "partsupp" -> Seq("ps_partkey", "ps_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "supplier" -> Seq("s_suppkey")
+    ).foreach { case (t, cs) =>
+      graft.catalog.ExtendedStats.analyzeExactNdv(s, t, cs)
+    }
     val probes = CeBattery.run(s)
     assert(probes.size == 13, probes.map(_.idx))
     // our true counts must equal the reference's recorded actuals —
@@ -80,5 +104,26 @@ class CeParitySpec extends AnyFunSuite {
     assert(probes(6).ourQ <= probes(6).refQ,
       s"probe 7 (2-key join): ours=${probes(6).ourQ} " +
         s"ref=${probes(6).refQ} — column-group correction missing?")
+    // r13: the chain probes the reference used to win. Probe 8
+    // (left-join + filter) and probe 9 (3-way chain) must now price at
+    // or under the reference's q-error — recursive per-edge containment
+    // with exact registered ndv, not Spark's compounding intermediate
+    // re-derivation.
+    Seq(8, 9).foreach { i =>
+      val p = probes(i - 1)
+      assert(p.ourQ <= p.refQ,
+        s"probe $i (chain): ours=${p.ourQ} ref=${p.refQ} — " +
+          "containment chain composition missing?")
+    }
+    // LIKE-prefix (probe 5): the string histogram prices the range
+    // [MEDIUM, MEDIUN) to bucket resolution — measured 1.03x; 1.5x
+    // leaves slack for histogram resolution, not for losing the
+    // rewrite (Spark-native pricing reads 5.7x).
+    assert(probes(4).ourQ <= 1.5,
+      s"probe 5 (LIKE prefix): ${probes(4).ourQ} — string histogram " +
+        "estimate missing?")
+    // Battery-wide: measured gmean ~1.04; the pin at 1.15 would catch
+    // any probe silently regressing to its pre-r13 value.
+    assert(ourG < 1.15, f"gmean q-error regressed: $ourG%.3f")
   }
 }
