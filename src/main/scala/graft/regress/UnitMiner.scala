@@ -591,6 +591,92 @@ object UnitMiner {
     cur
   }
 
+  /** Correlated scalar subquery in a grouped select list
+    * (UnitTest.cs:1392: `select a1, 5+(select b2 from b where b1=a1)
+    * from a group by 1`). qpmodel evaluates the subquery per GROUP —
+    * legal because its only correlated references are grouping keys —
+    * while Spark demands the subquery itself appear in GROUP BY or an
+    * aggregate (SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_AGGREGATE_FUNCTION).
+    * When every grouping key is a plain column and the select list
+    * outside subquery spans references ONLY those keys (no aggregate
+    * functions), grouping and subquery evaluation commute: aggregate
+    * first in a derived table, then apply the select list — the
+    * subquery now correlates to an ordinary (post-group) column.
+    * Statements with a trailing HAVING/ORDER/LIMIT or expression keys
+    * are left alone (returned unchanged → the original error stands).
+    */
+  def liftGroupedScalarSubquery(sql: String): String = {
+    val s = sql.trim.stripSuffix(";")
+    def depth0Find(text: String, kw: String): Int = {
+      val re = ("(?i)\\b" + kw + "\\b").r
+      re.findAllMatchIn(text).find { m =>
+        val pre = text.substring(0, m.start)
+        pre.count(_ == '(') == pre.count(_ == ')')
+      }.map(_.start).getOrElse(-1)
+    }
+    if (!s.toLowerCase.startsWith("select ")) return sql
+    val fromAt = depth0Find(s, "from")
+    if (fromAt < 0) return sql
+    val selList = s.substring("select ".length, fromAt).trim
+    val rest = s.substring(fromAt + "from".length)
+    val gbAt = depth0Find(rest, "group\\s+by")
+    if (gbAt < 0) return sql
+    val fromWhere = rest.substring(0, gbAt).trim
+    val keysTail = rest.substring(gbAt).replaceFirst("(?i)group\\s+by", "")
+    if (Seq("having", "order\\s+by", "limit")
+          .exists(depth0Find(keysTail, _) >= 0)) return sql
+    def topSplit(text: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var bal = 0; var last = 0
+      text.zipWithIndex.foreach { case (c, i) =>
+        if (c == '(') bal += 1 else if (c == ')') bal -= 1
+        else if (c == ',' && bal == 0) { out += text.substring(last, i); last = i + 1 }
+      }
+      out += text.substring(last)
+      out.result().map(_.trim).filter(_.nonEmpty)
+    }
+    val items = topSplit(selList)
+    val keys = topSplit(keysTail).map { k =>
+      if (k.matches("\\d+")) {
+        val i = k.toInt - 1
+        if (i < 0 || i >= items.size) return sql
+        items(i).split("(?i)\\s+as\\s+")(0).trim
+      } else k
+    }
+    // keys must be plain columns; the select list outside subquery
+    // spans may reference only them and no aggregate function
+    if (!keys.forall(_.matches("\\w+"))) return sql
+    val noSubs = {
+      var cur = selList
+      var open = cur.toLowerCase.indexOf("(select")
+      while (open >= 0) {
+        var bal = 0; var i = open; var close = -1
+        while (i < cur.length && close < 0) {
+          val c = cur.charAt(i)
+          if (c == '(') bal += 1
+          else if (c == ')') { bal -= 1; if (bal == 0) close = i }
+          i += 1
+        }
+        if (close < 0) return sql
+        cur = cur.substring(0, open) + cur.substring(close + 1)
+        open = cur.toLowerCase.indexOf("(select")
+      }
+      cur
+    }
+    val keyCols = keys.map(_.toLowerCase).toSet
+    val colTokens = """\b[a-z][a-z_]*\d*\b""".r.findAllIn(noSubs.toLowerCase)
+      .toSeq.distinct
+    val aggNames = Set("count", "sum", "min", "max", "avg", "stddev",
+      "stddev_samp", "var_samp", "first", "last")
+    if (colTokens.exists(aggNames.contains)) return sql
+    val nonKey = colTokens.filterNot(keyCols.contains)
+      .filterNot(Set("as", "select", "from", "and", "or", "not", "case",
+        "when", "then", "else", "end", "null", "abs", "round").contains)
+    if (nonKey.nonEmpty) return sql
+    s"select $selList from (select ${keys.mkString(", ")} " +
+      s"from $fromWhere group by ${keys.mkString(", ")}) __g"
+  }
+
   /** Analyze `sql`, applying the error-triggered repairs above (at most
     * once each) — statements that analyze clean never get rewritten.
     */
@@ -613,6 +699,9 @@ object UnitMiner {
               Some(renameShadowAliases(cur))
             else if (msg.contains("UNRESOLVED_COLUMN"))
               Some(flattenTwoLevel(cur))
+            else if (msg.contains(
+                "SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_AGGREGATE_FUNCTION"))
+              Some(liftGroupedScalarSubquery(cur))
             else None
           repairedOpt match {
             case Some(r) if r != cur => cur = r; attempts += 1

@@ -13,14 +13,15 @@ import graft.regress.{RefRegress, UnitMiner}
   *
   * 310 (sql, expected-rows) assertions are mined; three are inherently
   * nondeterministic (LIMIT without ORDER BY) and of the remaining 307,
-  * **299 pass verbatim** (under the documented qpmodel dialect shims,
-  * including round 12's repair-on-error rewrites: two-level-correlation
-  * flattening, partial derived-table alias lists, and column-shadowing
-  * table aliases). The 8 non-passes are each pinned below with their
-  * class — three are reference defects DuckDB refutes on the same
-  * data, the rest are documented semantic or support differences. The
-  * pass count is pinned EXACTLY so both regressions and silent
-  * improvements surface.
+  * **300 pass verbatim** (under the documented qpmodel dialect shims,
+  * including the repair-on-error rewrites: two-level-correlation
+  * flattening, partial derived-table alias lists, column-shadowing
+  * table aliases, and round 13's grouped-scalar-subquery lift). The 7
+  * non-passes are each pinned below with their class — three are
+  * reference defects DuckDB refutes on the same data, one is a defect
+  * the reference's own source comment concedes, the rest are
+  * documented semantic or support differences. The pass count is
+  * pinned EXACTLY so both regressions and silent improvements surface.
   */
 class UnitBatterySpec extends AnyFunSuite {
 
@@ -45,10 +46,15 @@ class UnitBatterySpec extends AnyFunSuite {
         "(`… or b1 = (subq referencing a1 two levels up)`): Spark " +
         "resolves outer references one block deep, and the conjunctive " +
         "flatten rewrite is invalid under OR"),
-      1392 -> ("correlated scalar subquery in an aggregate select " +
-        "list: Spark requires it in the GROUP BY"),
-      2215 -> ("select expr not syntactically derivable from the group " +
-        "key (group by round(a1,10), select abs(-a1*2)): Spark rejects"),
+      // 1392 (correlated scalar subquery in a grouped select list)
+      // healed in r13 by UnitMiner.liftGroupedScalarSubquery.
+      2215 -> ("reference defect, conceded in its own source: the " +
+        "golden output 0,1;1,1;2,1 is what UnitTest.cs:2211-2215 " +
+        "itself comments as 'incorrect results' (correct would be " +
+        "0,1;2,1;4,1 for select abs(-a1*2) group by round(a1,10), and " +
+        "count() without args should be an error). Spark rejects the " +
+        "statement — matching the golden would mean reproducing a " +
+        "bug the reference itself disowns"),
       2672 -> ("set-op precedence: the reference evaluates UNION/" +
         "INTERSECT left-to-right; standard (and DuckDB on this data) " +
         "binds INTERSECT tighter — our 3 rows are the standard answer"),
@@ -73,7 +79,7 @@ class UnitBatterySpec extends AnyFunSuite {
     */
   private val Nondeterministic = Set(230, 2634, 2813)
 
-  test("reference inline unit battery: 310 mined, 282/307 deterministic pass verbatim, " +
+  test("reference inline unit battery: 310 mined, 300/307 deterministic pass verbatim, " +
     "every non-pass pinned to a documented class") {
     val src = Files.readString(
       Paths.get("/root/reference/test/UnitTest.cs"))
@@ -110,7 +116,7 @@ class UnitBatterySpec extends AnyFunSuite {
     assert(healed.isEmpty,
       s"pinned cases now PASS — unpin them and raise the count: $healed")
 
-    assert(results.count(_.outcome == UnitMiner.Pass) == 299)
+    assert(results.count(_.outcome == UnitMiner.Pass) == 300)
   }
 
   /** Negative battery: statements the reference asserts FAIL
