@@ -62,14 +62,28 @@ object GraftSession {
   val BytesPerShufflePartition: Long = 128L << 20
 
   /** Initial shuffle-partition count derived from the input directory's
-    * byte size: ceil(bytes / 128 MB), floored at `cores` so small inputs
-    * still use every core. This encodes the r8 1000× soak lesson in code
-    * rather than an env var: 32 partitions OOM'd a 600M-row sort-merge
-    * join (~19M rows in one in-memory sort) that ran clean at 512.
-    * Over-provisioning is safe — AQE coalesces the excess at small scale —
-    * while under-provisioning spills or OOMs, so the initial count must be
-    * a function of input size, never a constant. On a real cluster the
-    * same derivation applies with the filesystem's content summary.
+    * byte size: ceil(bytes / 32 MB) — 4× headroom over the 128 MB
+    * input-per-partition target — floored at `cores` so small inputs
+    * still use every core. This encodes two soak lessons in code rather
+    * than an env var:
+    *
+    *  - r8 (1000×): 32 partitions OOM'd a 600M-row sort-merge join
+    *    (~19M rows in one in-memory sort) that ran clean at 512 — the
+    *    initial count must be a function of input size, never a
+    *    constant;
+    *  - r13 (100×): COMPRESSED bytes understate the in-flight working
+    *    set (zstd parquet decodes 3–10×, and operators expand —
+    *    tokenization, residual vectors), so the raw ceil(bytes/128 MB)
+    *    under-provisioned exactly one decade later:
+    *    `ann_ivf_pq_residual` ran 43 s at the derived 32 partitions vs
+    *    10 s at 256 (second-decade exponent 1.32 → 0.68), and
+    *    `pipeline_corpus_prep` 11.6 s vs 1.6 s. The 4× headroom keeps
+    *    per-task working sets decoded-size-bounded.
+    *
+    * Over-provisioning is safe — AQE coalesces the excess at small
+    * scale — while under-provisioning spills or OOMs, so the bias must
+    * be up. On a real cluster the same derivation applies with the
+    * filesystem's content summary.
     */
   def derivedShufflePartitions(dataDir: String, cores: Int): Int = {
     def sizeOf(f: java.io.File): Long =
@@ -77,8 +91,8 @@ object GraftSession {
         Option(f.listFiles).map(_.iterator.map(sizeOf).sum).getOrElse(0L)
       else f.length
     val bytes = sizeOf(new java.io.File(dataDir))
-    val needed = (bytes + BytesPerShufflePartition - 1) /
-      BytesPerShufflePartition
+    val perPartition = BytesPerShufflePartition / 4 // compression headroom
+    val needed = (bytes + perPartition - 1) / perPartition
     math.max(cores, needed).toInt
   }
 
