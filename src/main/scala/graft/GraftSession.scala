@@ -154,14 +154,13 @@ object GraftSession {
     * (Verify/Bench/soaks) call this at startup to make the invariant
     * self-enforcing rather than a comment.
     */
-  def requireComplete(s: SparkSession): Unit = {
+  def requireComplete(s: SparkSession): Unit =
     require(s.experimental.extraOptimizations
         .exists(_.isInstanceOf[graft.plans.ColumnGroupCertifiedBroadcast]),
       "incomplete engine: ColumnGroupCertifiedBroadcast is not registered " +
         "— construct the session via GraftSession.build/local (newSession()" +
         " clones drop experimental.extraOptimizations)")
-    require(s.sessionState.optimizer.batches.map(_.name)
-        .contains("User Provided Optimizers"),
-      "incomplete engine: the User Provided Optimizers batch is absent")
-  }
+    // No batch-presence check: SparkOptimizer always materializes the
+    // `User Provided Optimizers` batch (empty or not), so such a require
+    // could never fire — the registration check above is the guard.
 }

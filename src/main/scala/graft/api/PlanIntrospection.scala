@@ -226,18 +226,26 @@ object PlanIntrospection {
     * conjuncts are priced — a StartsWith under OR/NOT keeps Spark's
     * estimate rather than guessing a polarity.
     */
+  /** Catalyst's own conjunct splitter (protected in PredicateHelper,
+    * re-exposed through a private holder) — the same splitter
+    * ColumnGroupCertifiedBroadcast uses, not a re-implementation.
+    */
+  private object Conjuncts
+      extends org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+    def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      splitConjunctivePredicates(e)
+  }
+
   private def likePrefixEstimate(n: SparkPlan): Option[BigInt] = {
-    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression, Literal, StartsWith}
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, IsNotNull, Literal, StartsWith}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     import org.apache.spark.sql.types.StringType
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case x => Seq(x)
-    }
     n.logicalLink.collect {
       case f @ LFilter(cond, child) =>
-        val prefixes = conjuncts(cond).collect {
+        val conjs = Conjuncts.split(cond)
+        val prefixes = conjs.collect {
           case StartsWith(a: AttributeReference, Literal(p, StringType))
               if p != null => (a, p.toString)
         }
@@ -250,9 +258,19 @@ object PlanIntrospection {
                     r.output.exists(_.exprId == a.exprId) =>
                 r.catalogTable.get
             }.flatMap { t =>
+              // Spark's base estimate (the rowCount below) has already
+              // priced an explicit/inferred isnotnull(a) conjunct when
+              // one is present — scaling by the histogram's null
+              // fraction again would double-count it.
+              val nullsExcluded = conjs.exists {
+                case IsNotNull(ar: AttributeReference) =>
+                  ar.exprId == a.exprId
+                case _ => false
+              }
               graft.catalog.ExtendedStats.prefixSelectivity(
                 t.properties, a.name, p,
-                t.stats.flatMap(_.rowCount).getOrElse(BigInt(0)))
+                t.stats.flatMap(_.rowCount).getOrElse(BigInt(0)),
+                nullsAlreadyExcluded = nullsExcluded)
             }
           }
           for {

@@ -103,16 +103,19 @@ object ExtendedStats {
       s"('${propertyKey(cols)}' = '$ndv', '${f2PropertyKey(cols)}' = '$f2'," +
       s" '${rowsPropertyKey(cols)}' = '$rows')")
     // The broadcast rule verifies snapshot freshness against the
-    // catalog's LIVE rowCount; a never-ANALYZEd table has none, which
-    // would leave this statement silently insufficient to arm the
-    // certificate. Establish one (a count, not a column scan) so
+    // catalog's LIVE rowCount; a never-ANALYZEd table has none, and a
+    // stale one (last ANALYZE before deletes) can sit ABOVE the count
+    // just computed, which would dis-arm the certificate forever
+    // (current > recorded) despite the moments being current. Whenever
+    // the catalog's count disagrees with the truth this statement just
+    // measured, refresh it (a count, not a column scan) so
     // `ANALYZE ... FOR COLUMN GROUP` alone is self-sufficient.
-    val hasRowCount = scala.util.Try {
+    val rowCountCurrent = scala.util.Try {
       val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
       spark.sessionState.catalog.getTableMetadata(id).stats
-        .exists(_.rowCount.isDefined)
+        .flatMap(_.rowCount).contains(BigInt(rows))
     }.getOrElse(true) // non-catalog relation: nothing to establish
-    if (!hasRowCount) spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    if (!rowCountCurrent) spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
     ndv
   }
 
@@ -229,12 +232,28 @@ object ExtendedStats {
       .select(col("c"), expr(s"ntile($k) OVER (ORDER BY c) AS b"))
       .groupBy("b").agg(min("c").as("lo"), max("c").as("hi"))
       .orderBy("b").collect()
-    val boundaries =
-      if (rows.isEmpty) Seq.empty[String]
-      else rows.head.getAs[String]("lo") +:
-        rows.map(_.getAs[String]("hi")).toSeq
-    val enc = (total.toString +: boundaries.map(b =>
-      java.net.URLEncoder.encode(b, "UTF-8"))).mkString(";")
+    val full =
+      if (rows.isEmpty) IndexedSeq.empty[String]
+      else (rows.head.getAs[String]("lo") +:
+        rows.map(_.getAs[String]("hi")).toSeq).toIndexedSeq
+    // Metastore property values are bounded (Hive's PARAM_VALUE is
+    // 4000 chars); long boundary strings at 254 buckets can exceed it.
+    // Halving an equal-depth boundary list (keep first/last, every 2nd
+    // inside) yields the equal-depth histogram of half the buckets —
+    // resolution degrades gracefully instead of ALTER TABLE throwing
+    // on a Hive-backed catalog.
+    def encode(bs: IndexedSeq[String]): String =
+      (total.toString +: bs.map(b =>
+        java.net.URLEncoder.encode(b, "UTF-8"))).mkString(";")
+    var boundaries = full
+    var enc = encode(boundaries)
+    while (enc.length > 3500 && boundaries.size > 9) {
+      boundaries = boundaries.head +:
+        boundaries.tail.init.zipWithIndex.collect {
+          case (b, i) if i % 2 == 1 => b
+        } :+ boundaries.last
+      enc = encode(boundaries)
+    }
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
       s"('${strHistPropertyKey(column)}' = '${enc.replace("'", "''")}')")
     boundaries.size - 1
@@ -266,9 +285,29 @@ object ExtendedStats {
     v
   }
 
+  /** UTF-8 binary order — the order Spark's ORDER BY sorted the
+    * boundaries in (UTF8String compares bytes). Scala's String `<` is
+    * UTF-16 code-unit order, which DISAGREES for strings mixing
+    * supplementary characters (surrogate pairs) with U+E000–U+FFFF —
+    * a bucket could be misclassified fully-below a range it straddles.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val (x, y) = (a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+  private def utf8Le(a: String, b: String): Boolean = !utf8Lt(b, a)
+
   /** Fraction of the histogram's rows in [lo, hi) — sum of full-bucket
-    * depths plus byte-interpolated partial ends. String comparisons
-    * decide full/empty/partial (exact); fractions only place interior
+    * depths plus byte-interpolated partial ends. UTF-8-order string
+    * comparisons decide full/empty/partial (exact, matching the sort
+    * that built the boundaries); fractions only place interior
     * endpoints within a straddled bucket. Result is in [0,1] by
     * construction.
     */
@@ -278,8 +317,8 @@ object ExtendedStats {
     if (k < 1) return 0.0
     def bucketOverlap(i: Int): Double = {
       val (bLo, bHi) = (boundaries(i), boundaries(i + 1))
-      if (hi.exists(_ <= bLo) || lo > bHi) 0.0
-      else if (lo <= bLo && hi.forall(_ > bHi)) 1.0
+      if (hi.exists(utf8Le(_, bLo)) || utf8Lt(bHi, lo)) 0.0
+      else if (utf8Le(lo, bLo) && hi.forall(utf8Lt(bHi, _))) 1.0
       else {
         val skip = bLo.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           .zip(bHi.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -287,9 +326,10 @@ object ExtendedStats {
         val (fLo, fHi) = (strFrac(bLo, skip), strFrac(bHi, skip))
         if (fHi <= fLo) 0.5 // single-value bucket straddled: half credit
         else {
-          val from = if (lo <= bLo) fLo else math.max(fLo, strFrac(lo, skip))
+          val from = if (utf8Le(lo, bLo)) fLo
+            else math.max(fLo, strFrac(lo, skip))
           val to = hi match {
-            case Some(h) if h < bHi => math.min(fHi, strFrac(h, skip))
+            case Some(h) if utf8Lt(h, bHi) => math.min(fHi, strFrac(h, skip))
             case _ => fHi
           }
           math.min(1.0, math.max(0.0, (to - from) / (fHi - fLo)))
@@ -300,15 +340,22 @@ object ExtendedStats {
   }
 
   /** Selectivity of `col LIKE 'prefix%'` against a registered string
-    * histogram, as a fraction of the TABLE's rows (the non-null count
-    * the histogram recorded over `tableRows`). None when no histogram
-    * is registered for the column.
+    * histogram. The histogram records non-null rows, so the range
+    * fraction is relative to NON-NULL rows; when the surrounding
+    * estimate has NOT already excluded nulls, the caller passes
+    * `nullsAlreadyExcluded = false` and the fraction is scaled by
+    * nonNull/tableRows. A caller whose base estimate already applied
+    * `isnotnull(col)` (Spark infers it next to StartsWith whenever
+    * column stats exist) must pass `true`, or the null fraction is
+    * counted twice — a systematic under-estimate on nullable columns.
+    * None when no histogram is registered for the column.
     */
   def prefixSelectivity(props: Map[String, String], col: String,
-                        prefix: String, tableRows: BigInt): Option[Double] =
+                        prefix: String, tableRows: BigInt,
+                        nullsAlreadyExcluded: Boolean): Option[Double] =
     stringHistogramFromProperties(props, col).map { case (nonNull, bs) =>
       val sel = rangeSelectivity(bs, prefix, prefixSuccessor(prefix))
-      if (tableRows <= 0) sel
+      if (nullsAlreadyExcluded || tableRows <= 0) sel
       else sel * (BigDecimal(nonNull) / BigDecimal(tableRows)).toDouble
     }
 
@@ -429,12 +476,20 @@ object ExtendedStats {
     * when the side roots (through exchanges/stages/projections) at
     * another supported join; take Spark's own logical rowCount at the
     * first join-free estimable node otherwise (filters and scans are
-    * where Spark's ANALYZE-fed estimates are already near-exact). A
-    * Filter ABOVE a join keeps Spark's estimate for the whole side —
-    * scaling a recursed join estimate by a filter selectivity Spark
-    * derived for a different input estimate would mix models.
+    * where Spark's ANALYZE-fed estimates are already near-exact).
+    * Descent past a node with a join beneath is allowed only for
+    * CARDINALITY-PRESERVING wrappers (project/sort/exchange/codegen
+    * plumbing); a row-CHANGING operator above a join (filter, limit,
+    * generate, aggregate …) declines the whole chain estimate — its
+    * Spark selectivity was derived against Spark's join estimate, and
+    * scaling the containment estimate by it would mix models, while
+    * ignoring it (the first draft's bug) over-states the side by the
+    * operator's whole selectivity.
     */
-  private def sideCard(spark: SparkSession, side: SparkPlan): Option[BigInt] =
+  private def sideCard(spark: SparkSession, side: SparkPlan): Option[BigInt] = {
+    import org.apache.spark.sql.execution.{ColumnarToRowExec, InputAdapter, ProjectExec, SortExec, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec
     side match {
       case q: QueryStageExec => sideCard(spark, q.plan)
       case a: AdaptiveSparkPlanExec => sideCard(spark, a.executedPlan)
@@ -443,12 +498,20 @@ object ExtendedStats {
         val joinBeneath = collectThroughStages(p) {
           case j if joinParts(j).isDefined => j
         }.nonEmpty
+        val preservesRows = p match {
+          case _: ProjectExec | _: SortExec | _: Exchange |
+               _: AQEShuffleReadExec | _: WholeStageCodegenExec |
+               _: InputAdapter | _: ColumnarToRowExec => true
+          case _ => false
+        }
         p.logicalLink.map(_.stats.rowCount) match {
           case Some(Some(rc)) if !joinBeneath => Some(rc)
-          case _ if p.children.size == 1 => sideCard(spark, p.children.head)
+          case _ if p.children.size == 1 && (preservesRows || !joinBeneath) =>
+            sideCard(spark, p.children.head)
           case _ => None
         }
     }
+  }
 
   /** Per-edge containment estimate for a (possibly chained) equi-join:
     * |L|·|R| / divisor, where the divisor is the registered

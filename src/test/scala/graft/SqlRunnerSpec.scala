@@ -213,9 +213,20 @@ class SqlRunnerSpec extends AnyFunSuite {
     // never-ANALYZEd table gets a catalog rowCount to verify against.
     assert(ExtendedStats.groupRowsFromProperties(props, Seq("a1", "a2"))
       .contains(4L))
-    assert(s.sessionState.catalog.getTableMetadata(
-      s.sessionState.sqlParser.parseTableIdentifier("dlct_cg"))
-      .stats.exists(_.rowCount.contains(BigInt(4))))
+    def catalogRowCount(): Option[BigInt] =
+      s.sessionState.catalog.getTableMetadata(
+        s.sessionState.sqlParser.parseTableIdentifier("dlct_cg"))
+        .stats.flatMap(_.rowCount)
+    assert(catalogRowCount().contains(BigInt(4)))
+    // Stale-HIGH catalog count (table shrank since the last ANALYZE)
+    // must refresh too, or the freshness gate (current <= recorded)
+    // dis-arms the certificate forever despite current moments.
+    s.sql("INSERT OVERWRITE dlct_cg VALUES (1,1,0),(2,1,0)")
+    assert(SqlDialect.exec(s,
+      "analyze table dlct_cg compute statistics for column group (a1, a2)")
+      .isDefined)
+    assert(catalogRowCount().contains(BigInt(2)),
+      "self-sufficiency: a disagreeing catalog rowCount was not refreshed")
     // Standard ANALYZE forms must still fall through to plain spark.sql.
     assert(SqlDialect.exec(s,
       "analyze table dlct_cg compute statistics for all columns").isEmpty)

@@ -63,16 +63,28 @@ class StringHistogramSpec extends AnyFunSuite {
       spark.sql("ANALYZE TABLE strhist_t COMPUTE STATISTICS")
       val k = ExtendedStats.analyzeStringHistogram(spark, "strhist_t", "s")
       assert(k > 0)
-      val df = spark.sql("SELECT * FROM strhist_t WHERE s LIKE 'beta-%'")
-      df.queryExecution.toRdd.foreachPartition(_ => ())
-      val prof = graft.api.PlanIntrospection.estimateVsActual(df)
-      val filter = prof.find(p => p.node.contains("Filter") &&
-        p.estRows.isDefined).get
-      val est = filter.estRows.get.toDouble
-      assert(filter.estExact)
+      def estimate(): Double = {
+        val df = spark.sql("SELECT * FROM strhist_t WHERE s LIKE 'beta-%'")
+        df.queryExecution.toRdd.foreachPartition(_ => ())
+        val prof = graft.api.PlanIntrospection.estimateVsActual(df)
+        val filter = prof.find(p => p.node.contains("Filter") &&
+          p.estRows.isDefined).get
+        assert(filter.estExact)
+        filter.estRows.get.toDouble
+      }
       // true count 300 of 1100 rows; bucket resolution bounds the error
+      val est = estimate()
       assert(est > 240 && est < 360,
         s"LIKE-prefix estimate $est vs truth 300")
+      // With per-column stats Spark's own base estimate prices the
+      // inferred isnotnull(s) conjunct — the histogram scaling must not
+      // count the null fraction AGAIN (the r13 review's double-count:
+      // a systematic (1 - nullFrac)x under-estimate on nullable
+      // columns). Same truth, same tolerance, nulls now priced once.
+      spark.sql("ANALYZE TABLE strhist_t COMPUTE STATISTICS FOR ALL COLUMNS")
+      val estWithColStats = estimate()
+      assert(estWithColStats > 240 && estWithColStats < 360,
+        s"null fraction double-counted: $estWithColStats vs truth 300")
     } finally spark.sql("DROP TABLE IF EXISTS strhist_t")
   }
 
