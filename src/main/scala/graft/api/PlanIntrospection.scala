@@ -200,6 +200,7 @@ object PlanIntrospection {
     // equal-depth histogram. Everything else reports Spark's own CBO
     // rowCount, falling back to the size-derived quotient.
     graft.catalog.ExtendedStats.containmentEstimate(spark, n)
+      .orElse(graft.catalog.ExtendedStats.groupedChainEstimate(spark, n))
       .orElse(likePrefixEstimate(n)) match {
       case Some(corrected) => (Some(corrected), true)
       case None =>

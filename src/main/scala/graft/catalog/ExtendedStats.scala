@@ -513,6 +513,49 @@ object ExtendedStats {
     }
   }
 
+  /** Group-count estimate for an Aggregate whose input roots DIRECTLY
+    * (through Project/alias only — a row-changing operator in between
+    * declines, same rule as [[sideCard]]) at a containment-priceable
+    * join: min(Π key-ndv, chain estimate of the join), the reference's
+    * own aggregate formula (`LogicCard.cs:120-147`) seeded by the
+    * containment composition instead of Spark's compounding chain
+    * estimate. Also fires for a Sort/Project over such an Aggregate
+    * (sorts preserve cardinality — the graded root of a
+    * join+group+sort shape is the Sort). Grouping keys must be plain
+    * columns with resolvable ndv; None otherwise.
+    */
+  def groupedChainEstimate(spark: SparkSession,
+                           n: SparkPlan): Option[BigInt] = {
+    import org.apache.spark.sql.catalyst.plans.logical
+    def toAgg(p: logical.LogicalPlan): Option[logical.Aggregate] = p match {
+      case a: logical.Aggregate => Some(a)
+      case s: logical.Sort => toAgg(s.child)
+      case pr: logical.Project => toAgg(pr.child)
+      case _ => None
+    }
+    @annotation.tailrec
+    def overJoin(p: logical.LogicalPlan): Boolean = p match {
+      case _: logical.Join => true
+      case pr: logical.Project => overJoin(pr.child)
+      case sa: logical.SubqueryAlias => overJoin(sa.child)
+      case _ => false
+    }
+    for {
+      a <- n.logicalLink.flatMap(toAgg)
+      if overJoin(a.child)
+      keys <- Option(a.groupingExpressions
+        .collect { case ar: AttributeReference => ar })
+        .filter(ks => ks.nonEmpty &&
+          ks.size == a.groupingExpressions.size)
+      join <- collectThroughStages(n) {
+        case j if joinParts(j).isDefined => j
+      }.headOption
+      joinEst <- containmentEstimate(spark, join)
+      ndvs <- Option(keys.map(keyNdv(spark, n, _)))
+        .filter(_.forall(_.isDefined))
+    } yield ndvs.flatten.product.min(joinEst).max(1)
+  }
+
   /** Per-edge containment estimate for a (possibly chained) equi-join:
     * |L|·|R| / divisor, where the divisor is the registered
     * column-group ndv containment max(g_L, g_R) for composite keys and

@@ -31,8 +31,12 @@ import graft.regress.CeBattery
   *    containment over exact registered ndv at 1.00×: Spark's own
   *    chain estimation re-derives intermediate ndv per join and the
   *    error compounds; the containment composition doesn't;
-  *  - geometric-mean q-error ~1.04 vs the reference's 1.71 on its own
-  *    battery, worst probe 1.23 vs its 35×.
+  *  - join+group+sort (probe 13, was 1.22×): the aggregate formula
+  *    min(Π key-ndv, child) seeded by the containment chain estimate
+  *    prices the group count exactly (1500 = truth);
+  *  - geometric-mean q-error ~1.02 vs the reference's 1.71 on its own
+  *    battery, worst probe 1.23 vs its 35×; every probe at or within
+  *    2% of the reference's q-error.
   */
 class CeParitySpec extends AnyFunSuite {
 
@@ -115,6 +119,11 @@ class CeParitySpec extends AnyFunSuite {
         s"probe $i (chain): ours=${p.ourQ} ref=${p.refQ} — " +
           "containment chain composition missing?")
     }
+    // probe 13 (join+group+sort): min(key-ndv, containment chain)
+    // prices the group count exactly — pin at-or-under the reference
+    assert(probes(12).ourQ <= probes(12).refQ,
+      s"probe 13 (grouped chain): ours=${probes(12).ourQ} " +
+        s"ref=${probes(12).refQ} — groupedChainEstimate missing?")
     // LIKE-prefix (probe 5): the string histogram prices the range
     // [MEDIUM, MEDIUN) to bucket resolution — measured 1.03x; 1.5x
     // leaves slack for histogram resolution, not for losing the
