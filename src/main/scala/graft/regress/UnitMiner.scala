@@ -591,6 +591,142 @@ object UnitMiner {
     cur
   }
 
+  /** Two-level correlation under a DISJUNCTIVE middle WHERE — the one
+    * shape [[flattenTwoLevel]] must refuse (an inner join drops rows
+    * the OR's other arm admits; UnitTest.cs:1062). The sound rewrite is
+    * a HOIST, valid in any boolean context: when the innermost scalar
+    * subquery's correlated references all skip the middle block (they
+    * name OUTER-block columns only), its value is a constant per outer
+    * row — precompute it at the outer FROM and reference `__iv` from
+    * the middle block, now one level up, which Spark resolves
+    * (DuckDB-adjudicated on the battery case: 0;1;2 both forms).
+    *
+    * The precomputation is a GROUPED LEFT JOIN, not a projected scalar
+    * subquery: stacking a scalar-subquery projection under a second
+    * correlated subquery that references it trips Spark's
+    * decorrelation (measured: spurious SCALAR_SUBQUERY_TOO_MANY_ROWS
+    * at runtime; INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND with first()). The
+    * inner `(select E from t2 where key = f(outer) and locals)`
+    * becomes `left join (select key, max(E), count(*) from t2 where
+    * locals group by key) on key = f(outer)`, with scalar semantics
+    * preserved exactly: no match → NULL (left join), >1 match →
+    * runtime error (CASE + raise_error, the same error the subquery
+    * form raises).
+    *
+    * Guards: single-table outer FROM, no outer GROUP BY/ORDER/LIMIT,
+    * innermost span only, correlated letters ⊆ outer table's and
+    * disjoint from the middle block's, inner WHERE a conjunction with
+    * exactly ONE correlated conjunct of the form `col = expr(outer)` —
+    * anything else returns the text unchanged so the original error
+    * stands.
+    */
+  def hoistTwoLevelScalar(sql: String): String = {
+    val s = sql.trim.stripSuffix(";")
+    def matching(t: String, open: Int): Int = {
+      var bal = 0; var i = open
+      while (i < t.length) {
+        val c = t.charAt(i)
+        if (c == '(') bal += 1
+        else if (c == ')') { bal -= 1; if (bal == 0) return i }
+        i += 1
+      }
+      -1
+    }
+    def depth0(t: String, kw: String): Int =
+      ("(?i)\\b" + kw + "\\b").r.findAllMatchIn(t).find { m =>
+        val pre = t.substring(0, m.start)
+        pre.count(_ == '(') == pre.count(_ == ')')
+      }.map(_.start).getOrElse(-1)
+    if (!s.toLowerCase.startsWith("select ")) return sql
+    val fromAt = depth0(s, "from")
+    val whereAt = depth0(s, "where")
+    if (fromAt < 0 || whereAt < fromAt) return sql
+    if (Seq("group\\s+by", "order\\s+by", "limit")
+          .exists(depth0(s, _) >= 0)) return sql
+    val selList = s.substring("select ".length, fromAt).trim
+    val fromT = s.substring(fromAt + "from".length, whereAt).trim
+    if (!fromT.matches("\\w+(\\s+\\w+)?")) return sql
+    val parts = fromT.split("\\s+")
+    val (tbl, alias) = (parts.head, parts.last)
+    val outerLetter = tbl.head.toLower
+    val w = s.substring(whereAt + "where".length)
+    val spans = """(?i)\(\s*select\b""".r.findAllMatchIn(w)
+      .map(m => (m.start, matching(w, m.start))).filter(_._2 > 0).toSeq
+    // innermost span strictly inside another span
+    val candidate = spans.find { case (a, b) =>
+      spans.exists { case (oa, ob) => oa < a && b < ob } &&
+        !spans.exists { case (ia, ib) => a < ia && ib < b }
+    }
+    candidate match {
+      case Some((a, b)) =>
+        val inner = w.substring(a, b + 1)
+        val enclosing = spans.filter { case (oa, ob) => oa < a && b < ob }
+          .maxBy(_._1)
+        val midText = w.substring(enclosing._1, enclosing._2 + 1)
+        def tableLetters(block: String): Set[Char] =
+          """(?i)\bfrom\s+(\w+)""".r.findAllMatchIn(block)
+            .map(_.group(1).head.toLower).toSet
+        val innerLetters = tableLetters(inner)
+        val midLetters = tableLetters(
+          midText.substring(0, a - enclosing._1) +
+            midText.substring(b + 1 - enclosing._1))
+        val corr = """\b([abcdrt])\d\b""".r.findAllMatchIn(inner)
+          .map(_.group(1).head.toLower).toSet -- innerLetters
+        if (corr.isEmpty || corr != Set(outerLetter) ||
+            midLetters.contains(outerLetter)) return sql
+        // decompose the inner: select E from t2 where conjuncts
+        val InnerShape =
+          """(?is)^\(\s*select\s+(.*?)\s+from\s+(\w+)\s+where\s+(.*)\)$""".r
+        val (e, t2, conjText) = inner match {
+          case InnerShape(e0, t0, w0) => (e0.trim, t0, w0.trim)
+          case _ => return sql
+        }
+        if (e.contains("(") || e.contains(",")) return sql // plain expr only
+        val conjuncts = {
+          val out = Seq.newBuilder[String]
+          var bal = 0; var last = 0
+          val and = "(?i)\\band\\b".r
+          val hits = and.findAllMatchIn(conjText).toSeq
+          hits.foreach { m =>
+            val pre = conjText.substring(0, m.start)
+            if (pre.count(_ == '(') == pre.count(_ == ')')) {
+              out += conjText.substring(last, m.start); last = m.end
+            }
+          }
+          out += conjText.substring(last)
+          out.result().map(_.trim).filter(_.nonEmpty)
+        }
+        def lettersOf(x: String): Set[Char] =
+          """\b([abcdrt])\d\b""".r.findAllMatchIn(x)
+            .map(_.group(1).head.toLower).toSet
+        val (corrConj, localConj) =
+          conjuncts.partition(c => (lettersOf(c) -- innerLetters).nonEmpty)
+        val Eq = """(?s)^(.+?)=(.+)$""".r
+        val (key, corrExpr) = corrConj match {
+          case Seq(Eq(l, r))
+              if lettersOf(l) == innerLetters &&
+                l.trim.matches("\\w+") && lettersOf(r) == corr =>
+            (l.trim, r.trim)
+          case Seq(Eq(l, r))
+              if lettersOf(r) == innerLetters &&
+                r.trim.matches("\\w+") && lettersOf(l) == corr =>
+            (r.trim, l.trim)
+          case _ => return sql
+        }
+        val localWhere =
+          if (localConj.isEmpty) "" else localConj.mkString(" where ", " and ", "")
+        val newW = w.substring(0, a) + "__iv" + w.substring(b + 1)
+        s"select $selList from (select $alias.*, " +
+          "case when __s.__c > 1 then raise_error(" +
+          "'scalar subquery returned more than one row') " +
+          s"else __s.__v end as __iv from $fromT left join " +
+          s"(select $key as __k, max($e) as __v, count(*) as __c " +
+          s"from $t2$localWhere group by $key) __s " +
+          s"on __s.__k = ($corrExpr)) $alias where$newW"
+      case None => sql
+    }
+  }
+
   /** Correlated scalar subquery in a grouped select list
     * (UnitTest.cs:1392: `select a1, 5+(select b2 from b where b1=a1)
     * from a group by 1`). qpmodel evaluates the subquery per GROUP —
@@ -697,8 +833,12 @@ object UnitMiner {
               Some(padDerivedAliases(spark, cur))
             else if (msg.contains("INVALID_EXTRACT_BASE_FIELD_TYPE"))
               Some(renameShadowAliases(cur))
-            else if (msg.contains("UNRESOLVED_COLUMN"))
-              Some(flattenTwoLevel(cur))
+            else if (msg.contains("UNRESOLVED_COLUMN")) {
+              // conjunctive contexts flatten; the disjunctive shape the
+              // flatten must refuse hoists instead (sound under OR)
+              val flat = flattenTwoLevel(cur)
+              Some(if (flat != cur) flat else hoistTwoLevelScalar(cur))
+            }
             else if (msg.contains(
                 "SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_AGGREGATE_FUNCTION"))
               Some(liftGroupedScalarSubquery(cur))

@@ -13,15 +13,16 @@ import graft.regress.{RefRegress, UnitMiner}
   *
   * 310 (sql, expected-rows) assertions are mined; three are inherently
   * nondeterministic (LIMIT without ORDER BY) and of the remaining 307,
-  * **300 pass verbatim** (under the documented qpmodel dialect shims,
+  * **301 pass verbatim** (under the documented qpmodel dialect shims,
   * including the repair-on-error rewrites: two-level-correlation
   * flattening, partial derived-table alias lists, column-shadowing
-  * table aliases, and round 13's grouped-scalar-subquery lift). The 7
-  * non-passes are each pinned below with their class — three are
-  * reference defects DuckDB refutes on the same data, one is a defect
-  * the reference's own source comment concedes, the rest are
-  * documented semantic or support differences. The pass count is
-  * pinned EXACTLY so both regressions and silent improvements surface.
+  * table aliases, and round 13's grouped-scalar-subquery lift and
+  * disjunctive-hoist). The 6 non-passes are each pinned below with
+  * their class — three are reference defects DuckDB refutes on the
+  * same data, one is a defect the reference's own source comment
+  * concedes, the other two are surface differences (unbounded-stream
+  * table, hop-window alignment). The pass count is pinned EXACTLY so
+  * both regressions and silent improvements surface.
   */
 class UnitBatterySpec extends AnyFunSuite {
 
@@ -42,10 +43,12 @@ class UnitBatterySpec extends AnyFunSuite {
       // conjunctive context (an inner join drops rows the OR's other
       // arm would admit), so the shape is re-pinned as an engine limit,
       // not rewrite-incomplete.
-      1062 -> ("correlation two levels up under a disjunctive WHERE " +
-        "(`… or b1 = (subq referencing a1 two levels up)`): Spark " +
-        "resolves outer references one block deep, and the conjunctive " +
-        "flatten rewrite is invalid under OR"),
+      // 1062 (two-level correlation under a disjunctive WHERE, where
+      // the conjunctive flatten is invalid) healed in r13 by
+      // UnitMiner.hoistTwoLevelScalar — the inner subquery's value
+      // depends only on outer-block columns, so it precomputes as a
+      // grouped left join at the outer FROM (scalar error semantics
+      // preserved via count + raise_error).
       // 1392 (correlated scalar subquery in a grouped select list)
       // healed in r13 by UnitMiner.liftGroupedScalarSubquery.
       2215 -> ("reference defect, conceded in its own source: the " +
@@ -79,7 +82,7 @@ class UnitBatterySpec extends AnyFunSuite {
     */
   private val Nondeterministic = Set(230, 2634, 2813)
 
-  test("reference inline unit battery: 310 mined, 300/307 deterministic pass verbatim, " +
+  test("reference inline unit battery: 310 mined, 301/307 deterministic pass verbatim, " +
     "every non-pass pinned to a documented class") {
     val src = Files.readString(
       Paths.get("/root/reference/test/UnitTest.cs"))
@@ -116,7 +119,7 @@ class UnitBatterySpec extends AnyFunSuite {
     assert(healed.isEmpty,
       s"pinned cases now PASS — unpin them and raise the count: $healed")
 
-    assert(results.count(_.outcome == UnitMiner.Pass) == 300)
+    assert(results.count(_.outcome == UnitMiner.Pass) == 301)
   }
 
   /** Negative battery: statements the reference asserts FAIL
