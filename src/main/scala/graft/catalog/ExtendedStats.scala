@@ -53,6 +53,7 @@ object ExtendedStats {
   private val Prefix = "graft.stats.colgroup."
   private val F2Prefix = "graft.stats.colgroupf2."
   private val RowsPrefix = "graft.stats.colgrouprows."
+  private val SizePrefix = "graft.stats.colgroupsize."
 
   def propertyKey(cols: Seq[String]): String =
     Prefix + cols.map(_.toLowerCase).sorted.mkString(",")
@@ -68,16 +69,28 @@ object ExtendedStats {
     F2Prefix + cols.map(_.toLowerCase).sorted.mkString(",")
 
   /** Property key of the table row count AT ANALYZE TIME — the moments
-    * above are a snapshot, and rows inserted after the analyze silently
-    * under-state F2. A consumer that acts on F2 as a HARD certificate
-    * (the broadcast rule) must be able to tell the snapshot is still
-    * current: it compares this recorded count against the catalog's
-    * live rowCount and declines when the table has grown. (Deletes are
-    * safe without any check: removing rows can only shrink every tuple
-    * frequency, so the recorded F2 stays a true upper bound.)
+    * above are a snapshot, and data changed after the analyze can
+    * silently under-state F2. A consumer that acts on F2 as a HARD
+    * certificate (the broadcast rule) requires the snapshot identity
+    * (this count AND [[sizePropertyKey]]'s byte size) to match the
+    * catalog's live stats EXACTLY, declining on any mismatch: a
+    * one-sided growth check would pass an INSERT OVERWRITE that
+    * replaces distinct-key rows with one hot key at equal-or-lower row
+    * count — same cardinality, arbitrarily larger true join output
+    * (the r13 advisory).
     */
   def rowsPropertyKey(cols: Seq[String]): String =
     RowsPrefix + cols.map(_.toLowerCase).sorted.mkString(",")
+
+  /** Property key of the catalog sizeInBytes AT ANALYZE TIME — the
+    * second half of the snapshot identity next to [[rowsPropertyKey]].
+    * A same-row-count rewrite that the count alone cannot see moves
+    * the table's byte size (different values, different encoded size),
+    * so requiring both to match pins the certificate to the exact
+    * analyzed snapshot.
+    */
+  def sizePropertyKey(cols: Seq[String]): String =
+    SizePrefix + cols.map(_.toLowerCase).sorted.mkString(",")
 
   /** Compute ndv, F2 and the row count over the column tuple (exact —
     * the groups a DBA registers are join keys, where exactness matters,
@@ -99,23 +112,30 @@ object ExtendedStats {
          |FROM (SELECT count(*) AS c FROM $table GROUP BY $tuple)"""
         .stripMargin).head()
     val (ndv, f2, rows) = (row.getLong(0), row.getDouble(1), row.getLong(2))
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
-      s"('${propertyKey(cols)}' = '$ndv', '${f2PropertyKey(cols)}' = '$f2'," +
-      s" '${rowsPropertyKey(cols)}' = '$rows')")
-    // The broadcast rule verifies snapshot freshness against the
-    // catalog's LIVE rowCount; a never-ANALYZEd table has none, and a
-    // stale one (last ANALYZE before deletes) can sit ABOVE the count
-    // just computed, which would dis-arm the certificate forever
-    // (current > recorded) despite the moments being current. Whenever
-    // the catalog's count disagrees with the truth this statement just
-    // measured, refresh it (a count, not a column scan) so
-    // `ANALYZE ... FOR COLUMN GROUP` alone is self-sufficient.
-    val rowCountCurrent = scala.util.Try {
+    // The broadcast rule verifies snapshot freshness by EXACT match
+    // against the catalog's live (rowCount, sizeInBytes); a
+    // never-ANALYZEd table has none, and a stale one (last ANALYZE
+    // before a data change) records a snapshot identity that would
+    // dis-arm the certificate forever despite the moments being
+    // current. Whenever the catalog's count disagrees with the truth
+    // this statement just measured, refresh it (a count, not a column
+    // scan) so `ANALYZE ... FOR COLUMN GROUP` alone is self-sufficient.
+    def catalogStats = scala.util.Try {
       val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
       spark.sessionState.catalog.getTableMetadata(id).stats
-        .flatMap(_.rowCount).contains(BigInt(rows))
-    }.getOrElse(true) // non-catalog relation: nothing to establish
+    }.toOption // None = non-catalog relation: no snapshot to establish
+    val rowCountCurrent = catalogStats.forall(
+      _.flatMap(_.rowCount).contains(BigInt(rows)))
     if (!rowCountCurrent) spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    // Record the snapshot identity the freshness gate compares against
+    // — the catalog stats as of THIS analyze (post-refresh). Absent for
+    // non-catalog relations: the certificate then declines (cannot
+    // verify), same as before this facility existed.
+    val sizeProp = catalogStats.flatten.map(s =>
+      s", '${sizePropertyKey(cols)}' = '${s.sizeInBytes}'").getOrElse("")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('${propertyKey(cols)}' = '$ndv', '${f2PropertyKey(cols)}' = '$f2'," +
+      s" '${rowsPropertyKey(cols)}' = '$rows'$sizeProp)")
     ndv
   }
 
@@ -143,6 +163,14 @@ object ExtendedStats {
   def groupRowsFromProperties(props: Map[String, String],
                               cols: Seq[String]): Option[Long] =
     props.get(rowsPropertyKey(cols)).map(_.toLong)
+
+  /** The analyze-time catalog sizeInBytes recorded next to the group
+    * moments; see [[sizePropertyKey]]. Same absence contract as
+    * [[groupRowsFromProperties]].
+    */
+  def groupSizeFromProperties(props: Map[String, String],
+                              cols: Seq[String]): Option[BigInt] =
+    props.get(sizePropertyKey(cols)).map(BigInt(_))
 
   /** The registered group ndv of `cols` on `table`, if analyzed. None
     * for a missing table too — an introspection convenience must never
@@ -177,6 +205,27 @@ object ExtendedStats {
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
       ndvs.map { case (c, n) => s"'${ndvPropertyKey(c)}' = '$n'" }
         .mkString(", ") + ")")
+    // Feed the exact counts into Spark's OWN planning, not only the
+    // introspection surface: merged into the catalog column stats (the
+    // same `CatalogStatistics` ANALYZE FOR ALL COLUMNS writes, via the
+    // same alterTableStats path), every native estimate — join sizes,
+    // group counts, CBO join-reorder costs — prices from the exact ndv
+    // instead of the HLL sketch's ±2-5%. Requires the table to already
+    // carry catalog stats (sizeInBytes is mandatory on the stats
+    // object); a never-ANALYZEd or non-catalog relation keeps
+    // property-only registration, same visibility as before.
+    scala.util.Try {
+      val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      spark.sessionState.catalog.getTableMetadata(id).stats
+    }.toOption.flatten.foreach { st =>
+      val merged = ndvs.foldLeft(st.colStats) { case (cs, (c, n)) =>
+        val base = cs.getOrElse(c,
+          org.apache.spark.sql.catalyst.catalog.CatalogColumnStat())
+        cs.updated(c, base.copy(distinctCount = Some(BigInt(n))))
+      }
+      org.apache.spark.sql.graftbridge.StatsBridge.setTableStats(
+        spark, table, st.copy(colStats = merged))
+    }
     ndvs.toMap
   }
 
@@ -222,6 +271,10 @@ object ExtendedStats {
       .select(col(column).cast("string").as("c"))
       .where("c IS NOT NULL")
     val total = base.count()
+    // Empty / all-NULL column: there are no boundaries to record — skip
+    // persisting (an encoded '0' property could never be read back) and
+    // report 0 buckets rather than boundaries.size - 1 = -1.
+    if (total == 0) return 0
     val frac = if (total > StrHistSampleCap)
       StrHistSampleCap.toDouble / total else 1.0
     val sampled = if (frac < 1.0) base.sample(frac, 42L) else base
@@ -359,14 +412,34 @@ object ExtendedStats {
       else sel * (BigDecimal(nonNull) / BigDecimal(tableRows)).toDouble
     }
 
-  /** The least string greater than every string with this prefix —
-    * increment the last non-maximal char, dropping any U+FFFF tail.
-    * None for prefixes of only U+FFFF (match is unbounded above).
+  /** The least string greater than every string with this prefix, in
+    * the UTF-8 byte order every comparison here uses. Computed at the
+    * CODE-POINT level (UTF-8 preserves code-point order, so the two
+    * orders agree): increment the last non-maximal code point, dropping
+    * any U+10FFFF tail. The one gap is the surrogate range — U+D7FF+1
+    * is an unpaired surrogate whose UTF-8 encoding (`getBytes` emits
+    * '?' 0x3F) would compare BELOW the prefix and collapse the range,
+    * so the increment skips to U+E000, the next valid scalar. A prefix
+    * that itself ends in an unpaired surrogate is already lossy under
+    * `getBytes` (encoded as '?'), so its successor increments that
+    * encoded byte: '@'. None for prefixes of only U+10FFFF (match is
+    * unbounded above).
     */
   def prefixSuccessor(prefix: String): Option[String] = {
-    val trimmed = prefix.reverse.dropWhile(_ == Char.MaxValue).reverse
-    if (trimmed.isEmpty) None
-    else Some(trimmed.init + (trimmed.last + 1).toChar)
+    var i = prefix.length
+    while (i > 0) {
+      val cp = prefix.codePointBefore(i)
+      if (cp >= 0xD800 && cp <= 0xDFFF) // unpaired surrogate → '?' byte
+        return Some(prefix.substring(0, i - 1) + '@')
+      val cpLen = Character.charCount(cp)
+      if (cp != 0x10FFFF) {
+        val next = if (cp == 0xD7FF) 0xE000 else cp + 1
+        return Some(prefix.substring(0, i - cpLen) +
+          new String(Character.toChars(next)))
+      }
+      i -= cpLen
+    }
+    None
   }
 
   /** Collect nodes through AQE stage boundaries (QueryStageExec hides
@@ -439,12 +512,20 @@ object ExtendedStats {
     Seq[org.apache.spark.sql.catalyst.expressions.Expression],
     SparkPlan, SparkPlan)
 
+  /** Supported equi-join decomposition — None for joins carrying a
+    * RESIDUAL non-equi condition: the containment formula prices the
+    * equi-keys only, so an extra predicate (`a.x < b.y` next to the
+    * key equality) would be silently ignored and the join over-stated
+    * by that conjunct's whole selectivity (the r13 review). Declining
+    * hands the node back to Spark's estimate, which does price the
+    * residual.
+    */
   private def joinParts(n: SparkPlan): Option[JoinParts] = n match {
-    case j: ShuffledHashJoinExec =>
+    case j: ShuffledHashJoinExec if j.condition.isEmpty =>
       Some((j.joinType, j.leftKeys, j.rightKeys, j.left, j.right))
-    case j: SortMergeJoinExec =>
+    case j: SortMergeJoinExec if j.condition.isEmpty =>
       Some((j.joinType, j.leftKeys, j.rightKeys, j.left, j.right))
-    case j: BroadcastHashJoinExec =>
+    case j: BroadcastHashJoinExec if j.condition.isEmpty =>
       Some((j.joinType, j.leftKeys, j.rightKeys, j.left, j.right))
     case _ => None
   }
@@ -479,12 +560,14 @@ object ExtendedStats {
     * where Spark's ANALYZE-fed estimates are already near-exact).
     * Descent past a node with a join beneath is allowed only for
     * CARDINALITY-PRESERVING wrappers (project/sort/exchange/codegen
-    * plumbing); a row-CHANGING operator above a join (filter, limit,
-    * generate, aggregate …) declines the whole chain estimate — its
-    * Spark selectivity was derived against Spark's join estimate, and
-    * scaling the containment estimate by it would mix models, while
-    * ignoring it (the first draft's bug) over-states the side by the
-    * operator's whole selectivity.
+    * plumbing) — join beneath or not: a row-CHANGING operator without
+    * its own rowCount must decline rather than return its child's
+    * cardinality, or the operator's whole selectivity is silently
+    * dropped (the r13 review's over-statement). A row-CHANGING operator
+    * above a join declines the whole chain estimate even WITH a
+    * rowCount — its Spark selectivity was derived against Spark's join
+    * estimate, and scaling the containment estimate by it would mix
+    * models.
     */
   private def sideCard(spark: SparkSession, side: SparkPlan): Option[BigInt] = {
     import org.apache.spark.sql.execution.{ColumnarToRowExec, InputAdapter, ProjectExec, SortExec, WholeStageCodegenExec}
@@ -506,7 +589,7 @@ object ExtendedStats {
         }
         p.logicalLink.map(_.stats.rowCount) match {
           case Some(Some(rc)) if !joinBeneath => Some(rc)
-          case _ if p.children.size == 1 && (preservesRows || !joinBeneath) =>
+          case _ if p.children.size == 1 && preservesRows =>
             sideCard(spark, p.children.head)
           case _ => None
         }

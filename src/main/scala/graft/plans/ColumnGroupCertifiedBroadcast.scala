@@ -45,10 +45,11 @@ import graft.catalog.ExtendedStats
   *     on both base tables (reached by Filter/Project only — anything
   *     row-increasing in between, another join, a generator, would
   *     break the bound and disqualifies the side);
-  *   - the statistic snapshot is verifiably CURRENT (analyze-time row
-  *     count vs live catalog rowCount — see [[groupF2]]);
+  *   - the statistic snapshot is verifiably CURRENT (analyze-time
+  *     (rowCount, sizeInBytes) identity vs live catalog stats, exact
+  *     match — see [[groupF2]]);
   *   - every output byte is accounted for by evidence, not schema
-  *     defaults (fixed-width types or ANALYZE avgLen — see
+  *     defaults (fixed-width types or ANALYZE maxLen — see
   *     [[certifiedRowWidth]]);
   *   - Spark's own size estimate denies the broadcast, but
   *     √(F2_L·F2_R) · certified-row-width fits under
@@ -119,28 +120,30 @@ class ColumnGroupCertifiedBroadcast extends Rule[LogicalPlan]
     *
     *   - a fixed-width type: the width is the type's, no stats needed;
     *   - a string/binary attribute whose ORIGIN column carries an
-    *     ANALYZE `avgLen` (read off the base relations' catalog
-    *     snapshots under the side): avgLen, plus Spark's own per-string
+    *     ANALYZE `maxLen` (read off the base relations' catalog
+    *     snapshots under the side): maxLen, plus Spark's own per-string
     *     object overhead so the figure matches what the broadcast
     *     actually builds;
-    *   - anything else (no avgLen, a computed variable-width value, an
+    *   - anything else (no maxLen, a computed variable-width value, an
     *     array/map/struct): decline.
     *
-    * avgLen is a mean, not a max — but the certificate multiplies it by
-    * the TOTAL row bound, and Σ len ≤ rows · avgLen holds exactly for
-    * the analyzed snapshot (the freshness gate in [[groupF2]] already
-    * pins the table to that snapshot), so the product stays a true
-    * byte bound up to the join's multiplicity mix; the ×1.001 slack on
-    * the row bound absorbs the stored double's rounding, and the 8-byte
-    * row overhead mirrors `EstimationUtils.getSizePerRow`.
+    * maxLen, not avgLen: the broadcast side is join OUTPUT rows, and
+    * when key multiplicity correlates with value length (hot keys
+    * carrying long strings) the output's MEAN width exceeds the base
+    * table's avgLen — rows·avgLen is then not a byte bound (the r13
+    * advisory). rows·maxLen is, for any multiplicity mix, because no
+    * single value exceeds maxLen. The conservatism only narrows when
+    * the rule fires, never its safety; the ×1.001 slack on the row
+    * bound absorbs the stored double's rounding, and the 8-byte row
+    * overhead mirrors `EstimationUtils.getSizePerRow`.
     */
   private def certifiedRowWidth(side: LogicalPlan): Option[BigInt] = {
-    lazy val avgLens: Map[Long, Long] = side.collect {
+    lazy val maxLens: Map[Long, Long] = side.collect {
       case r: LogicalRelation if r.catalogTable.isDefined =>
         val colStats = r.catalogTable.get.stats
           .map(_.colStats).getOrElse(Map.empty)
         r.output.flatMap(a =>
-          colStats.get(a.name).flatMap(_.avgLen).map(a.exprId.id -> _))
+          colStats.get(a.name).flatMap(_.maxLen).map(a.exprId.id -> _))
     }.flatten.toMap
     val widths = side.output.map { a =>
       a.dataType match {
@@ -150,9 +153,9 @@ class ColumnGroupCertifiedBroadcast extends Rule[LogicalPlan]
           Some(BigInt(a.dataType.defaultSize))
         case StringType =>
           // + (8 + 4) = UTF8String object + offset overhead, the same
-          // constant Spark's own estimator adds on top of avgLen.
-          avgLens.get(a.exprId.id).map(l => BigInt(l) + 8 + 4)
-        case BinaryType => avgLens.get(a.exprId.id).map(BigInt(_))
+          // constant Spark's own estimator adds on top of the length.
+          maxLens.get(a.exprId.id).map(l => BigInt(l) + 8 + 4)
+        case BinaryType => maxLens.get(a.exprId.id).map(BigInt(_))
         case _ => None
       }
     }
@@ -200,17 +203,22 @@ class ColumnGroupCertifiedBroadcast extends Rule[LogicalPlan]
     * (a join, a generator, a union) would invalidate the base table's
     * moment as a bound for this side.
     *
-    * Freshness gate: the moment is a point-in-time snapshot, and rows
-    * inserted AFTER the analyze under-state it — Spark's native stats
-    * only bias a threshold-guarded cost decision, but this rule acts on
-    * F2 as a hard certificate, so staleness it can detect must decline
-    * it. The analyze-time row count recorded next to F2 is compared to
-    * the catalog's live rowCount: grown table → no certificate; shrunk
-    * table is safe (deletes only lower tuple frequencies, the recorded
-    * F2 stays a true upper bound). Either count missing → cannot verify
-    * → no certificate. A catalog rowCount itself stale (no re-ANALYZE
-    * after the insert) is undetectable by ANY stats consumer; the
-    * contract is the standard one — stats reflect the last ANALYZE.
+    * Freshness gate: the moment is a point-in-time snapshot, and data
+    * changed AFTER the analyze can under-state it — Spark's native
+    * stats only bias a threshold-guarded cost decision, but this rule
+    * acts on F2 as a hard certificate, so staleness it can detect must
+    * decline it. The snapshot identity recorded next to F2 (analyze-
+    * time rowCount AND catalog sizeInBytes) must match the catalog's
+    * live stats EXACTLY: growth under-states F2 directly, and a
+    * one-sided "growth only" check would pass an INSERT OVERWRITE that
+    * keeps the row count while concentrating keys — equal cardinality,
+    * arbitrarily larger true join output (the r13 advisory). Deletes
+    * alone can only shrink tuple frequencies, but a shrunk count is
+    * indistinguishable from delete+rewrite, so any mismatch declines.
+    * Anything missing → cannot verify → no certificate. Catalog stats
+    * themselves stale (no re-ANALYZE after the change) are undetectable
+    * by ANY stats consumer; the contract is the standard one — stats
+    * reflect the last ANALYZE.
     */
   @tailrec private def groupF2(side: LogicalPlan,
                                keys: Seq[AttributeReference]): Option[Double] =
@@ -228,7 +236,10 @@ class ColumnGroupCertifiedBroadcast extends Rule[LogicalPlan]
 
   private def snapshotFresh(t: CatalogTable, cols: Seq[String]): Boolean =
     (for {
-      recorded <- ExtendedStats.groupRowsFromProperties(t.properties, cols)
-      current <- t.stats.flatMap(_.rowCount)
-    } yield current <= BigInt(recorded)).getOrElse(false)
+      recordedRows <- ExtendedStats.groupRowsFromProperties(t.properties, cols)
+      recordedSize <- ExtendedStats.groupSizeFromProperties(t.properties, cols)
+      stats <- t.stats
+      currentRows <- stats.rowCount
+    } yield currentRows == BigInt(recordedRows) &&
+      stats.sizeInBytes == recordedSize).getOrElse(false)
 }

@@ -131,7 +131,7 @@ class CeParitySpec extends AnyFunSuite {
     assert(probes(4).ourQ <= 1.5,
       s"probe 5 (LIKE prefix): ${probes(4).ourQ} — string histogram " +
         "estimate missing?")
-    // Battery-wide: measured gmean ~1.04; the pin at 1.15 would catch
+    // Battery-wide: measured gmean ~1.02; the pin at 1.15 would catch
     // any probe silently regressing to its pre-r13 value.
     assert(ourG < 1.15, f"gmean q-error regressed: $ourG%.3f")
   }

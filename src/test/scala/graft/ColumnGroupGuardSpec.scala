@@ -29,7 +29,8 @@ class ColumnGroupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val sfDir = "/root/testdata/sf0.01"
   private var spark: SparkSession = _
   private val cols = Seq("l_partkey", "l_suppkey")
-  private val tables = Seq("cg_li", "cg_li_wide", "cg_li_str", "cg_li_grow")
+  private val tables =
+    Seq("cg_li", "cg_li_wide", "cg_li_str", "cg_li_grow", "cg_li_rw")
 
   /** Managed-table root from the session's own conf (the hardcoded repo
     * path silently missed orphans whenever warehouse.dir differed —
@@ -82,7 +83,8 @@ class ColumnGroupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES IF EXISTS " +
       s"('${ExtendedStats.propertyKey(cols)}', " +
       s"'${ExtendedStats.f2PropertyKey(cols)}', " +
-      s"'${ExtendedStats.rowsPropertyKey(cols)}')")
+      s"'${ExtendedStats.rowsPropertyKey(cols)}', " +
+      s"'${ExtendedStats.sizePropertyKey(cols)}')")
 
   /** The probe: self-join on the composite pair, feeding the right side
     * of a downstream LEFT join (outer joins don't reorder, so the pair
@@ -249,27 +251,32 @@ class ColumnGroupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       // threshold, even one the default-width product sits under.
       withThreshold(8L << 20) {
         assert(!hasBroadcastHint(spark.sql(strProbe)),
-          "certified a variable-width side with no avgLen evidence")
+          "certified a variable-width side with no maxLen evidence")
       }
       spark.sql("ANALYZE TABLE cg_li_str COMPUTE STATISTICS FOR ALL COLUMNS")
       spark.catalog.refreshTable("cg_li_str") // new catalog snapshot
-      // With avgLen the certificate prices the REAL bytes. Place the
-      // threshold strictly between the schema-default product (what the
-      // pre-r13 rule multiplied) and the avgLen product: a hint here
-      // would mean the guess, not the evidence, decided.
+      // ANALYZE column stats must be re-snapshotted by the group analyze
+      // too: the freshness gate pins the exact (rowCount, sizeInBytes)
+      // identity recorded at group-analyze time.
+      ExtendedStats.analyzeColumnGroup(spark, "cg_li_str", cols)
+      // With maxLen the certificate prices the REAL bytes (pad is a
+      // constant 120 chars here, so max = avg and the bound is tight).
+      // Place the threshold strictly between the schema-default product
+      // (what the pre-r13 rule multiplied) and the maxLen product: a
+      // hint here would mean the guess, not the evidence, decided.
       val f2 = ExtendedStats.groupF2FromProperties(
         spark.sessionState.catalog.getTableMetadata(
           spark.sessionState.sqlParser.parseTableIdentifier("cg_li_str"))
           .properties, cols).get
-      val avgLen = spark.sql(
-        "SELECT avg(length(pad)) FROM cg_li_str").head().getDouble(0)
+      val maxLen = spark.sql(
+        "SELECT max(length(pad)) FROM cg_li_str").head().getInt(0).toDouble
       val defaultBytes = f2 * (8 + 8 + 20) // row overhead + bigint + default
-      val realBytes = f2 * (8 + 8 + (avgLen + 12))
+      val realBytes = f2 * (8 + 8 + (maxLen + 12))
       assert(realBytes > 2 * defaultBytes,
         s"scenario lost its teeth: real $realBytes vs default $defaultBytes")
       withThreshold(((defaultBytes + realBytes) / 2).toLong) {
         assert(!hasBroadcastHint(spark.sql(strProbe)),
-          "certificate used schema-default width, not ANALYZE avgLen")
+          "certificate used schema-default width, not ANALYZE maxLen")
       }
       // Positive control — strings are certifiable WITH evidence: above
       // the real byte bound the hint fires (and Spark alone still
@@ -277,7 +284,7 @@ class ColumnGroupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       withThreshold((realBytes * 2).toLong) {
         val df = spark.sql(strProbe)
         assert(hasBroadcastHint(df),
-          "avgLen evidence present and bytes fit, but no certificate")
+          "maxLen evidence present and bytes fit, but no certificate")
         assert(broadcastsAJoinOutput(df.queryExecution.sparkPlan))
       }
     } finally dropGroup("cg_li_str")
@@ -310,6 +317,47 @@ class ColumnGroupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(hasBroadcastHint(spark.sql(growProbe)))
       }
     } finally spark.sql("DROP TABLE IF EXISTS cg_li_grow")
+  }
+
+  test("a same-row-count rewrite declines the certificate: the snapshot " +
+    "identity must match exactly, not just not-grow") {
+    spark.sql(
+      s"""CREATE TABLE cg_li_rw USING parquet AS
+         |SELECT l_orderkey, l_partkey, l_suppkey
+         |FROM parquet.`$sfDir/lineitem.parquet`""".stripMargin)
+    try {
+      spark.sql("ANALYZE TABLE cg_li_rw COMPUTE STATISTICS FOR ALL COLUMNS")
+      ExtendedStats.analyzeColumnGroup(spark, "cg_li_rw", cols)
+      val rwProbe = probeOn("cg_li_rw")
+      withThreshold(4L << 20) {
+        assert(hasBroadcastHint(spark.sql(rwProbe)))
+        // INSERT OVERWRITE with the SAME row count but every key tuple
+        // collapsed to one hot pair: the true self-join output explodes
+        // to rows² while the recorded F2 still reads ~rows — the exact
+        // shape the r13 one-sided growth check waved through. The
+        // byte-size half of the snapshot identity must catch it.
+        // (reads cg_li, not cg_li_rw itself — Spark refuses to overwrite
+        // a table it is reading; the two hold identical row counts)
+        spark.sql(
+          """INSERT OVERWRITE cg_li_rw
+            |SELECT l_orderkey, 1 AS l_partkey, 1 AS l_suppkey
+            |FROM cg_li""".stripMargin)
+        spark.sql("ANALYZE TABLE cg_li_rw COMPUTE STATISTICS")
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier("cg_li_rw"))
+        assert(ExtendedStats.groupRowsFromProperties(meta.properties, cols)
+          .map(BigInt(_)) == meta.stats.flatMap(_.rowCount),
+          "scenario lost its teeth: the rewrite changed the row count")
+        assert(!hasBroadcastHint(spark.sql(rwProbe)),
+          "stale F2 still certified after a same-count rewrite")
+        // Re-analyzing the group re-records the moments AND the
+        // snapshot identity — but now F2 is huge, so the certificate
+        // correctly stays unavailable at this threshold.
+        ExtendedStats.analyzeColumnGroup(spark, "cg_li_rw", cols)
+        assert(!hasBroadcastHint(spark.sql(rwProbe)),
+          "rows-squared join output certified under a 4 MB threshold")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS cg_li_rw")
   }
 
   test("requireComplete: a bare session clone is caught, the built " +

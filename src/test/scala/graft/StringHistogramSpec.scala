@@ -11,15 +11,70 @@ import graft.catalog.ExtendedStats
   */
 class StringHistogramSpec extends AnyFunSuite {
 
-  test("prefixSuccessor: increment, U+FFFF tails, unbounded") {
+  test("prefixSuccessor: increment, maximal tails, the surrogate gap, " +
+    "unbounded") {
     assert(ExtendedStats.prefixSuccessor("MEDIUM").contains("MEDIUN"))
     assert(ExtendedStats.prefixSuccessor("ab").contains("ac"))
-    // a trailing maximal char can't increment — drop it and bump the
-    // previous one, exactly the lexicographic least-upper-bound rule
+    // U+FFFF is not maximal in code-point (= UTF-8) order — its
+    // successor is the first supplementary code point
     assert(ExtendedStats.prefixSuccessor("a" + Char.MaxValue)
-      .contains("b"))
-    assert(ExtendedStats.prefixSuccessor(Char.MaxValue.toString).isEmpty)
+      .contains("a" + new String(Character.toChars(0x10000))))
+    // the true maximal scalar: drop it and bump the previous code point
+    val max = new String(Character.toChars(0x10FFFF))
+    assert(ExtendedStats.prefixSuccessor("a" + max).contains("b"))
+    assert(ExtendedStats.prefixSuccessor(max * 3).isEmpty)
+    // U+D7FF + 1 would be an unpaired surrogate, which Java's UTF-8
+    // encoder turns into '?' (0x3F) — a "successor" BELOW the prefix.
+    // The increment must skip the surrogate gap to U+E000.
+    assert(ExtendedStats.prefixSuccessor("x\uD7FF").contains("x\uE000"))
   }
+
+  test("prefixSuccessor property: every string extending a prefix falls " +
+    "in [prefix, succ(prefix)) under UTF-8 byte order") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def utf8Lt(a: String, b: String): Boolean = {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    // valid scalar code points only (no unpaired surrogates), biased
+    // toward the hazardous boundaries: U+D7FF, U+E000, U+FFFF, U+10FFFF
+    val scalar: Gen[Int] = Gen.frequency(
+      6 -> Gen.chooseNum(0x20, 0xD7FF),
+      2 -> Gen.chooseNum(0xE000, 0xFFFF),
+      2 -> Gen.chooseNum(0x10000, 0x10FFFF),
+      3 -> Gen.oneOf(0xD7FF, 0xE000, 0xFFFF, 0x10FFFF, 0x7F, 0x80, 0x7FF,
+        0x800))
+    val str: Gen[String] = Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, scalar).map(cps =>
+        cps.flatMap(Character.toChars(_).toSeq).mkString))
+    val cases = (1 to 400).flatMap { i =>
+      (for { p <- str; s <- str } yield (p, s))
+        .apply(Gen.Parameters.default, Seed(i.toLong))
+    }
+    cases.foreach { case (p, s) =>
+      ExtendedStats.prefixSuccessor(p) match {
+        case Some(succ) =>
+          assert(!utf8Lt(succ, p), s"succ below prefix: ${dump(p)}")
+          assert(!utf8Lt(p + s, p), s"extension below prefix: ${dump(p)}")
+          assert(utf8Lt(p + s, succ),
+            s"extension not below successor: p=${dump(p)} s=${dump(s)} " +
+              s"succ=${dump(succ)}")
+        case None => // unbounded: p empty or every code point U+10FFFF
+          assert(p.codePoints().toArray.forall(_ == 0x10FFFF), dump(p))
+      }
+    }
+  }
+
+  private def dump(s: String): String =
+    s.codePoints().toArray.map(cp => f"U+$cp%04X").mkString("[", " ", "]")
 
   test("rangeSelectivity: exact on boundary-aligned ranges, clamped, " +
     "monotone under range widening") {
@@ -95,15 +150,29 @@ class StringHistogramSpec extends AnyFunSuite {
     (0 until 1000).map(i => (i % 199, i % 97)).toDF("a", "b")
       .write.saveAsTable("ndv_t")
     try {
+      spark.sql("ANALYZE TABLE ndv_t COMPUTE STATISTICS FOR ALL COLUMNS")
       val ndvs = ExtendedStats.analyzeExactNdv(spark, "ndv_t", Seq("a", "b"))
       assert(ndvs == Map("a" -> 199L, "b" -> 97L))
-      val props = spark.sessionState.catalog.getTableMetadata(
+      val meta = spark.sessionState.catalog.getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier("ndv_t"))
-        .properties
-      assert(ExtendedStats.exactNdvFromProperties(props, "a")
+      assert(ExtendedStats.exactNdvFromProperties(meta.properties, "a")
         .contains(199L))
-      assert(ExtendedStats.exactNdvFromProperties(props, "b")
+      assert(ExtendedStats.exactNdvFromProperties(meta.properties, "b")
         .contains(97L))
+      // r14: the exact counts must reach Spark's OWN planning — merged
+      // into the catalog column stats next to ANALYZE's HLL sketch, so
+      // the native estimator (not just the introspection surface)
+      // prices from them.
+      val colStats = meta.stats.get.colStats
+      assert(colStats("a").distinctCount.contains(BigInt(199)),
+        s"catalog ndv not exact: ${colStats("a").distinctCount}")
+      assert(colStats("b").distinctCount.contains(BigInt(97)))
+      // the rest of the ANALYZE stats survive the merge
+      assert(colStats("a").min.isDefined && colStats("a").nullCount.isDefined)
+      // a group-by estimate through Spark's own stats now reads exactly
+      val grouped = spark.sql("SELECT a, count(*) AS c FROM ndv_t GROUP BY a")
+      assert(grouped.queryExecution.optimizedPlan.stats.rowCount
+        .contains(BigInt(199)))
     } finally spark.sql("DROP TABLE IF EXISTS ndv_t")
   }
 }
