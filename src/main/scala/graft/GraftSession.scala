@@ -142,8 +142,11 @@ object GraftSession {
   def registerPostReorderRules(s: SparkSession): Unit =
     if (!s.experimental.extraOptimizations
           .exists(_.isInstanceOf[graft.plans.ColumnGroupCertifiedBroadcast]))
+      // Order is load-bearing: steer the join order from the containment
+      // model FIRST, then certify broadcasts on the final shape.
       s.experimental.extraOptimizations ++=
-        Seq(new graft.plans.ColumnGroupCertifiedBroadcast)
+        Seq(new graft.plans.ContainmentJoinReorder,
+          new graft.plans.ColumnGroupCertifiedBroadcast)
 
   /** Assert the session IS the complete engine — extension-injected
     * rules AND the post-reorder experimental rule. The experimental
@@ -156,10 +159,13 @@ object GraftSession {
     */
   def requireComplete(s: SparkSession): Unit =
     require(s.experimental.extraOptimizations
-        .exists(_.isInstanceOf[graft.plans.ColumnGroupCertifiedBroadcast]),
-      "incomplete engine: ColumnGroupCertifiedBroadcast is not registered " +
-        "— construct the session via GraftSession.build/local (newSession()" +
-        " clones drop experimental.extraOptimizations)")
+        .exists(_.isInstanceOf[graft.plans.ColumnGroupCertifiedBroadcast]) &&
+      s.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.ContainmentJoinReorder]),
+      "incomplete engine: the post-reorder rules (ContainmentJoinReorder, " +
+        "ColumnGroupCertifiedBroadcast) are not registered — construct the " +
+        "session via GraftSession.build/local (newSession() clones drop " +
+        "experimental.extraOptimizations)")
     // No batch-presence check: SparkOptimizer always materializes the
     // `User Provided Optimizers` batch (empty or not), so such a require
     // could never fire — the registration check above is the guard.

@@ -52,9 +52,12 @@ object JobenchPlan {
       ourShape: Option[String],
       refShape: Option[String],
       err: Option[String],
-      /** CBO row estimate at the optimized plan's root — captured here
-        * so stats-only harnesses (Tpch1Plan) don't re-plan the query a
-        * second time just to read it.
+      /** The ENGINE estimator's row estimate at the plan root —
+        * graft's containment/grouped-chain corrections where they
+        * apply, Spark's CBO rowCount otherwise (the same estimator
+        * PlanIntrospection reports and ContainmentJoinReorder plans
+        * from). Captured here so stats-only harnesses (Tpch1Plan)
+        * don't re-plan the query a second time just to read it.
         */
       rootEst: Option[BigInt] = None) {
     def joinCount: Int = joins.values.sum
@@ -128,8 +131,9 @@ object JobenchPlan {
 
       Audit(name, leaves.size, joins, cartesians, maxBcast, withStats,
         Some(canonical(plan)), refShape, None,
-        rootEst = scala.util.Try(qe.optimizedPlan.stats.rowCount)
-          .toOption.flatten)
+        rootEst = scala.util.Try(
+          graft.api.PlanIntrospection.plannedRootEstimate(spark, plan)
+            .orElse(qe.optimizedPlan.stats.rowCount)).toOption.flatten)
     } catch {
       case e: Exception =>
         Audit(name, 0, Map.empty, 0, 0L, 0, None, refShape,

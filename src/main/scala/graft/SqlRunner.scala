@@ -23,6 +23,20 @@ object SqlRunner {
 
   val maxShowRows = 50
 
+  /** Execute one statement through the engine surface: qpmodel dialect
+    * forms via [[SqlDialect]], everything else plain Spark SQL — with
+    * the multi-level-correlation repairs
+    * ([[graft.plans.CorrelationRepair]]) applied on analyzer rejection
+    * when `spark.graft.sql.correlationRepair` is set (opt-in; a clean
+    * statement is never rewritten).
+    */
+  def exec(spark: SparkSession, sql: String): DataFrame =
+    SqlDialect.exec(spark, sql).getOrElse {
+      if (graft.plans.CorrelationRepair.enabled(spark))
+        graft.plans.CorrelationRepair.analyzeRepaired(spark, sql)
+      else spark.sql(sql)
+    }
+
   /** Split SQL text into statements: `;` terminates a statement except
     * inside single-quoted strings (backslash-escaped quotes — Spark's
     * default literal syntax — stay inside the string); `--`-to-EOL
@@ -112,8 +126,7 @@ object SqlRunner {
       buf.clear(); buf.append(rest)
       done.foreach { sql =>
         n += 1
-        try out(s"-- [$n] $sql\n" + render(
-          SqlDialect.exec(spark, sql).getOrElse(spark.sql(sql)),
+        try out(s"-- [$n] $sql\n" + render(exec(spark, sql),
           explain, analyze))
         catch { case e: Exception =>
           out(s"-- [$n] $sql\nERROR: ${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -132,9 +145,9 @@ object SqlRunner {
       StandardCharsets.UTF_8)
     splitStatements(text).zipWithIndex.map { case (sql, i) =>
       // qpmodel dialect forms (CREATE STREAM / distributed-by / COPY)
-      // execute through the shim; everything else is plain Spark SQL.
-      try (i + 1, sql,
-        Right(SqlDialect.exec(spark, sql).getOrElse(spark.sql(sql))))
+      // execute through the shim; everything else is plain Spark SQL
+      // (with opt-in correlation repair — see exec()).
+      try (i + 1, sql, Right(exec(spark, sql)))
       catch { case e: Exception =>
         (i + 1, sql, Left(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
       }

@@ -190,6 +190,34 @@ object PlanIntrospection {
   final case class OpProfile(ord: Int, depth: Int, node: String,
       estRows: Option[BigInt], estExact: Boolean, actualRows: Option[Long])
 
+  /** The engine estimator's cardinality for one node of a STATIC
+    * (pre-execution) physical plan — what [[estimateVsActual]] pairs
+    * with actuals post-execution, reusable by plan-only harnesses
+    * (Tpch1Plan grades root estimates on data-free catalogs). Walks
+    * preorder from `root`, skipping pure plumbing wrappers, and returns
+    * the first node's estimate.
+    */
+  def plannedRootEstimate(spark: SparkSession,
+                          root: SparkPlan): Option[BigInt] = {
+    val wrappers = Seq("WholeStageCodegen", "InputAdapter", "ColumnarToRow",
+      "AdaptiveSparkPlan", "ResultQueryStage", "Exchange", "AQEShuffleRead",
+      "ShuffleQueryStage", "BroadcastQueryStage", "BroadcastExchange")
+    def go(n: SparkPlan): Option[BigInt] =
+      if (wrappers.exists(n.nodeName.startsWith)) n match {
+        case q: QueryStageExec => go(q.plan)
+        case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+        case _ => n.children.headOption.flatMap(go)
+      }
+      else estimatedRows(spark, n) match {
+        // EXACT estimates only (stats-fed CBO or the graft corrections)
+        // — the size-derived quotient means "no row estimate here", and
+        // grading it as the root estimate would compare noise.
+        case (est, true) => est
+        case _ => None
+      }
+    go(root)
+  }
+
   private def estimatedRows(spark: SparkSession,
                             n: SparkPlan): (Option[BigInt], Boolean) = {
     // Extended statistics refine what Spark's estimation chain gets

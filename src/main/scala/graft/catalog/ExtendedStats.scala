@@ -576,7 +576,15 @@ object ExtendedStats {
     side match {
       case q: QueryStageExec => sideCard(spark, q.plan)
       case a: AdaptiveSparkPlanExec => sideCard(spark, a.executedPlan)
-      case j if joinParts(j).isDefined => containmentEstimate(spark, j)
+      case j if joinParts(j).isDefined =>
+        // A join the containment model cannot price (semi/anti type,
+        // missing ndv evidence) is still a SIDE Spark prices wholesale
+        // — same caliber of evidence as a filter/scan side, so fall
+        // back to its own CBO rowCount rather than declining the whole
+        // enclosing chain (the r14 extension that lets a chain with an
+        // anti-join input keep per-edge containment above it).
+        containmentEstimate(spark, j)
+          .orElse(j.logicalLink.flatMap(_.stats.rowCount))
       case p =>
         val joinBeneath = collectThroughStages(p) {
           case j if joinParts(j).isDefined => j
@@ -610,10 +618,23 @@ object ExtendedStats {
   def groupedChainEstimate(spark: SparkSession,
                            n: SparkPlan): Option[BigInt] = {
     import org.apache.spark.sql.catalyst.plans.logical
-    def toAgg(p: logical.LogicalPlan): Option[logical.Aggregate] = p match {
-      case a: logical.Aggregate => Some(a)
-      case s: logical.Sort => toAgg(s.child)
-      case pr: logical.Project => toAgg(pr.child)
+    // Descent to the Aggregate accumulates a SCALE: Sort/Project are
+    // cardinality-preserving (×1); a Filter above the aggregate (a
+    // HAVING) multiplies by Spark's OWN selectivity for it — the ratio
+    // of Spark's rowCounts across the Filter — so the operator's
+    // selectivity is neither dropped (an over-statement) nor re-derived
+    // in a second model. No ratio (either rowCount missing) declines.
+    def toAgg(p: logical.LogicalPlan, scale: Double)
+        : Option[(logical.Aggregate, Double)] = p match {
+      case a: logical.Aggregate => Some((a, scale))
+      case s: logical.Sort => toAgg(s.child, scale)
+      case pr: logical.Project => toAgg(pr.child, scale)
+      case f: logical.Filter =>
+        (f.stats.rowCount, f.child.stats.rowCount) match {
+          case (Some(fr), Some(cr)) if cr > 0 =>
+            toAgg(f.child, scale * (fr.toDouble / cr.toDouble))
+          case _ => None
+        }
       case _ => None
     }
     @annotation.tailrec
@@ -624,7 +645,7 @@ object ExtendedStats {
       case _ => false
     }
     for {
-      a <- n.logicalLink.flatMap(toAgg)
+      (a, scale) <- n.logicalLink.flatMap(toAgg(_, 1.0))
       if overJoin(a.child)
       keys <- Option(a.groupingExpressions
         .collect { case ar: AttributeReference => ar })
@@ -633,10 +654,14 @@ object ExtendedStats {
       join <- collectThroughStages(n) {
         case j if joinParts(j).isDefined => j
       }.headOption
-      joinEst <- containmentEstimate(spark, join)
+      joinEst <- sideCard(spark, join) // containment, CBO for semi/anti
       ndvs <- Option(keys.map(keyNdv(spark, n, _)))
         .filter(_.forall(_.isDefined))
-    } yield ndvs.flatten.product.min(joinEst).max(1)
+    } yield {
+      val grouped = ndvs.flatten.product.min(joinEst)
+      (BigDecimal(grouped) * scale)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt.max(1)
+    }
   }
 
   /** Per-edge containment estimate for a (possibly chained) equi-join:

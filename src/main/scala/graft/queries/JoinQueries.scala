@@ -186,10 +186,103 @@ object JoinQueries {
        |FROM ranked JOIN nation ON k = n_nationkey
        |ORDER BY bal DESC, n_name LIMIT 5""".stripMargin)
 
+  // ------------------------------------------------------------------
+  // Two-level correlated subqueries at the ENGINE SURFACE (r14).
+  // qpmodel resolves an outer reference from ANY enclosing block
+  // (Expr.cs:992-1021); Spark's analyzer resolves one level, so these
+  // reference-verbatim statements (UnitTest.cs:1046/1057/1392, run
+  // against micro-tables a = b = {(i,i+1,i+2,i+3) : i ∈ 0..2}, here
+  // derived deterministically from nation) are analyzer-rejected and
+  // healed by graft.plans.CorrelationRepair through SqlRunner.exec —
+  // opt-in conf, firing only AFTER the rejection. DuckDB binds
+  // multi-level correlation natively, so the oracle runs the ORIGINAL
+  // text.
+  // ------------------------------------------------------------------
+
+  private val MicroViewsSql = Seq(
+    """CREATE OR REPLACE TEMP VIEW a AS
+      |SELECT n_nationkey AS a1, n_nationkey+1 AS a2, n_nationkey+2 AS a3,
+      |       n_nationkey+3 AS a4
+      |FROM nation WHERE n_nationkey < 3""".stripMargin,
+    """CREATE OR REPLACE TEMP VIEW b AS
+      |SELECT n_nationkey AS b1, n_nationkey+1 AS b2, n_nationkey+2 AS b3,
+      |       n_nationkey+3 AS b4
+      |FROM nation WHERE n_nationkey < 3""".stripMargin)
+
+  private val MicroCte =
+    """WITH a AS (SELECT n_nationkey AS a1, n_nationkey+1 AS a2,
+      |                  n_nationkey+2 AS a3, n_nationkey+3 AS a4
+      |           FROM nation WHERE n_nationkey < 3),
+      |     b AS (SELECT n_nationkey AS b1, n_nationkey+1 AS b2,
+      |                  n_nationkey+2 AS b3, n_nationkey+3 AS b4
+      |           FROM nation WHERE n_nationkey < 3)
+      |""".stripMargin
+
+  /** Run `sql` through [[graft.SqlRunner.exec]] with the repair conf on
+    * (restored after); the oracle is the ORIGINAL statement over the
+    * same data as CTEs. No ORDER BY needed — the oracle compare sorts
+    * rows — and [[graft.plans.CorrelationRepair.hoistTwoLevelScalar]]'s
+    * guards refuse statements with one anyway.
+    */
+  private def repairedDef(name: String, sql: String): QueryDef =
+    QueryDef(name, (s, dir) => {
+      graft.catalog.Tables.registerAll(s, dir)
+      MicroViewsSql.foreach(s.sql(_))
+      val key = graft.plans.CorrelationRepair.ConfKey
+      val old = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try graft.SqlRunner.exec(s, sql)
+      finally old match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }, Some(MicroCte + sql), sqlText = Some(sql))
+
+  /** UnitTest.cs:1046 — conjunctive two-level correlation (the inner
+    * block reads `a3` two levels up) → CorrelationRepair.flattenTwoLevel.
+    */
+  val subqTwoLevelFlatten: QueryDef = repairedDef("subq_two_level_flatten",
+    "select a1 from a where a.a1 = (select b1 from b bo where b2 = a2 " +
+      "and b1 = (select b1 from b where b3 = a3 and b3>1) and b2<3)")
+
+  /** UnitTest.cs:1057 — two-level correlation under a DISJUNCTIVE middle
+    * WHERE (a flatten would be wrong under OR) →
+    * CorrelationRepair.hoistTwoLevelScalar (grouped left join).
+    */
+  val subqTwoLevelHoist: QueryDef = repairedDef("subq_two_level_hoist",
+    "select a1 from a where a.a1 = (select b1 from b bo where b2 = a2 " +
+      "or b1 = (select b1 from b where b2 = 2*a1 and b3>1) and b2<3)")
+
+  /** UnitTest.cs:1392 — correlated scalar subquery in a grouped select
+    * list → CorrelationRepair.liftGroupedScalarSubquery. Spark's
+    * unaliased subquery-expression column name differs from DuckDB's,
+    * so the build renames positionally (the rewrite's guards reject
+    * select-list aliases).
+    */
+  val subqGroupedScalar: QueryDef = QueryDef("subq_grouped_scalar",
+    (s, dir) => {
+      graft.catalog.Tables.registerAll(s, dir)
+      MicroViewsSql.foreach(s.sql(_))
+      val key = graft.plans.CorrelationRepair.ConfKey
+      val old = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try graft.SqlRunner.exec(s,
+        "select a1, 5+(select b2 from b where b1=a1) from a group by 1")
+        .toDF("a1", "b2p5")
+      finally old match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    },
+    Some(MicroCte +
+      "SELECT a1, 5+(SELECT b2 FROM b WHERE b1=a1) AS b2p5 " +
+      "FROM a GROUP BY 1"))
+
   val defs: Seq[QueryDef] = Seq(
     joinInner, joinLeft, joinRight, joinFull, joinThetaNl, joinCross,
     joinExprKeys, joinSemi, joinAnti,
     subqScalarUncorr, subqScalarCorr, subqSingleJoin, subqIn,
     subqNotInNull, subqNotIn, subqMarkOr, subqNested, subqFromDerived,
+    subqTwoLevelFlatten, subqTwoLevelHoist, subqGroupedScalar,
     cteBasic, cteMultiRef, cteNested)
 }

@@ -22,8 +22,14 @@ class Tpch1PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // Isolated session: the shared-JVM suite run mutates session confs
   // (broadcast thresholds, aggregate modes) that this audit's plans are
-  // sensitive to; newSession() resets SQLConf to the builder values.
-  private lazy val spark = GraftSession.local(4).newSession()
+  // sensitive to; newSession() resets SQLConf to the builder values —
+  // and drops experimental.extraOptimizations, so the post-reorder
+  // rules must be re-registered or the audit grades a lesser engine.
+  private lazy val spark = {
+    val s = GraftSession.local(4).newSession()
+    GraftSession.registerPostReorderRules(s)
+    s
+  }
   private lazy val rows = Tpch1Plan.runAll(spark)
   private def audits = rows.map(_.audit)
 
@@ -54,24 +60,40 @@ class Tpch1PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected cartesian/NL in: ${withNl.map(_.name)}")
   }
 
-  test("the subquery-free shapes where both cost models agree keep exact tree parity") {
+  test("the shapes where both cost models agree keep exact tree parity " +
+    "(r14: containment reorder added q05)") {
     // These matched the reference memo's canonical join tree under the
     // sf1 stats when the audit was pinned; a regression here means the
-    // stats conversion or CBO conf drifted. Divergence elsewhere is
-    // expected (decorrelation strategy + cost-model differences) and
-    // REPORTED in TPCH1.md, not asserted.
-    val mustMatch = Set("q01", "q04", "q06", "q12", "q13", "q14", "q17", "q19")
+    // stats conversion, CBO conf, or the containment join-reorder
+    // drifted. q05 (6-relation chain) matches BECAUSE
+    // ContainmentJoinReorder re-orders it — Spark's CBO alone picked a
+    // different tree through r13. Divergence elsewhere is expected
+    // (decorrelation strategy + cost-model differences: e.g. q03's
+    // filtered-customer-first order is strictly cheaper under Cout than
+    // the reference's lineitem-first order) and REPORTED in TPCH1.md,
+    // not asserted.
+    val mustMatch = Set("q01", "q04", "q05", "q06", "q12", "q13", "q14",
+      "q17", "q19")
     val broken = audits.filter(a =>
       mustMatch(a.name) && !a.shapeMatches)
     assert(broken.isEmpty,
       s"lost tree parity: ${broken.map(a => (a.name, a.ourShape, a.refShape))}")
+    assert(audits.count(_.shapeMatches) >= 9,
+      s"exact-tree count regressed below the r14 pin: " +
+        s"${audits.filter(_.shapeMatches).map(_.name)}")
   }
 
   test("root-cardinality estimator agreement: gmean q-error bounded under identical stats") {
+    // r14: the graded estimate is the ENGINE estimator's (containment /
+    // grouped-chain with CBO fallback — the estimator that now also
+    // steers join order); measured gmean 1.00, max 1.04 (q16). The pin
+    // leaves resolution slack, not room to lose a correction (raw CBO
+    // reads 2.04 here).
     val qerrs = rows.flatMap(_.rootQError)
     assert(qerrs.size >= 15, s"too few comparable roots: ${qerrs.size}")
     val g = Tpch1Plan.gmean(qerrs)
-    assert(g <= 2.5, f"gmean root q-error $g%.2f > 2.5")
+    assert(g <= 1.2, f"gmean root q-error $g%.2f > 1.2")
+    assert(qerrs.max <= 1.5, f"worst root q-error ${qerrs.max}%.2f > 1.5")
   }
 
   test("stats injection is live: lineitem plans at its sf1 cardinality") {
