@@ -9,11 +9,20 @@ package graft
   */
 object RunQuery {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: RunQuery <dir> <query> [query ...]")
-    val dir = args(0)
-    val names = args.drop(1).toSeq
+    // --conf k=v: session conf overrides for A/B probes (e.g.
+    // spark.graft.graph.packedAdjacency=false), applied before planning.
+    val (confArgs, positional) = args.partition(_.startsWith("--conf="))
+    require(positional.length >= 2,
+      "usage: RunQuery <dir> <query> [query ...] [--conf=k=v ...]")
+    val dir = positional(0)
+    val names = positional.drop(1).toSeq
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, Some(dir))
+    confArgs.map(_.stripPrefix("--conf=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+      println(s"[runquery] conf $k=$v")
+    }
     spark.sparkContext.setLogLevel("WARN")
     val times = names.map { n =>
       val d = Queries.byName.getOrElse(n,

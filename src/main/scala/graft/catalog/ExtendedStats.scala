@@ -673,6 +673,18 @@ object ExtendedStats {
     * not a supported join, a multi-key join has no registered group
     * (per-key independence is exactly the error this module exists to
     * avoid), or any input/ndv lacks catalog evidence.
+    *
+    * Composite keys with BOTH F2 moments registered are priced by the
+    * frequency-correlation-aware form instead (r14, closing the CE
+    * battery's last 1.23×): the true output Σ_t c_L(t)·c_R(t) exceeds
+    * the containment estimate |L|·|R|/max(g) exactly when the two
+    * sides' tuple multiplicities correlate (tuples duplicated in
+    * partsupp attract more lineitems), and Cauchy–Schwarz gives the
+    * tight worst-case sel_L·sel_R·√(F2_L·F2_R) — always ≥ the
+    * independence form (Σc ≤ √(g·F2)), measured q 1.049 vs 1.231 on
+    * the probe. Applied only when each side is a REDUCTION of its base
+    * table (card ≤ analyze-time rows, so the uniform-filter scaling
+    * sel = card/rows is meaningful); chains keep the ndv containment.
     */
   def containmentEstimate(spark: SparkSession, n: SparkPlan): Option[BigInt] = {
     import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
@@ -685,28 +697,42 @@ object ExtendedStats {
         .filter(_.size == rk.size)
       cardL <- sideCard(spark, left)
       cardR <- sideCard(spark, right)
-      divisor <- {
+      inner <- {
         if (lAttrs.size >= 2)
           for {
             (lProps, lCols) <- keyOrigin(spark, left, lAttrs)
             (rProps, rCols) <- keyOrigin(spark, right, rAttrs)
             gL <- groupNdvFromProperties(lProps, lCols)
             gR <- groupNdvFromProperties(rProps, rCols)
-          } yield BigInt(math.max(gL, gR))
+          } yield {
+            val f2Form = for {
+              f2L <- groupF2FromProperties(lProps, lCols)
+              f2R <- groupF2FromProperties(rProps, rCols)
+              rowsL <- groupRowsFromProperties(lProps, lCols)
+              rowsR <- groupRowsFromProperties(rProps, rCols)
+              if rowsL > 0 && rowsR > 0 &&
+                cardL <= BigInt(rowsL) && cardR <= BigInt(rowsR)
+            } yield BigDecimal(math.sqrt(f2L * f2R)) *
+              (BigDecimal(cardL) / BigDecimal(rowsL)) *
+              (BigDecimal(cardR) / BigDecimal(rowsR))
+            f2Form.map(_.setScale(0, BigDecimal.RoundingMode.HALF_UP)
+                .toBigInt)
+              .getOrElse(cardL * cardR / BigInt(math.max(gL, gR)).max(1))
+          }
         else
           for {
             dL <- keyNdv(spark, left, lAttrs.head)
             dR <- keyNdv(spark, right, rAttrs.head)
-          } yield dL.max(dR)
+          } yield cardL * cardR / dL.max(dR).max(1)
       }
     } yield {
       val cross = cardL * cardR
-      val inner = (cross / divisor.max(1)).min(cross).max(1)
+      val bounded = inner.min(cross).max(1)
       jt match {
-        case LeftOuter => inner.max(cardL)
-        case RightOuter => inner.max(cardR)
-        case FullOuter => inner.max(cardL).max(cardR)
-        case _ => inner
+        case LeftOuter => bounded.max(cardL)
+        case RightOuter => bounded.max(cardR)
+        case FullOuter => bounded.max(cardL).max(cardR)
+        case _ => bounded
       }
     }
   }

@@ -107,7 +107,23 @@ object Graph {
       // consumed twice (adjacency build + probe stream); same
       // guaranteed-once rationale as the edge checkpoint above
       .localCheckpoint()
-    val adj = oriented.groupBy("u").agg(collect_list("v").as("nbrs"))
+    // Adjacency ENCODING (r14): the wedge exchange ships every probing
+    // edge a copy of its endpoint's out-adjacency — Σ out-deg² values,
+    // the family's inherent shuffle volume and the 100× single-box wall
+    // (27 GB at sf10). Tungsten's array<long> spends 8 B + header per
+    // neighbor; sorted ids delta-varint to 1–3 B, so the packed BINARY
+    // form (graft.functions.PackedAdjacency, native codegen'd pack /
+    // merge-walk intersect) carries the same wedges in a fraction of
+    // the bytes. Conf-switchable for A/B; default = packed (measured at
+    // the 100× soak — see BASELINE.md).
+    val packed = edges.sparkSession.conf
+      .get("spark.graft.graph.packedAdjacency", "true").toBoolean
+    val adjRaw = oriented.groupBy("u").agg(collect_list("v").as("nbrs"))
+    val adj = if (packed)
+      adjRaw.select(col("u"),
+        graft.functions.PackedAdjacencyColumns.packVarint(col("nbrs"))
+          .as("nbrs"))
+    else adjRaw
     // Inner joins are exact: adj(u) exists by construction (u sources
     // this edge); a missing adj(v) means N+(v) = ∅, contribution 0 —
     // dropping the row counts the same. shuffle_hash builds the
@@ -120,7 +136,10 @@ object Graph {
         .withColumnRenamed("u", "__kv").withColumnRenamed("nbrs", "nv"),
         col("v") === col("__kv"))
       .select(col("u"), col("v"),
-        array_intersect(col("nu"), col("nv")).as("tri_nbrs"))
+        (if (packed)
+          graft.functions.PackedAdjacencyColumns
+            .packedIntersect(col("nu"), col("nv"))
+        else array_intersect(col("nu"), col("nv"))).as("tri_nbrs"))
   }
 
   /** Per-node triangle participation: how many triangles each node sits

@@ -1053,10 +1053,15 @@ object PipelineQueries {
       // text join, the language join) otherwise each re-scan the
       // text-heavy documents source — 6 file scans measured in the
       // initial plan, dedup'd only if ReuseExchange fires. One scan of
-      // the lake's fattest table, guaranteed.
+      // the lake's fattest table, guaranteed. Eager-vs-lazy is
+      // conf-switchable for the 100× variance A/B (lazy materializes
+      // during whichever consumer job fires first; eager pays one
+      // dedicated materialization job up front) — see BASELINE.md for
+      // the measured decision.
       val corpus = d.unionByName(d.filter("doc_id % 5 = 0")
         .selectExpr("doc_id + 10000 AS doc_id", "text", "lang"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = s.conf
+          .get("spark.graft.pipeline.eagerCheckpoint", "false").toBoolean)
       val canonical = Dedup.exact(corpus)
         .join(corpus, org.apache.spark.sql.functions.expr("keep_id = doc_id"))
       val quality = TextAnalysis.stats(

@@ -24,7 +24,9 @@ import graft.regress.CeBattery
   *  - the correlated 2-key join (probe 7) — formerly our worst at 7.2×
   *    under per-column independence — is priced by the column-group
   *    containment bound ([[graft.catalog.ExtendedStats]]) at 1.23×,
-  *    beating the reference's min-ndv-product 3.52×;
+  *    and since r14 by the frequency-correlation form
+  *    sel_L·sel_R·√(F2_L·F2_R) at 1.049×, beating the reference's
+  *    min-ndv-product 3.52×;
   *  - the chain probes the reference used to win — left-join+filter
   *    (probe 8, ours was 2.59× vs its 1.50×) and the 3-way join
   *    (probe 9, 2.69× vs 1.00×) — are priced by recursive per-edge
@@ -34,9 +36,9 @@ import graft.regress.CeBattery
   *  - join+group+sort (probe 13, was 1.22×): the aggregate formula
   *    min(Π key-ndv, child) seeded by the containment chain estimate
   *    prices the group count exactly (1500 = truth);
-  *  - geometric-mean q-error ~1.02 vs the reference's 1.71 on its own
-  *    battery, worst probe 1.23 vs its 35×; every probe at or within
-  *    2% of the reference's q-error.
+  *  - geometric-mean q-error ~1.008 vs the reference's 1.71 on its
+  *    own battery, worst probe 1.049 vs its 35×; every probe at or
+  *    within 2% of the reference's q-error.
   */
 class CeParitySpec extends AnyFunSuite {
 
@@ -102,12 +104,16 @@ class CeParitySpec extends AnyFunSuite {
       s"worst-case: ours=${probes.map(_.ourQ).max} " +
         s"ref=${probes.map(_.refQ).max}")
     // probe 7 (the correlated 2-key join) was the reference's one win
-    // (3.52× vs our 7.2× under independence); with the column-group
-    // extended stats the containment bound prices it at or near truth —
-    // pin that it now at least matches the reference
+    // (3.52× vs our 7.2× under independence); the column-group ndv
+    // containment priced it at 1.23×, and r14's frequency-correlation
+    // form sel_L·sel_R·√(F2_L·F2_R) lands 1.049 — pin ≤ 1.1 so losing
+    // the F2 pricing (or the moments) fails loudly
     assert(probes(6).ourQ <= probes(6).refQ,
       s"probe 7 (2-key join): ours=${probes(6).ourQ} " +
         s"ref=${probes(6).refQ} — column-group correction missing?")
+    assert(probes(6).ourQ <= 1.1,
+      s"probe 7 (2-key join): ours=${probes(6).ourQ} — F2 " +
+        "frequency-correlation pricing missing?")
     // r13: the chain probes the reference used to win. Probe 8
     // (left-join + filter) and probe 9 (3-way chain) must now price at
     // or under the reference's q-error — recursive per-edge containment
@@ -131,7 +137,7 @@ class CeParitySpec extends AnyFunSuite {
     assert(probes(4).ourQ <= 1.5,
       s"probe 5 (LIKE prefix): ${probes(4).ourQ} — string histogram " +
         "estimate missing?")
-    // Battery-wide: measured gmean ~1.02; the pin at 1.15 would catch
+    // Battery-wide: measured gmean ~1.008; the pin at 1.15 would catch
     // any probe silently regressing to its pre-r13 value.
     assert(ourG < 1.15, f"gmean q-error regressed: $ourG%.3f")
   }
