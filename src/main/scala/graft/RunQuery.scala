@@ -19,9 +19,11 @@ object RunQuery {
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, Some(dir))
     confArgs.map(_.stripPrefix("--conf=")).foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k, v)
-      println(s"[runquery] conf $k=$v")
+      val parts = kv.split("=", 2)
+      require(parts.length == 2 && parts(0).nonEmpty,
+        s"malformed --conf=$kv (expected --conf=key=value)")
+      spark.conf.set(parts(0), parts(1))
+      println(s"[runquery] conf ${parts(0)}=${parts(1)}")
     }
     spark.sparkContext.setLogLevel("WARN")
     val times = names.map { n =>

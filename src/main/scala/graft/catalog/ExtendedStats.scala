@@ -682,9 +682,12 @@ object ExtendedStats {
     * partsupp attract more lineitems), and Cauchy–Schwarz gives the
     * tight worst-case sel_L·sel_R·√(F2_L·F2_R) — always ≥ the
     * independence form (Σc ≤ √(g·F2)), measured q 1.049 vs 1.231 on
-    * the probe. Applied only when each side is a REDUCTION of its base
-    * table (card ≤ analyze-time rows, so the uniform-filter scaling
-    * sel = card/rows is meaningful); chains keep the ndv containment.
+    * the probe. Applied only when each side is a JOIN-FREE REDUCTION of
+    * its base table (no join of any kind beneath, and card ≤
+    * analyze-time rows, so the uniform-filter scaling sel = card/rows
+    * is meaningful — a join-reduced side's selectivity can be
+    * key-correlated and the scaling invalid); chains keep the ndv
+    * containment.
     */
   def containmentEstimate(spark: SparkSession, n: SparkPlan): Option[BigInt] = {
     import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
@@ -705,13 +708,19 @@ object ExtendedStats {
             gL <- groupNdvFromProperties(lProps, lCols)
             gR <- groupNdvFromProperties(rProps, rCols)
           } yield {
+            def joinFree(p: SparkPlan): Boolean = collectThroughStages(p) {
+              case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+              case c: org.apache.spark.sql.execution.joins
+                  .CartesianProductExec => c
+            }.isEmpty
             val f2Form = for {
               f2L <- groupF2FromProperties(lProps, lCols)
               f2R <- groupF2FromProperties(rProps, rCols)
               rowsL <- groupRowsFromProperties(lProps, lCols)
               rowsR <- groupRowsFromProperties(rProps, rCols)
               if rowsL > 0 && rowsR > 0 &&
-                cardL <= BigInt(rowsL) && cardR <= BigInt(rowsR)
+                cardL <= BigInt(rowsL) && cardR <= BigInt(rowsR) &&
+                joinFree(left) && joinFree(right)
             } yield BigDecimal(math.sqrt(f2L * f2R)) *
               (BigDecimal(cardL) / BigDecimal(rowsL)) *
               (BigDecimal(cardR) / BigDecimal(rowsR))

@@ -47,18 +47,31 @@ object PackedAdjacency {
     pos + 1
   }
 
-  /** Sort + delta + varint a long array. Empty array → empty bytes. */
+  /** Sort + delta + varint a long array. Empty array → empty bytes.
+    * Null slots are skipped (SET semantics — a null neighbor is no
+    * neighbor, never a phantom id 0, which `toLongArray` would read).
+    * Gaps are written as RAW longs through the varint (a gap spanning
+    * more than half the long range wraps negative in two's complement;
+    * the decoder's wrapping ADD reverses it exactly, so nothing is
+    * dropped — only a true duplicate produces gap 0).
+    */
   def pack(arr: ArrayData): Array[Byte] = {
-    val n = arr.numElements()
+    val total = arr.numElements()
+    var n = 0
+    val vals = new Array[Long](total)
+    var j = 0
+    while (j < total) {
+      if (!arr.isNullAt(j)) { vals(n) = arr.getLong(j); n += 1 }
+      j += 1
+    }
     if (n == 0) return Array.emptyByteArray
-    val vals = arr.toLongArray()
-    java.util.Arrays.sort(vals)
+    java.util.Arrays.sort(vals, 0, n)
     val buf = new Array[Byte](n * 10)
     var pos = writeVarint(buf, 0, zigzag(vals(0)))
     var i = 1
     while (i < n) {
       val gap = vals(i) - vals(i - 1)
-      if (gap > 0) pos = writeVarint(buf, pos, gap)
+      if (gap != 0) pos = writeVarint(buf, pos, gap)
       i += 1
     }
     java.util.Arrays.copyOf(buf, pos)

@@ -251,14 +251,17 @@ class ContainmentJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
         if (Integer.bitCount(s) == size) {
           var bc = Double.PositiveInfinity
           var bl = 0
+          // card(s) is invariant per mask — hoisted out of the submask
+          // loop (3^n (s, s1) pairs each paying O(n+|E|) would be a
+          // planning-path constant on every multi-join query)
+          val cardS = math.exp(math.min(700.0, logCard(s, rows, es)))
           // enumerate proper submasks; count each unordered split once
           var s1 = (s - 1) & s
           while (s1 > 0) {
             val s2 = s ^ s1
             if (s1 > s2 && best(s1) != null && best(s2) != null &&
               connected(s1, s2, adjacency)) {
-              val c = best(s1).cost + best(s2).cost +
-                math.exp(math.min(700.0, logCard(s, rows, es)))
+              val c = best(s1).cost + best(s2).cost + cardS
               if (c < bc) { bc = c; bl = s1 }
             }
             s1 = (s1 - 1) & s

@@ -36,34 +36,56 @@ object CorrelationRepair {
   def enabled(spark: SparkSession): Boolean =
     spark.conf.getOption(ConfKey).exists(_.toBoolean)
 
+  /** The correlation repairs keyed by analyzer error: conjunctive
+    * contexts flatten; the disjunctive shape the flatten must refuse
+    * hoists instead (sound under OR); grouped scalar subqueries lift.
+    * None for any other error.
+    */
+  def correlationRepairs(msg: String, cur: String): Option[String] =
+    if (msg.contains("UNRESOLVED_COLUMN")) {
+      val flat = flattenTwoLevel(cur)
+      Some(if (flat != cur) flat else hoistTwoLevelScalar(cur))
+    }
+    else if (msg.contains(
+        "SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_AGGREGATE_FUNCTION"))
+      Some(liftGroupedScalarSubquery(cur))
+    else None
+
   /** Analyze `sql`, applying the error-triggered repairs (at most once
     * each) — statements that analyze clean are NEVER rewritten.
     */
-  def analyzeRepaired(spark: SparkSession, sql: String): DataFrame = {
+  def analyzeRepaired(spark: SparkSession, sql: String): DataFrame =
+    analyzeRepairedWith(spark, sql, correlationRepairs)
+
+  /** The shared repair driver (UnitMiner's battery replay composes its
+    * extra text shims onto the same loop): analyze; on a NON-FATAL
+    * failure consult `repairs(message, currentText)`; retry at most
+    * twice. When a rewrite was applied but the rewritten text fails
+    * with no further repair, the ORIGINAL statement's error surfaces
+    * (the user never wrote the rewritten text — its error would quote
+    * alien internals), with the later failure attached as suppressed.
+    * Fatal VM errors propagate untouched.
+    */
+  def analyzeRepairedWith(spark: SparkSession, sql: String,
+      repairs: (String, String) => Option[String]): DataFrame = {
     var cur = sql
     var attempts = 0
+    var first: Throwable = null
     while (true) {
       try {
         val df = spark.sql(cur)
         df.schema // force analysis so repairs trigger here, not later
         return df
       } catch {
-        case e: Throwable if attempts < 2 =>
+        case scala.util.control.NonFatal(e) =>
+          if (first == null) first = e
           val msg = Option(e.getMessage).getOrElse("")
-          val repairedOpt =
-            if (msg.contains("UNRESOLVED_COLUMN")) {
-              // conjunctive contexts flatten; the disjunctive shape the
-              // flatten must refuse hoists instead (sound under OR)
-              val flat = flattenTwoLevel(cur)
-              Some(if (flat != cur) flat else hoistTwoLevelScalar(cur))
-            }
-            else if (msg.contains(
-                "SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_AGGREGATE_FUNCTION"))
-              Some(liftGroupedScalarSubquery(cur))
-            else None
-          repairedOpt match {
+          val next = if (attempts < 2) repairs(msg, cur) else None
+          next match {
             case Some(r) if r != cur => cur = r; attempts += 1
-            case _ => throw e
+            case _ =>
+              if (!(e eq first)) first.addSuppressed(e)
+              throw first
           }
       }
     }

@@ -441,42 +441,20 @@ object UnitMiner {
 
   /** Analyze `sql`, applying the error-triggered repairs above (at most
     * once each) — statements that analyze clean never get rewritten.
+    * One driver, shared with the engine surface
+    * ([[graft.plans.CorrelationRepair.analyzeRepairedWith]]); the
+    * battery composes its two text shims (derived-alias padding, alias
+    * shadowing) ahead of the engine's correlation repairs.
     */
   def analyzeRepaired(spark: SparkSession, sql: String)
-      : org.apache.spark.sql.DataFrame = {
-    var cur = sql
-    var attempts = 0
-    while (true) {
-      try {
-        val df = spark.sql(cur)
-        df.schema // force analysis so repairs trigger here, not later
-        return df
-      } catch {
-        case e: Throwable if attempts < 2 =>
-          val msg = Option(e.getMessage).getOrElse("")
-          val repairedOpt =
-            if (msg.contains("ASSIGNMENT_ARITY_MISMATCH"))
-              Some(padDerivedAliases(spark, cur))
-            else if (msg.contains("INVALID_EXTRACT_BASE_FIELD_TYPE"))
-              Some(renameShadowAliases(cur))
-            else if (msg.contains("UNRESOLVED_COLUMN")) {
-              // conjunctive contexts flatten; the disjunctive shape the
-              // flatten must refuse hoists instead (sound under OR)
-              val flat = flattenTwoLevel(cur)
-              Some(if (flat != cur) flat else hoistTwoLevelScalar(cur))
-            }
-            else if (msg.contains(
-                "SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_AGGREGATE_FUNCTION"))
-              Some(liftGroupedScalarSubquery(cur))
-            else None
-          repairedOpt match {
-            case Some(r) if r != cur => cur = r; attempts += 1
-            case _ => throw e
-          }
-      }
-    }
-    throw new IllegalStateException("unreachable")
-  }
+      : org.apache.spark.sql.DataFrame =
+    graft.plans.CorrelationRepair.analyzeRepairedWith(spark, sql,
+      (msg, cur) =>
+        if (msg.contains("ASSIGNMENT_ARITY_MISMATCH"))
+          Some(padDerivedAliases(spark, cur))
+        else if (msg.contains("INVALID_EXTRACT_BASE_FIELD_TYPE"))
+          Some(renameShadowAliases(cur))
+        else graft.plans.CorrelationRepair.correlationRepairs(msg, cur))
 
   // ------------------------------------------------------- environment
 

@@ -18,8 +18,11 @@ class PackedAdjacencySpec extends AnyFunSuite {
     "intersection, including negatives, empties, and wide gaps") {
     val longs = Gen.oneOf(
       Gen.chooseNum(-1000L, 1000L),
-      Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2),
-      Gen.oneOf(0L, -1L, 1L, Long.MaxValue / 3, -(1L << 40)))
+      Gen.chooseNum(Long.MinValue, Long.MaxValue),
+      // gap overflow hazards: consecutive sorted values more than half
+      // the long range apart must survive the wrapping delta encode
+      Gen.oneOf(0L, -1L, 1L, Long.MinValue, Long.MaxValue,
+        Long.MaxValue / 3, -(1L << 40)))
     val arr = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, longs))
     samples(for { a <- arr; b <- arr } yield (a, b), 300)
       .foreach { case (a, b) =>
