@@ -682,12 +682,12 @@ object ExtendedStats {
     * partsupp attract more lineitems), and Cauchy–Schwarz gives the
     * tight worst-case sel_L·sel_R·√(F2_L·F2_R) — always ≥ the
     * independence form (Σc ≤ √(g·F2)), measured q 1.049 vs 1.231 on
-    * the probe. Applied only when each side is a JOIN-FREE REDUCTION of
-    * its base table (no join of any kind beneath, and card ≤
-    * analyze-time rows, so the uniform-filter scaling sel = card/rows
-    * is meaningful — a join-reduced side's selectivity can be
-    * key-correlated and the scaling invalid); chains keep the ndv
-    * containment.
+    * the probe. Applied only when each side is a plain REDUCTION of
+    * its base table — every node a scan / filter / project / exchange
+    * plumbing (a join, generator, union, expand, or aggregate beneath
+    * can make the side's multiplicity mix key-correlated, so the
+    * uniform-filter scaling sel = card/rows would be invalid) and
+    * card ≤ analyze-time rows; chains keep the ndv containment.
     */
   def containmentEstimate(spark: SparkSession, n: SparkPlan): Option[BigInt] = {
     import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
@@ -708,11 +708,23 @@ object ExtendedStats {
             gL <- groupNdvFromProperties(lProps, lCols)
             gR <- groupNdvFromProperties(rProps, rCols)
           } yield {
-            def joinFree(p: SparkPlan): Boolean = collectThroughStages(p) {
-              case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
-              case c: org.apache.spark.sql.execution.joins
-                  .CartesianProductExec => c
-            }.isEmpty
+            // A whitelist, not a join blacklist: ANY multiplicity-
+            // changing operator (generator, union, expand, aggregate —
+            // not just joins) invalidates the uniform sel scaling.
+            def reductionOnly(p: SparkPlan): Boolean = {
+              import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, FilterExec, InputAdapter, ProjectExec, WholeStageCodegenExec}
+              import org.apache.spark.sql.execution.exchange.Exchange
+              import org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec
+              val nodes = collectThroughStages(p) { case n => n }
+              nodes.forall {
+                case _: FileSourceScanExec | _: FilterExec |
+                     _: ProjectExec | _: Exchange | _: AQEShuffleReadExec |
+                     _: WholeStageCodegenExec | _: InputAdapter |
+                     _: ColumnarToRowExec | _: QueryStageExec |
+                     _: AdaptiveSparkPlanExec => true
+                case _ => false
+              }
+            }
             val f2Form = for {
               f2L <- groupF2FromProperties(lProps, lCols)
               f2R <- groupF2FromProperties(rProps, rCols)
@@ -720,7 +732,7 @@ object ExtendedStats {
               rowsR <- groupRowsFromProperties(rProps, rCols)
               if rowsL > 0 && rowsR > 0 &&
                 cardL <= BigInt(rowsL) && cardR <= BigInt(rowsR) &&
-                joinFree(left) && joinFree(right)
+                reductionOnly(left) && reductionOnly(right)
             } yield BigDecimal(math.sqrt(f2L * f2R)) *
               (BigDecimal(cardL) / BigDecimal(rowsL)) *
               (BigDecimal(cardR) / BigDecimal(rowsR))

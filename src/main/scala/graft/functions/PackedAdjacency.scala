@@ -25,10 +25,12 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
   * longs. Both are native codegen'd expressions: the loops live in one
   * static call inside the WholeStageCodegen span.
   *
-  * Format: first value zigzag-varint, then strictly-positive gaps as
-  * plain varints (inputs are duplicate-free edge lists; duplicates
-  * would decode as gap 0 and are therefore dropped by pack's sort —
-  * acceptable for SET semantics, which is what adjacency is).
+  * Format: first value zigzag-varint, then the RAW two's-complement
+  * gaps between consecutive sorted values as plain varints (a gap
+  * spanning more than half the long range wraps negative and encodes
+  * as a 10-byte varint; the decoder's wrapping ADD reverses it
+  * exactly). Exact duplicates produce gap 0 and are skipped, as are
+  * null input slots — SET semantics, which is what adjacency is.
   */
 object PackedAdjacency {
 

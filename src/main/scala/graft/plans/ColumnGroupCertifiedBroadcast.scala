@@ -132,15 +132,15 @@ class ColumnGroupCertifiedBroadcast extends Rule[LogicalPlan]
     * carrying long strings) the output's MEAN width exceeds the base
     * table's avgLen — rows·avgLen is then not a byte bound (the r13
     * advisory). rows·maxLen is, for any multiplicity mix, because no
-    * single value exceeds maxLen. ANALYZE's string maxLen counts
-    * CHARACTERS (UTF-16 code units — Spark's AnalyzeColumnCommand uses
-    * `Length`, not `OctetLength`), while the broadcast builds UTF8String
-    * BYTES: a BMP char encodes to ≤3 bytes and a supplementary pair to
-    * 4 bytes over 2 units, so ×3 converts the char count to a true byte
-    * bound. The conservatism only narrows when the rule fires, never
-    * its safety; the ×1.001 slack on the row bound absorbs the stored
-    * double's rounding, and the 8-byte row overhead mirrors
-    * `EstimationUtils.getSizePerRow`.
+    * single value exceeds maxLen. ANALYZE's string maxLen counts CODE
+    * POINTS (Spark's AnalyzeColumnCommand uses `Length` =
+    * `UTF8String.numChars`, one per UTF-8 sequence — not bytes), while
+    * the broadcast builds UTF8String BYTES: a code point encodes to at
+    * most 4 UTF-8 bytes (supplementary plane), so ×4 converts the
+    * count to a true byte bound. The conservatism only narrows when
+    * the rule fires, never its safety; the ×1.001 slack on the row
+    * bound absorbs the stored double's rounding, and the 8-byte row
+    * overhead mirrors `EstimationUtils.getSizePerRow`.
     */
   private def certifiedRowWidth(side: LogicalPlan): Option[BigInt] = {
     lazy val maxLens: Map[Long, Long] = side.collect {
@@ -157,10 +157,10 @@ class ColumnGroupCertifiedBroadcast extends Rule[LogicalPlan]
              _: YearMonthIntervalType | NullType =>
           Some(BigInt(a.dataType.defaultSize))
         case StringType =>
-          // ×3: chars → UTF-8 byte bound (see docstring); + (8 + 4) =
-          // UTF8String object + offset overhead, the same constant
-          // Spark's own estimator adds on top of the length.
-          maxLens.get(a.exprId.id).map(l => BigInt(l) * 3 + 8 + 4)
+          // ×4: code points → UTF-8 byte bound (see docstring);
+          // + (8 + 4) = UTF8String object + offset overhead, the same
+          // constant Spark's own estimator adds on top of the length.
+          maxLens.get(a.exprId.id).map(l => BigInt(l) * 4 + 8 + 4)
         case BinaryType => maxLens.get(a.exprId.id).map(BigInt(_))
         case _ => None
       }

@@ -260,8 +260,9 @@ class ColumnGroupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       // identity recorded at group-analyze time.
       ExtendedStats.analyzeColumnGroup(spark, "cg_li_str", cols)
       // With maxLen the certificate prices the REAL byte bound (pad is
-      // a constant 120 chars here, so max = avg; ×3 converts ANALYZE's
-      // CHARACTER count to the UTF-8 byte bound the broadcast builds).
+      // a constant 120 chars here, so max = avg; ×4 converts ANALYZE's
+      // CODE-POINT count to the UTF-8 byte bound the broadcast builds —
+      // a supplementary-plane code point is 4 bytes but counts 1).
       // Place the threshold strictly between the schema-default product
       // (what the pre-r13 rule multiplied) and the maxLen product: a
       // hint here would mean the guess, not the evidence, decided.
@@ -272,7 +273,7 @@ class ColumnGroupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       val maxLen = spark.sql(
         "SELECT max(length(pad)) FROM cg_li_str").head().getInt(0).toDouble
       val defaultBytes = f2 * (8 + 8 + 20) // row overhead + bigint + default
-      val realBytes = f2 * (8 + 8 + (maxLen * 3 + 12))
+      val realBytes = f2 * (8 + 8 + (maxLen * 4 + 12))
       assert(realBytes > 2 * defaultBytes,
         s"scenario lost its teeth: real $realBytes vs default $defaultBytes")
       withThreshold(((defaultBytes + realBytes) / 2).toLong) {

@@ -38,6 +38,18 @@ class PackedAdjacencySpec extends AnyFunSuite {
       }
   }
 
+  test("null slots are skipped, never read as phantom id 0") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val withNulls = new GenericArrayData(Array[Any](7L, null, 3L, null))
+    val packed = graft.functions.PackedAdjacency.pack(withNulls)
+    val other = graft.functions.PackedAdjacency.pack(
+      org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(Array(0L, 3L)))
+    assert(graft.functions.PackedAdjacency.intersect(packed, other)
+      .toLongArray().toSeq == Seq(3L),
+      "null slot decoded as a phantom node 0")
+  }
+
   test("graph results are identical packed and unpacked (sf0.001 " +
     "co-occurrence graph), and the packed plan stays codegen'd") {
     val s = spark
