@@ -213,15 +213,21 @@ object ExtendedStats {
     // instead of the HLL sketch's ±2-5%. Requires the table to already
     // carry catalog stats (sizeInBytes is mandatory on the stats
     // object); a never-ANALYZEd or non-catalog relation keeps
-    // property-only registration, same visibility as before.
+    // property-only registration, same visibility as before. Only
+    // columns that ALREADY carry ANALYZE colStats are merged into
+    // (r15, the r14 advisory): a default-base CatalogColumnStat would
+    // publish a distinctCount-only stat — no nullCount/avgLen/min/max
+    // — into native estimator paths that assume ANALYZE's complete
+    // shape; a never-column-ANALYZEd column keeps property-only
+    // registration (the introspection/containment surfaces read it
+    // from there either way).
     scala.util.Try {
       val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
       spark.sessionState.catalog.getTableMetadata(id).stats
     }.toOption.flatten.foreach { st =>
       val merged = ndvs.foldLeft(st.colStats) { case (cs, (c, n)) =>
-        val base = cs.getOrElse(c,
-          org.apache.spark.sql.catalyst.catalog.CatalogColumnStat())
-        cs.updated(c, base.copy(distinctCount = Some(BigInt(n))))
+        cs.get(c).fold(cs)(base =>
+          cs.updated(c, base.copy(distinctCount = Some(BigInt(n)))))
       }
       org.apache.spark.sql.graftbridge.StatsBridge.setTableStats(
         spark, table, st.copy(colStats = merged))

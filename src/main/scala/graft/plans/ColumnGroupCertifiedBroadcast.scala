@@ -161,7 +161,12 @@ class ColumnGroupCertifiedBroadcast extends Rule[LogicalPlan]
           // + (8 + 4) = UTF8String object + offset overhead, the same
           // constant Spark's own estimator adds on top of the length.
           maxLens.get(a.exprId.id).map(l => BigInt(l) * 4 + 8 + 4)
-        case BinaryType => maxLens.get(a.exprId.id).map(BigInt(_))
+        case BinaryType =>
+          // binary maxLen already counts BYTES (no ×4), but the built
+          // rows carry the same per-value object + offset overhead as
+          // strings — omitting it under-counted the hard byte bound by
+          // 12 bytes/row/column (the r14 advisory).
+          maxLens.get(a.exprId.id).map(l => BigInt(l) + 8 + 4)
         case _ => None
       }
     }

@@ -28,9 +28,12 @@ import graft.catalog.ExtendedStats
   *
   * where |Rᵢ| is Spark's own rowCount for the (filtered) item — the
   * leaf estimates ANALYZE already prices near-exactly — and divisor(e)
-  * is the containment bound max(ndv_L, ndv_R) read from the BASE
-  * tables' catalog column stats (exact registered ndv preferred), the
-  * registered column-group ndv for composite edges. This is the same
+  * is the containment bound max(min(ndv_L,|R_L|), min(ndv_R,|R_R|)):
+  * ndv read from the BASE tables' catalog column stats (exact
+  * registered ndv preferred; the registered column-group ndv for
+  * composite edges), each side capped at its item's filtered row count
+  * (r15 — a filtered item cannot carry more distinct keys than rows,
+  * and the uncapped base ndv under-ranked selective-side-first orders). This is the same
   * per-edge composition [[graft.catalog.ExtendedStats.containmentEstimate]]
   * applies to physical plans — notably TREE-SHAPE-INDEPENDENT, which is
   * what makes it a sound ORDERING cost: Spark's chain re-derivation
@@ -149,8 +152,16 @@ class ContainmentJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
     * reported estimate surface never multiplies per-key divisors).
     * None when any conjunct is not a two-item column equality or any
     * ndv lacks evidence.
+    *
+    * Each side's ndv is capped at the ITEM's own row count (r15): a
+    * filtered item cannot contribute more distinct key values than it
+    * has rows, so pricing its edges from the BASE table's ndv while
+    * its rows are filter-scaled under-ranks selective-side-first
+    * orders (the standard filter-aware containment refinement —
+    * min(ndv, |R_filtered|) per side, divisor still the max across
+    * sides).
     */
-  private def edges(c: Cluster): Option[Seq[Edge]] = {
+  private def edges(c: Cluster, rows: IndexedSeq[Double]): Option[Seq[Edge]] = {
     val itemOf: Map[Long, Int] = c.items.zipWithIndex.flatMap {
       case (it, i) => it.outputSet.map(_.exprId.id -> i)
     }.toMap
@@ -176,13 +187,15 @@ class ContainmentJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
             (tR, colsR) <- sameTableCols(c.items(j), keys.map(_._2))
             gL <- ExtendedStats.groupNdvFromProperties(tL.properties, colsL)
             gR <- ExtendedStats.groupNdvFromProperties(tR.properties, colsR)
-          } yield math.max(gL, gR).toDouble
+          } yield math.max(math.min(gL.toDouble, rows(i)),
+            math.min(gR.toDouble, rows(j)))
           grouped.orElse {
             val per = keys.map { case (ka, kb, _) => pairDivisor(
-              c.items(i), ka, c.items(j), kb) }
+              c.items(i), ka, rows(i), c.items(j), kb, rows(j)) }
             if (per.forall(_.isDefined)) Some(per.flatten.product) else None
           }
-        } else pairDivisor(c.items(i), keys.head._1, c.items(j), keys.head._2)
+        } else pairDivisor(c.items(i), keys.head._1, rows(i),
+          c.items(j), keys.head._2, rows(j))
       divisor.map(d => Edge(i, j, math.max(1.0, d), keys.map(_._3)))
     }
     if (out.forall(_.isDefined)) Some(out.flatten) else None
@@ -199,14 +212,15 @@ class ContainmentJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
     } else None
   }
 
-  private def pairDivisor(li: LogicalPlan, la: Attribute,
-                          ri: LogicalPlan, ra: Attribute): Option[Double] =
+  private def pairDivisor(li: LogicalPlan, la: Attribute, rowsL: Double,
+                          ri: LogicalPlan, ra: Attribute, rowsR: Double)
+      : Option[Double] =
     for {
       (tL, cL) <- baseColumn(li, la)
       (tR, cR) <- baseColumn(ri, ra)
       dL <- columnNdv(tL, cL)
       dR <- columnNdv(tR, cR)
-    } yield math.max(dL, dR)
+    } yield math.max(math.min(dL, rowsL), math.min(dR, rowsR))
 
   // ----------------------------------------------------------------- DP
 
@@ -288,25 +302,33 @@ class ContainmentJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
     * baseline. Leaf items cost 0; every join node costs card(its item
     * set). Items are matched by IDENTITY (two scans of the same table
     * in a self-join are structurally equal but distinct items).
+    * None on a non-item boundary: flatten and this walk are meant to
+    * descend identically, but if they ever diverge the rule must
+    * DECLINE the cluster (keep CBO's tree), not fail the user's query
+    * from inside the optimizer (the r14 advisory).
     */
   private def currentCost(p: LogicalPlan, items: IndexedSeq[LogicalPlan],
                           rows: IndexedSeq[Double], es: Seq[Edge])
-      : (Int, Double) = p match {
+      : Option[(Int, Double)] = p match {
     case Join(l, r, Inner, _, hint) if hint == JoinHint.NONE =>
-      val (ml, cl) = currentCost(l, items, rows, es)
-      val (mr, cr) = currentCost(r, items, rows, es)
-      val m = ml | mr
-      (m, cl + cr + math.exp(math.min(700.0, logCard(m, rows, es))))
+      for {
+        (ml, cl) <- currentCost(l, items, rows, es)
+        (mr, cr) <- currentCost(r, items, rows, es)
+      } yield {
+        val m = ml | mr
+        (m, cl + cr + math.exp(math.min(700.0, logCard(m, rows, es))))
+      }
     case Project(pl, j: Join) // mirror flatten's pruning-Project descent
         if pl.forall(_.isInstanceOf[AttributeReference]) &&
           j.joinType == Inner && j.hint == JoinHint.NONE =>
       currentCost(j, items, rows, es)
     case other =>
       val i = items.indexWhere(_ eq other)
-      // flatten and this walk descend identically, so every boundary IS
-      // an item; a mismatch would corrupt the cost comparison silently.
-      require(i >= 0, s"containment reorder: non-item boundary $other")
-      (1 << i, 0.0)
+      if (i < 0) {
+        logWarning(s"containment reorder: non-item boundary " +
+          s"${other.nodeName} — declining the cluster")
+        None
+      } else Some((1 << i, 0.0))
   }
 
   // ------------------------------------------------------------ rebuild
@@ -364,13 +386,13 @@ class ContainmentJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
           Some(rcs.flatten.map(rc => math.max(1.0, rc.toDouble)))
         else None
       }
-      es <- edges(cluster)
+      es <- edges(cluster, rowCounts.toIndexedSeq)
       if es.nonEmpty
       table <- dp(n, rowCounts.toIndexedSeq, es)
+      (_, curCost) <-
+        currentCost(root, cluster.items, rowCounts.toIndexedSeq, es)
       result <- {
         val full = (1 << n) - 1
-        val (_, curCost) =
-          currentCost(root, cluster.items, rowCounts.toIndexedSeq, es)
         val bestCost = table(full).cost
         if (bestCost >= curCost * 0.999) {
           logInfo(s"containment reorder: CBO order already optimal " +

@@ -22,6 +22,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Replicated-table distribution parity (see ReplicatedTableHints).
     ext.injectOptimizerRule(_ => new ReplicatedTableHints)
 
+    // Post-reorder optimizer rules (ContainmentJoinReorder,
+    // ColumnGroupCertifiedBroadcast) must run AFTER CostBasedJoinReorder,
+    // and the only batch there is `User Provided Optimizers` fed from
+    // `experimental.extraOptimizations` — live-session state that
+    // `newSession()` clones silently drop (the r14 footgun: harnesses
+    // had to remember to re-register). Extensions DO carry to clones, so
+    // this analyzer-side installer (Post-Hoc Resolution batch, runs on
+    // every analysis) re-establishes the rules before the session's
+    // first optimization: analysis completes before the optimizer's
+    // batch list (a `def`) reads extraOptimizations, so even the very
+    // first query on a bare clone plans with the full engine. Idempotent
+    // per-rule and synchronized — see GraftSession.ensurePostReorderRules.
+    ext.injectPostHocResolutionRule(new InstallPostReorderRules(_))
+
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
@@ -97,5 +111,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SessionWindow].getName, "session"),
       (c: Seq[Expression]) => new SessionWindow(c(0),
         Literal(new CalendarInterval(0, 0, micros(c(1))), CalendarIntervalType))))
+  }
+}
+
+/** Analyzer-side installer for the post-reorder optimizer rules (see
+  * the injection comment in [[GraftExtensions]]): a no-op on the plan,
+  * whose side effect keeps `experimental.extraOptimizations` complete
+  * on every session the extensions reach — including `newSession()`
+  * clones, which drop the live-session registration.
+  */
+class InstallPostReorderRules(session: org.apache.spark.sql.SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    graft.GraftSession.ensurePostReorderRules(session)
+    plan
   }
 }

@@ -362,12 +362,50 @@ class ColumnGroupGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql("DROP TABLE IF EXISTS cg_li_rw")
   }
 
-  test("requireComplete: a bare session clone is caught, the built " +
-    "engine passes") {
+  test("requireComplete: a bare session clone self-repairs (r15 — the " +
+    "extensions carry, the live-state rules are re-established)") {
     GraftSession.requireComplete(spark)
     val bare = spark.newSession() // drops experimental.extraOptimizations
-    intercept[IllegalArgumentException] {
-      GraftSession.requireComplete(bare)
-    }
+    assert(!bare.experimental.extraOptimizations
+      .exists(_.isInstanceOf[graft.plans.ContainmentJoinReorder]),
+      "scenario lost its teeth: newSession() no longer drops the rules")
+    // Pre-r15 this threw; now the post-reorder rules are live state the
+    // engine itself restores (requireComplete eagerly, the extensions-
+    // injected analyzer installer on any analysis), so the clone is
+    // repaired — only a session with no GraftExtensions at all fails.
+    GraftSession.requireComplete(bare)
+    val rules = bare.experimental.extraOptimizations
+    assert(rules.exists(_.isInstanceOf[graft.plans.ContainmentJoinReorder]) &&
+      rules.exists(_.isInstanceOf[graft.plans.ColumnGroupCertifiedBroadcast]))
+  }
+
+  test("ensurePostReorderRules repairs a half-registered session and " +
+    "re-establishes the reorder-before-certify order (the r14 advisory)") {
+    val s = spark.newSession()
+    // a session that somehow carries ONLY the certify rule
+    s.experimental.extraOptimizations =
+      Seq(new graft.plans.ColumnGroupCertifiedBroadcast)
+    GraftSession.ensurePostReorderRules(s)
+    val kinds = s.experimental.extraOptimizations.map(_.getClass.getSimpleName)
+    assert(kinds == Seq("ContainmentJoinReorder",
+      "ColumnGroupCertifiedBroadcast"), s"got $kinds")
+    // idempotent: a second ensure leaves the instances untouched
+    val before = s.experimental.extraOptimizations
+    GraftSession.ensurePostReorderRules(s)
+    assert(s.experimental.extraOptimizations.zip(before)
+      .forall { case (a, b) => a eq b })
+  }
+
+  test("the analyzer-injected installer restores the rules on a bare " +
+    "clone's FIRST analysis — no explicit registration anywhere") {
+    val bare = spark.newSession()
+    assert(bare.experimental.extraOptimizations.isEmpty ||
+      !bare.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.ContainmentJoinReorder]))
+    bare.sql("SELECT 1").schema // analysis only — no execution needed
+    val rules = bare.experimental.extraOptimizations
+    assert(rules.exists(_.isInstanceOf[graft.plans.ContainmentJoinReorder]) &&
+      rules.exists(_.isInstanceOf[graft.plans.ColumnGroupCertifiedBroadcast]),
+      s"installer did not fire on analysis: $rules")
   }
 }

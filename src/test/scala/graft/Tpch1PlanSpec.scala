@@ -22,14 +22,15 @@ class Tpch1PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // Isolated session: the shared-JVM suite run mutates session confs
   // (broadcast thresholds, aggregate modes) that this audit's plans are
-  // sensitive to; newSession() resets SQLConf to the builder values —
-  // and drops experimental.extraOptimizations, so the post-reorder
-  // rules must be re-registered or the audit grades a lesser engine.
-  private lazy val spark = {
-    val s = GraftSession.local(4).newSession()
-    GraftSession.registerPostReorderRules(s)
-    s
-  }
+  // sensitive to; newSession() resets SQLConf to the builder values.
+  // DELIBERATELY a bare clone with no re-registration call (r15): the
+  // clone drops experimental.extraOptimizations, and the q05
+  // containment-tree assertion below is the proof that the
+  // extensions-injected installer (GraftExtensions →
+  // ensurePostReorderRules on analysis) restores the post-reorder rules
+  // on its own — the r14 footgun where a bare newSession() silently
+  // graded a lesser engine is structurally closed.
+  private lazy val spark = GraftSession.local(4).newSession()
   private lazy val rows = Tpch1Plan.runAll(spark)
   private def audits = rows.map(_.audit)
 
