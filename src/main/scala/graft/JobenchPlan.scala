@@ -59,7 +59,13 @@ object JobenchPlan {
         * from). Captured here so stats-only harnesses (Tpch1Plan)
         * don't re-plan the query a second time just to read it.
         */
-      rootEst: Option[BigInt] = None) {
+      rootEst: Option[BigInt] = None,
+      /** Canonical join tree with `spark.graft.containmentReorder=off`
+        * — CBO's own order, captured by [[runAll]]'s double planning so
+        * the audit reports what the containment steering CHANGED.
+        * None when the harness planned only once.
+        */
+      cboShape: Option[String] = None) {
     def joinCount: Int = joins.values.sum
 
     /** Same join TREE as the reference — compared on the canonical
@@ -69,6 +75,19 @@ object JobenchPlan {
       */
     def shapeMatches: Boolean =
       refShape.isDefined && ourShape == refShape
+
+    /** CBO's own tree (reorder off) already matched the reference. */
+    def cboShapeMatches: Boolean =
+      refShape.isDefined && cboShape == refShape
+
+    /** The containment steering changed the join tree — i.e. the DP
+      * found a strictly cheaper Cout than CBO's order AND applied it
+      * (an orientation-only build/probe flip canonicalizes identically
+      * and reads as no change, which is the right granularity: the
+      * tree IS the join-order decision).
+      */
+    def containmentReordered: Boolean =
+      cboShape.isDefined && ourShape.isDefined && cboShape != ourShape
   }
 
   /** Canonical join-tree form of a physical plan: scans become table
@@ -205,8 +224,27 @@ object JobenchPlan {
     // later unqualified reference to the testdata views.
     val prevDb = spark.catalog.currentDatabase
     graft.catalog.Jobench.register(spark)
+    // Each query plans TWICE (r15): once with the containment reorder
+    // off (CBO's own order — the r13 baseline) and once with the engine
+    // default, so the audit reports per query whether the containment
+    // DP disagreed with CBO's Cout and re-ordered. The injected Presto
+    // ndv reach the rule through the same catalog colStats path ANALYZE
+    // writes (columnNdv falls back to colStats.distinctCount), so this
+    // is the densest real join-order corpus the steering faces.
+    val confKey = "spark.graft.containmentReorder"
+    def withMode[T](mode: String)(f: => T): T = {
+      val old = spark.conf.getOption(confKey)
+      spark.conf.set(confKey, mode)
+      try f finally old match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
     try sqlFiles(sqlDir).map { case (name, sql) =>
-      audit(spark, name, sql, referenceShape(expectDir, name))
+      val ref = referenceShape(expectDir, name)
+      val off = withMode("off")(audit(spark, name, sql, ref))
+      val on = withMode("apply")(audit(spark, name, sql, ref))
+      on.copy(cboShape = off.ourShape)
     } finally spark.sql(s"USE $prevDb")
   }
 
@@ -217,20 +255,21 @@ object JobenchPlan {
 
     println("# JOBENCH - 113 real IMDB join-order queries, planned data-free from the reference's statistics")
     println()
-    println("Generated by `graft.JobenchPlan`. The reference plans these queries stats-only (`UnitTest.cs:357-381`); this harness does the same through Catalyst: `graft.catalog.Jobench` registers the 21 IMDB tables EMPTY, converts `jobench/statistics/jobench_stats` (Presto format) through `StatsImport`, and physically plans every `jobench/*.sql` with CBO + join reorder + histograms on. Nothing executes - the audit below is the static plan-time story, which is exactly what a 100 TB cluster commits to before the first task launches. `order =ref` marks queries where Catalyst's join TREE equals the reference memo optimizer's, compared in canonical (build/probe-orientation-insensitive) form; divergence is expected (different cost models: Spark prices broadcast replication, the reference prices single-node hash builds) and the safety invariants are the gate, not order equality.")
+    println("Generated by `graft.JobenchPlan`. The reference plans these queries stats-only (`UnitTest.cs:357-381`); this harness does the same through Catalyst: `graft.catalog.Jobench` registers the 21 IMDB tables EMPTY, converts `jobench/statistics/jobench_stats` (Presto format) through `StatsImport`, and physically plans every `jobench/*.sql` with CBO + join reorder + histograms on. Nothing executes - the audit below is the static plan-time story, which is exactly what a 100 TB cluster commits to before the first task launches. `order =ref` marks queries where Catalyst's join TREE equals the reference memo optimizer's, compared in canonical (build/probe-orientation-insensitive) form; divergence is expected (different cost models: Spark prices broadcast replication, the reference prices single-node hash builds) and the safety invariants are the gate, not order equality. `containment` (r15) reports the engine's own post-CBO ContainmentJoinReorder, fed by the injected per-column ndv through the catalog colStats path: each query is planned twice (`spark.graft.containmentReorder` off vs apply) and `reordered` means the containment DP priced a strictly cheaper Cout than CBO's tree and applied it; `=cbo` means it agreed (or declined for missing evidence / non-equi residuals - the rule's no-evidence-no-opinion gate).")
     println()
-    println("| query | relations | joins (type) | cartesian | max bcast est | leaf stats | order |")
-    println("|---|---|---|---|---|---|---|")
+    println("| query | relations | joins (type) | cartesian | max bcast est | leaf stats | order | containment |")
+    println("|---|---|---|---|---|---|---|---|")
     audits.foreach { a =>
       val js = a.joins.toSeq.sortBy(-_._2)
         .map { case (k, v) => s"${v}x$k" }.mkString(", ")
       val mb = f"${a.maxBroadcastBytes / 1024.0}%.1f KB"
       val order = if (a.refShape.isEmpty) "no-ref"
         else if (a.shapeMatches) "=ref" else "diverges"
+      val cont = if (a.containmentReordered) "reordered" else "=cbo"
       val row = a.err match {
-        case Some(e) => s"| ${a.name} | ERROR | $e | | | | |"
+        case Some(e) => s"| ${a.name} | ERROR | $e | | | | | |"
         case None =>
-          s"| ${a.name} | ${a.relations} | $js | ${a.cartesians} | $mb | ${a.leavesWithStats}/${a.relations} | $order |"
+          s"| ${a.name} | ${a.relations} | $js | ${a.cartesians} | $mb | ${a.leavesWithStats}/${a.relations} | $order | $cont |"
       }
       println(row)
     }
@@ -242,6 +281,8 @@ object JobenchPlan {
     val statsOk = ok.count(a => a.leavesWithStats == a.relations)
     val bcastOk = ok.count(_.maxBroadcastBytes <= bcastThreshold)
     val orderEq = ok.count(_.shapeMatches)
+    val orderEqCbo = ok.count(_.cboShapeMatches)
+    val reordered = ok.count(_.containmentReordered)
     val maxRel = ok.map(_.relations).max
     println("## Summary")
     println()
@@ -251,6 +292,7 @@ object JobenchPlan {
     println(s"- every leaf carries injected stats (no empty-table fallback estimate): $statsOk/$planned")
     println(s"- every broadcast build under the ${bcastThreshold >> 20} MB threshold: $bcastOk/$planned")
     println(s"- join tree equals reference memo optimizer (canonical form): $orderEq/$planned (reported, not asserted - see header)")
+    println(s"- containment reorder applied (Cout disagreement with CBO's tree, rewrite taken): $reordered/$planned; exact reference trees $orderEqCbo (CBO alone) -> $orderEq (with containment)")
     println()
     println("The systematic divergence pattern: the reference's memo emits LEFT-DEEP chains (classic single-node hash-join pipelines: one build side at a time), while Catalyst's DP reorder freely picks BUSHY trees - e.g. 3b joins (keyword x movie_keyword) and (movie_info x title) independently and merges, which on a cluster is the better shape: the two subtrees scan and reduce in PARALLEL stages, and each broadcast build stays small. Same statistics, different execution physics, correctly different answers.")
     println()
