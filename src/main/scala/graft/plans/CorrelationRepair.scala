@@ -3,25 +3,42 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Engine-surface repair of multi-level correlated subqueries — the
-  * r13 battery rewrites promoted to a user-reachable capability.
+  * r13 battery rewrites promoted to a user-reachable capability (r14)
+  * and generalized past the micro-schema naming convention (r15).
   *
   * qpmodel's binder resolves an outer reference from ANY enclosing
-  * block (`/root/reference/qpmodel/Expr.cs:992-1021`); Spark's analyzer
-  * resolves one level. Through r13 the gap was bridged only inside the
-  * mined-battery replay ([[graft.regress.UnitMiner]]), so a user typing
-  * the same reference-legal SQL at [[graft.SqlRunner]] still got the
-  * analyzer error. This module exposes the same three rewrites — each
-  * firing ONLY after Spark's analyzer rejects the statement, each
-  * refusing (returning the text unchanged, so the original error
-  * stands) outside its proven guards:
+  * block for ANY schema (`/root/reference/qpmodel/Expr.cs:992-1021`);
+  * Spark's analyzer resolves one level. Through r13 the gap was bridged
+  * only inside the mined-battery replay ([[graft.regress.UnitMiner]]);
+  * r14 exposed the rewrites at [[graft.SqlRunner]] but classified bare
+  * columns by the reference micro-schema convention (column
+  * `<letter><digit>` belongs to table `<letter>`), so the capability
+  * only reached battery-shaped schemas. r15 replaces that with
+  * CATALOG-RESOLVED attribution ([[StatementSchema]]): every table
+  * named in the statement's FROM/JOIN clauses is resolved against the
+  * session catalog (`spark.table`), and a bare identifier classifies to
+  * the unique resolved table whose schema carries it — ambiguity (two
+  * in-scope tables sharing the name) or an unresolvable identifier
+  * DECLINES the rewrite, so the original analyzer error stands. The
+  * same three rewrites, each firing ONLY after Spark's analyzer rejects
+  * the statement:
   *
   *  - [[flattenTwoLevel]]: conjunctive two-level correlation → the
-  *    inner block becomes a derived table in the middle FROM;
+  *    inner block becomes a GROUPED derived table in the middle FROM
+  *    (grouped by its correlated equality keys, `max(expr)` +
+  *    `count(*)`), joined on the moved equalities with a
+  *    `raise_error` guard — scalar semantics preserved EXACTLY: no
+  *    match → the comparison is UNKNOWN (row dropped, as with a NULL
+  *    scalar), >1 match per binding → the same runtime error the
+  *    subquery form raises (r15, closing the r14 advisory: the
+  *    ungrouped flatten silently duplicated middle rows when the
+  *    inner key matched more than one row);
   *  - [[hoistTwoLevelScalar]]: DISJUNCTIVE middle WHERE (where a
   *    flatten would be wrong) → the middle-skipping inner scalar is
   *    precomputed as a grouped left join at the outer block;
   *  - [[liftGroupedScalarSubquery]]: correlated scalar subquery in a
-  *    grouped select list → aggregate first, then apply the list.
+  *    grouped select list → aggregate first, then apply the list
+  *    (schema-free: its guards are structural only).
   *
   * Gated by `spark.graft.sql.correlationRepair` (default false — the
   * repair is OPT-IN: a clean statement is never rewritten either way,
@@ -36,15 +53,119 @@ object CorrelationRepair {
   def enabled(spark: SparkSession): Boolean =
     spark.conf.getOption(ConfKey).exists(_.toBoolean)
 
+  // ------------------------------------------------- schema resolution
+
+  /** Catalog-resolved column→table attribution for ONE statement: the
+    * table names appearing after FROM/JOIN (including depth-0 comma
+    * lists), each resolved through the session catalog — temp views
+    * and catalog tables alike — to its lowercase column set. Names
+    * that do not resolve (aliases, derived-table keywords) are simply
+    * absent; classification then declines on their columns, which is
+    * the safe direction (the rewrite refuses, the original analyzer
+    * error stands).
+    */
+  final case class StatementSchema(tables: Map[String, Set[String]]) {
+    def has(table: String): Boolean = tables.contains(table.toLowerCase)
+    def columnsOf(table: String): Set[String] =
+      tables.getOrElse(table.toLowerCase, Set.empty)
+    /** In-scope tables whose schema carries `col`. */
+    def owners(col: String): Set[String] = {
+      val c = col.toLowerCase
+      tables.collect { case (t, cs) if cs(c) => t }.toSet
+    }
+  }
+
+  object StatementSchema {
+    private val FromJoin = """(?i)\b(?:from|join)\s+([A-Za-z_][\w.]*)""".r
+    private val Ident = """^\s*,\s*([A-Za-z_][\w.]*)""".r
+
+    /** FROM/JOIN table-name candidates, including `from a, b c` comma
+      * lists (first token of each comma item; a following bare token is
+      * its alias and is skipped; a `(` ends the list — the derived
+      * table's own FROM matches the regex separately).
+      */
+    private[plans] def fromCandidates(sql: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      FromJoin.findAllMatchIn(sql).foreach { m =>
+        out += m.group(1)
+        // comma continuation after the item (and optional alias)
+        var rest = sql.substring(m.end)
+        var more = true
+        while (more) {
+          // skip one optional alias token before the comma
+          val afterAlias = """^\s+([A-Za-z_]\w*)""".r.findFirstMatchIn(rest)
+            .filter(a => !Set("where", "group", "order", "having", "limit",
+              "join", "inner", "left", "right", "full", "cross", "on",
+              "union", "except", "intersect")(a.group(1).toLowerCase))
+            .map(a => rest.substring(a.end)).getOrElse(rest)
+          Ident.findFirstMatchIn(afterAlias) match {
+            case Some(i) => out += i.group(1); rest = afterAlias.substring(i.end)
+            case None => more = false
+          }
+        }
+      }
+      out.result().distinct
+    }
+
+    def of(spark: SparkSession, sql: String): StatementSchema =
+      StatementSchema(fromCandidates(sql).flatMap { name =>
+        scala.util.Try(spark.table(name).schema.fieldNames.toSet)
+          .toOption.map(cols =>
+            name.toLowerCase -> cols.map(_.toLowerCase))
+      }.toMap)
+  }
+
+  private val SqlKeywords = Set(
+    "and", "or", "not", "where", "select", "from", "as", "case", "when",
+    "then", "else", "end", "null", "between", "in", "like", "is",
+    "distinct", "true", "false", "exists", "group", "by", "order",
+    "having", "limit", "on", "join", "inner", "left", "right", "full",
+    "outer", "cross", "union", "all", "except", "intersect", "asc",
+    "desc", "interval", "date", "cast", "div")
+
+  /** Bare (unqualified, non-call) identifier tokens of a SQL fragment,
+    * lowercased: single-quoted strings are skipped, tokens adjacent to
+    * `.` are qualified references, a token whose next non-space char is
+    * `(` is a function call, keywords are dropped.
+    */
+  private[plans] def bareCols(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { // skip string literal
+        i += 1
+        while (i < s.length && s.charAt(i) != '\'') i += 1
+        i += 1
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < s.length &&
+          (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        val tok = s.substring(start, i).toLowerCase
+        val prevDot = start > 0 && s.charAt(start - 1) == '.'
+        var j = i
+        while (j < s.length && s.charAt(j) == ' ') j += 1
+        val nextDot = i < s.length && s.charAt(i) == '.'
+        val call = j < s.length && s.charAt(j) == '('
+        if (!prevDot && !nextDot && !call && !SqlKeywords(tok))
+          out += tok
+      } else i += 1
+    }
+    out.result()
+  }
+
   /** The correlation repairs keyed by analyzer error: conjunctive
     * contexts flatten; the disjunctive shape the flatten must refuse
     * hoists instead (sound under OR); grouped scalar subqueries lift.
-    * None for any other error.
+    * None for any other error. Schema-dependent rewrites resolve
+    * column ownership against `spark`'s catalog at repair time.
     */
-  def correlationRepairs(msg: String, cur: String): Option[String] =
+  def correlationRepairs(spark: SparkSession)(
+      msg: String, cur: String): Option[String] =
     if (msg.contains("UNRESOLVED_COLUMN")) {
-      val flat = flattenTwoLevel(cur)
-      Some(if (flat != cur) flat else hoistTwoLevelScalar(cur))
+      val schema = StatementSchema.of(spark, cur)
+      val flat = flattenTwoLevel(cur, schema)
+      Some(if (flat != cur) flat else hoistTwoLevelScalar(cur, schema))
     }
     else if (msg.contains(
         "SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_AGGREGATE_FUNCTION"))
@@ -55,7 +176,7 @@ object CorrelationRepair {
     * each) — statements that analyze clean are NEVER rewritten.
     */
   def analyzeRepaired(spark: SparkSession, sql: String): DataFrame =
-    analyzeRepairedWith(spark, sql, correlationRepairs)
+    analyzeRepairedWith(spark, sql, correlationRepairs(spark))
 
   /** The shared repair driver (UnitMiner's battery replay composes its
     * extra text shims onto the same loop): analyze; on a NON-FATAL
@@ -98,22 +219,35 @@ object CorrelationRepair {
     * innermost subquery reads `a3` two levels up); Spark resolves outer
     * references one block deep only (UNRESOLVED_COLUMN). The decidable
     * shapes — the inner scalar subquery is single-table, its WHERE a
-    * pure conjunction, and it appears as one comparison operand in the
-    * middle block's conjunctive WHERE — flatten mechanically: the inner
-    * block becomes a derived table in the MIDDLE block's FROM carrying
-    * its purely-local predicates, and every correlated conjunct moves
-    * to the middle WHERE (where its outer reference is now one level
-    * up, which Spark supports). Value semantics are preserved on this
-    * corpus: the inner key is unique per correlation binding (scalar),
-    * and an empty inner result makes the comparison UNKNOWN either way.
-    * Column classification uses the micro-schema convention (column
-    * `<letter><digit>` belongs to the table named `<letter>`); moved
-    * conjuncts rename the inner columns through the derived alias, so
-    * middle-block columns of the same name cannot capture them.
-    * Disjunctive contexts (UnitTest.cs:1062's `… or b1 = (subq)`) are
-    * NOT flattened — an inner join is wrong under OR — and stay pinned.
+    * pure conjunction whose correlated conjuncts are EQUALITIES
+    * `innerCol = expr` (expr free of inner-table references), and it
+    * appears as one comparison operand in the middle block's
+    * conjunctive WHERE — flatten mechanically: the inner block becomes
+    * a derived table in the MIDDLE block's FROM, GROUPED by the moved
+    * equality keys and carrying `max(selExpr)` + `count(*)`; the
+    * comparison operand becomes a CASE that raises the scalar
+    * >1-row error when the matched group's count exceeds 1, and each
+    * moved equality joins the derived key to its (now one-level-up,
+    * which Spark supports) expression. Per correlation binding the
+    * equality keys select at most ONE group, so middle rows are never
+    * duplicated; count > 1 raises exactly where the subquery form
+    * raises; an empty group drops the row exactly as a NULL scalar
+    * makes the comparison UNKNOWN (r15 — value-exact for any data, not
+    * just corpora with unique inner keys).
+    *
+    * Column classification is catalog-resolved via `schema` (r15):
+    * a conjunct is inner-local when all its bare identifiers are owned
+    * by the inner table ALONE among the statement's tables; a
+    * correlated equality's key side must be a single bare inner
+    * column and its expression side free of inner-owned or
+    * unresolvable bare identifiers. Any ambiguity — a column name two
+    * in-scope tables share, an identifier no resolved table carries —
+    * declines the span (the text returns unchanged and the original
+    * analyzer error stands). Disjunctive contexts (UnitTest.cs:1062's
+    * `… or b1 = (subq)`) are NOT flattened — an inner join is wrong
+    * under OR — and fall through to [[hoistTwoLevelScalar]].
     */
-  def flattenTwoLevel(sql: String): String = {
+  def flattenTwoLevel(sql: String, schema: StatementSchema): String = {
     def matching(s: String, open: Int): Int = {
       var bal = 0; var i = open
       while (i < s.length) {
@@ -175,9 +309,47 @@ object CorrelationRepair {
       -1
     }
     val InnerShape =
-      """(?is)^\(\s*select\s+([^,()]+?)\s+from\s+([abcdrt])\s+where\s+(.+)\)$""".r
-    val BareCol = """\b([abcdrt])([0-9])\b""".r
+      """(?is)^\(\s*select\s+([^,()]+?)\s+from\s+(\w+)\s+where\s+(.+)\)$""".r
     var fresh = 0
+
+    // single depth-0 plain '=' (not <=, >=, <>, !=, ==): Some(lhs, rhs)
+    def eqSides(c: String): Option[(String, String)] = {
+      var bal = 0; var at = -1; var i = 0
+      while (i < c.length) {
+        val ch = c.charAt(i)
+        if (ch == '(') bal += 1 else if (ch == ')') bal -= 1
+        else if (ch == '\'') { i += 1
+          while (i < c.length && c.charAt(i) != '\'') i += 1 }
+        else if (ch == '=' && bal == 0) {
+          val prev = if (i > 0) c.charAt(i - 1) else ' '
+          val next = if (i + 1 < c.length) c.charAt(i + 1) else ' '
+          if ("<>!=".contains(prev) || next == '=') return None
+          if (at >= 0) return None // two separate equalities in one conjunct
+          at = i
+        }
+        i += 1
+      }
+      if (at < 0) None else Some((c.substring(0, at).trim,
+        c.substring(at + 1).trim))
+    }
+
+    /** Ownership of a fragment's bare identifiers relative to the inner
+      * table: Some(true) all inner-owned, Some(false) none inner-owned,
+      * None mixed/ambiguous/unresolvable (decline).
+      */
+    def ownership(frag: String, tbl: String): Option[Boolean] = {
+      val toks = bareCols(frag)
+      if (toks.isEmpty) return Some(false) // constants: not inner-local
+      val classes = toks.map { t =>
+        val o = schema.owners(t)
+        if (o.isEmpty || o.size > 1) None
+        else Some(o.head == tbl.toLowerCase)
+      }
+      if (classes.contains(None)) None
+      else if (classes.forall(_.contains(true))) Some(true)
+      else if (classes.forall(_.contains(false))) Some(false)
+      else None // mixed inner/outer inside one fragment side
+    }
 
     // rewrite ONE middle block's inner text; None if nothing flattened
     def rewriteMiddle(mid: String): Option[String] = {
@@ -195,12 +367,56 @@ object CorrelationRepair {
         spans.exists { case (s2, e2) => s2 > s && e2 < e } }
       innermost.sortBy(-_._1).foreach { case (s, e) =>
         wherePart.substring(s, e + 1) match {
-          case InnerShape(selExpr, tbl, preds) if !hasTopOr(preds) =>
+          case InnerShape(selExpr, tbl, preds)
+              if !hasTopOr(preds) && schema.has(tbl) &&
+                ownership(selExpr, tbl).contains(true) =>
             val conjs = topSplitAnd(preds)
-            def isInnerLocal(c: String): Boolean =
-              !c.contains(".") && // qualified refs are middle/outer scope
-                BareCol.findAllMatchIn(c).forall(_.group(1) == tbl)
-            val (local, moved) = conjs.partition(isInnerLocal)
+            // Three conjunct classes (anything else declines the span):
+            //  - LOCAL: bare inner-owned columns only — stays inside
+            //    the derived table;
+            //  - FREE: no inner-table reference at all (qualified
+            //    middle refs + outer bare columns) — constant per
+            //    correlation binding, moves to the middle WHERE
+            //    verbatim AND gates the >1-row error (a false free
+            //    conjunct means the subquery matched ZERO rows, so no
+            //    error may fire no matter the group count);
+            //  - KEY EQUALITY `innerCol = expr(no inner refs)` — the
+            //    grouping key that makes the rewrite duplication-free.
+            sealed trait Conj
+            case class LocalC(text: String) extends Conj
+            case class FreeC(text: String) extends Conj
+            case class KeyEq(key: String, ex: String) extends Conj
+            val classified: Seq[Option[Conj]] = conjs.map { c =>
+              lazy val noInnerRefs = bareCols(c).forall { t =>
+                val o = schema.owners(t)
+                o.nonEmpty && !o.contains(tbl.toLowerCase)
+              }
+              if (!c.contains(".") && ownership(c, tbl).contains(true))
+                Some(LocalC(c))
+              else if (noInnerRefs) Some(FreeC(c))
+              else eqSides(c).flatMap { case (l, r) =>
+                val keyEx =
+                  if (l.matches("\\w+") &&
+                    schema.owners(l) == Set(tbl.toLowerCase)) Some((l, r))
+                  else if (r.matches("\\w+") &&
+                    schema.owners(r) == Set(tbl.toLowerCase)) Some((r, l))
+                  else None
+                // the expression side must be free of inner-table and
+                // unresolvable bare identifiers (qualified refs are
+                // middle/outer scope and fine as text)
+                keyEx.filter { case (_, ex) =>
+                  bareCols(ex).forall { t =>
+                    val o = schema.owners(t)
+                    o.nonEmpty && !o.contains(tbl.toLowerCase)
+                  }
+                }.map { case (k, ex) => KeyEq(k.toLowerCase, ex) }
+              }
+            }
+            if (classified.contains(None)) return None
+            val local = classified.flatten.collect { case LocalC(c) => c }
+            val free = classified.flatten.collect { case FreeC(c) => c }
+            val moved = classified.flatten.collect {
+              case KeyEq(k, ex) => (k, ex) }
             // the comparison operand before the span: `<lhs> <op> (`
             val before = wherePart.substring(0, s)
             val Cmp = """([\w.]+)\s*(>=|<=|<>|=|>|<)\s*$""".r
@@ -208,28 +424,24 @@ object CorrelationRepair {
               case (Some(cm), true) =>
                 fresh += 1
                 val q = s"__q$fresh"
-                // inner columns referenced by moved conjuncts, renamed
-                // through the derived alias so middle names can't capture
-                val innerCols = moved.flatMap(c =>
-                  BareCol.findAllMatchIn(c)
-                    .filter(m => m.group(1) == tbl &&
-                      !c.take(m.start).trim.endsWith("."))
-                    .map(_.matched)).distinct
-                val sel = (s"$selExpr as ${q}_v" +:
-                  innerCols.map(c => s"$c as ${q}_$c")).mkString(", ")
+                val keys = moved.map(_._1).distinct
+                val sel = (keys.map(k => s"$k as ${q}_$k") :+
+                  s"max($selExpr) as ${q}_v" :+
+                  s"count(*) as ${q}_c").mkString(", ")
                 val derived = s"(select $sel from $tbl" +
                   (if (local.nonEmpty) s" where ${local.mkString(" and ")}"
-                   else "") + s") $q"
-                val movedRenamed = moved.map(c =>
-                  BareCol.replaceAllIn(c, m =>
-                    if (m.group(1) == tbl &&
-                      !c.take(m.start).trim.endsWith("."))
-                      s"$q.${q}_${m.matched}"
-                    else m.matched))
+                   else "") + s" group by ${keys.mkString(", ")}) $q"
+                val guardCond = (free :+ s"$q.${q}_c > 1")
+                  .mkString("(", ") and (", ")")
+                val guarded = s"(case when $guardCond then raise_error(" +
+                  "'scalar subquery returned more than one row') " +
+                  s"else $q.${q}_v end)"
+                val joinConjs = moved.map { case (k, ex) =>
+                  s"$q.${q}_$k = $ex" } ++ free
                 wherePart = before.substring(0, cm.start) +
-                  s"${cm.group(1)} ${cm.group(2)} $q.${q}_v" +
+                  s"${cm.group(1)} ${cm.group(2)} $guarded" +
                   wherePart.substring(e + 1) +
-                  s" and ${movedRenamed.mkString(" and ")}"
+                  s" and ${joinConjs.mkString(" and ")}"
                 fromPart = fromPart + s", $derived"
                 changed = true
               case _ => ()
@@ -280,14 +492,16 @@ object CorrelationRepair {
     * runtime error (CASE + raise_error, the same error the subquery
     * form raises).
     *
-    * Guards: single-table outer FROM, no outer GROUP BY/ORDER/LIMIT,
-    * innermost span only, correlated letters ⊆ outer table's and
-    * disjoint from the middle block's, inner WHERE a conjunction with
+    * Guards (all catalog-resolved via `schema` since r15): single
+    * resolved-table outer FROM, no outer GROUP BY/ORDER/LIMIT,
+    * innermost span only, every correlated bare identifier in the
+    * inner owned by the OUTER table alone with the middle block not
+    * scanning that table (capture), inner WHERE a conjunction with
     * exactly ONE correlated conjunct of the form `col = expr(outer)` —
     * anything else returns the text unchanged so the original error
     * stands.
     */
-  def hoistTwoLevelScalar(sql: String): String = {
+  def hoistTwoLevelScalar(sql: String, schema: StatementSchema): String = {
     val s = sql.trim.stripSuffix(";")
     def matching(t: String, open: Int): Int = {
       var bal = 0; var i = open
@@ -315,7 +529,8 @@ object CorrelationRepair {
     if (!fromT.matches("\\w+(\\s+\\w+)?")) return sql
     val parts = fromT.split("\\s+")
     val (tbl, alias) = (parts.head, parts.last)
-    val outerLetter = tbl.head.toLower
+    if (!schema.has(tbl)) return sql
+    val outerT = tbl.toLowerCase
     val w = s.substring(whereAt + "where".length)
     val spans = """(?i)\(\s*select\b""".r.findAllMatchIn(w)
       .map(m => (m.start, matching(w, m.start))).filter(_._2 > 0).toSeq
@@ -330,17 +545,24 @@ object CorrelationRepair {
         val enclosing = spans.filter { case (oa, ob) => oa < a && b < ob }
           .maxBy(_._1)
         val midText = w.substring(enclosing._1, enclosing._2 + 1)
-        def tableLetters(block: String): Set[Char] =
+        def tablesOf(block: String): Set[String] =
           """(?i)\bfrom\s+(\w+)""".r.findAllMatchIn(block)
-            .map(_.group(1).head.toLower).toSet
-        val innerLetters = tableLetters(inner)
-        val midLetters = tableLetters(
+            .map(_.group(1).toLowerCase).toSet
+        val innerTables = tablesOf(inner)
+        val midTables = tablesOf(
           midText.substring(0, a - enclosing._1) +
             midText.substring(b + 1 - enclosing._1))
-        val corr = """\b([abcdrt])\d\b""".r.findAllMatchIn(inner)
-          .map(_.group(1).head.toLower).toSet -- innerLetters
-        if (corr.isEmpty || corr != Set(outerLetter) ||
-            midLetters.contains(outerLetter)) return sql
+        // correlated owners among the inner's bare identifiers: tokens
+        // owned by a resolved table that is not one of the inner's own;
+        // unresolvable tokens (aliases, strings already skipped) are
+        // ignored — an over-claimed token can only make the guards
+        // refuse, never mis-rewrite.
+        val corr = bareCols(inner).flatMap { t =>
+          val o = schema.owners(t)
+          if (o.size == 1 && !innerTables(o.head)) Some(o.head) else None
+        }.toSet
+        if (corr.isEmpty || corr != Set(outerT) ||
+            midTables.contains(outerT)) return sql
         // decompose the inner: select E from t2 where conjuncts
         val InnerShape =
           """(?is)^\(\s*select\s+(.*?)\s+from\s+(\w+)\s+where\s+(.*)\)$""".r
@@ -349,9 +571,11 @@ object CorrelationRepair {
           case _ => return sql
         }
         if (e.contains("(") || e.contains(",")) return sql // plain expr only
+        if (!bareCols(e).forall(t =>
+          schema.owners(t) == Set(t2.toLowerCase))) return sql
         val conjuncts = {
           val out = Seq.newBuilder[String]
-          var bal = 0; var last = 0
+          var last = 0
           val and = "(?i)\\band\\b".r
           val hits = and.findAllMatchIn(conjText).toSeq
           hits.foreach { m =>
@@ -363,20 +587,19 @@ object CorrelationRepair {
           out += conjText.substring(last)
           out.result().map(_.trim).filter(_.nonEmpty)
         }
-        def lettersOf(x: String): Set[Char] =
-          """\b([abcdrt])\d\b""".r.findAllMatchIn(x)
-            .map(_.group(1).head.toLower).toSet
+        def ownersOf(x: String): Set[String] =
+          bareCols(x).flatMap(schema.owners).toSet
         val (corrConj, localConj) =
-          conjuncts.partition(c => (lettersOf(c) -- innerLetters).nonEmpty)
+          conjuncts.partition(c => (ownersOf(c) -- innerTables).nonEmpty)
         val Eq = """(?s)^(.+?)=(.+)$""".r
         val (key, corrExpr) = corrConj match {
           case Seq(Eq(l, r))
-              if lettersOf(l) == innerLetters &&
-                l.trim.matches("\\w+") && lettersOf(r) == corr =>
+              if ownersOf(l) == Set(t2.toLowerCase) &&
+                l.trim.matches("\\w+") && ownersOf(r) == corr =>
             (l.trim, r.trim)
           case Seq(Eq(l, r))
-              if lettersOf(r) == innerLetters &&
-                r.trim.matches("\\w+") && lettersOf(l) == corr =>
+              if ownersOf(r) == Set(t2.toLowerCase) &&
+                r.trim.matches("\\w+") && ownersOf(l) == corr =>
             (r.trim, l.trim)
           case _ => return sql
         }
@@ -407,6 +630,8 @@ object CorrelationRepair {
     * subquery now correlates to an ordinary (post-group) column.
     * Statements with a trailing HAVING/ORDER/LIMIT or expression keys
     * are left alone (returned unchanged → the original error stands).
+    * Schema-free: the guards are structural (keys plain, non-subquery
+    * select-list tokens ⊆ keys), so no catalog resolution is needed.
     */
   def liftGroupedScalarSubquery(sql: String): String = {
     val s = sql.trim.stripSuffix(";")

@@ -259,6 +259,83 @@ object JoinQueries {
     * so the build renames positionally (the rewrite's guards reject
     * select-list aliases).
     */
+  // ------------------------------------------------------------------
+  // The SAME three multi-level shapes against REAL (TPC-H-named) tables
+  // (r15). r14's repair classified bare columns by the micro-schema
+  // naming convention ([abcdrt][0-9]), so a user typing reference-legal
+  // multi-level correlation against orders/customer/region-class
+  // schemas still got the raw analyzer error; the r15 generalization
+  // resolves column ownership through the session catalog
+  // (CorrelationRepair.StatementSchema), and these rows prove the
+  // capability on the standard schema — DuckDB again binds the ORIGINAL
+  // multi-level text natively, so the rewrite is adjudicated against
+  // native multi-level binding on real tables.
+  // ------------------------------------------------------------------
+
+  /** Like [[repairedDef]] but over the registered TPC-H views directly
+    * — no micro views, the oracle is the original statement verbatim.
+    */
+  private def repairedTpchDef(name: String, sql: String): QueryDef =
+    QueryDef(name, (s, dir) => {
+      graft.catalog.Tables.registerAll(s, dir)
+      val key = graft.plans.CorrelationRepair.ConfKey
+      val old = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try graft.SqlRunner.exec(s, sql)
+      finally old match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }, Some(sql), sqlText = Some(sql))
+
+  /** Conjunctive two-level correlation on nation/customer/region (the
+    * innermost subquery reads `n_regionkey` two levels up) →
+    * CorrelationRepair.flattenTwoLevel via catalog-resolved ownership.
+    */
+  val subqTwoLevelFlattenTpch: QueryDef = repairedTpchDef(
+    "subq_two_level_flatten_tpch",
+    "select n_nationkey, n_name from nation where n_nationkey >= (" +
+      "select max(c_nationkey) from customer " +
+      "where c_custkey <= n_nationkey + 3 and c_nationkey = " +
+      "(select r_regionkey from region where r_regionkey = n_regionkey " +
+      "and r_name <> ''))")
+
+  /** Two-level correlation under a DISJUNCTIVE middle WHERE on real
+    * tables (the inner skips the middle block — outer references only)
+    * → CorrelationRepair.hoistTwoLevelScalar (grouped left join).
+    */
+  val subqTwoLevelHoistTpch: QueryDef = repairedTpchDef(
+    "subq_two_level_hoist_tpch",
+    "select n_nationkey, n_name from nation where n_nationkey >= (" +
+      "select max(c_nationkey) from customer where c_custkey = n_nationkey " +
+      "or c_nationkey = (select r_regionkey from region " +
+      "where r_regionkey = n_nationkey - 20 and r_name <> ''))")
+
+  /** Correlated scalar subquery in a grouped select list on real tables
+    * → CorrelationRepair.liftGroupedScalarSubquery. Spark's unaliased
+    * subquery-expression column name differs from DuckDB's, so the
+    * build renames positionally (the rewrite's guards reject
+    * select-list aliases).
+    */
+  val subqGroupedScalarTpch: QueryDef = QueryDef(
+    "subq_grouped_scalar_tpch",
+    (s, dir) => {
+      graft.catalog.Tables.registerAll(s, dir)
+      val key = graft.plans.CorrelationRepair.ConfKey
+      val old = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try graft.SqlRunner.exec(s,
+        "select c_nationkey, 5+(select n_regionkey from nation " +
+          "where n_nationkey = c_nationkey) from customer group by 1")
+        .toDF("c_nationkey", "r5")
+      finally old match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    },
+    Some("SELECT c_nationkey, 5+(SELECT n_regionkey FROM nation " +
+      "WHERE n_nationkey = c_nationkey) AS r5 FROM customer GROUP BY 1"))
+
   val subqGroupedScalar: QueryDef = QueryDef("subq_grouped_scalar",
     (s, dir) => {
       graft.catalog.Tables.registerAll(s, dir)
@@ -284,5 +361,6 @@ object JoinQueries {
     subqScalarUncorr, subqScalarCorr, subqSingleJoin, subqIn,
     subqNotInNull, subqNotIn, subqMarkOr, subqNested, subqFromDerived,
     subqTwoLevelFlatten, subqTwoLevelHoist, subqGroupedScalar,
+    subqTwoLevelFlattenTpch, subqTwoLevelHoistTpch, subqGroupedScalarTpch,
     cteBasic, cteMultiRef, cteNested)
 }

@@ -425,26 +425,16 @@ object UnitMiner {
       }
   }
 
-  /** The two-level-correlation / grouped-scalar repairs were promoted
-    * to the engine surface in r14 ([[graft.plans.CorrelationRepair]] —
-    * reachable from SqlRunner under `spark.graft.sql.correlationRepair`);
-    * the battery replays through the same functions via these aliases.
-    */
-  def flattenTwoLevel(sql: String): String =
-    graft.plans.CorrelationRepair.flattenTwoLevel(sql)
-
-  def hoistTwoLevelScalar(sql: String): String =
-    graft.plans.CorrelationRepair.hoistTwoLevelScalar(sql)
-
-  def liftGroupedScalarSubquery(sql: String): String =
-    graft.plans.CorrelationRepair.liftGroupedScalarSubquery(sql)
-
-  /** Analyze `sql`, applying the error-triggered repairs above (at most
-    * once each) — statements that analyze clean never get rewritten.
+  /** Analyze `sql`, applying the error-triggered repairs (at most once
+    * each) — statements that analyze clean never get rewritten.
     * One driver, shared with the engine surface
     * ([[graft.plans.CorrelationRepair.analyzeRepairedWith]]); the
     * battery composes its two text shims (derived-alias padding, alias
-    * shadowing) ahead of the engine's correlation repairs.
+    * shadowing) ahead of the engine's correlation repairs. The
+    * correlation repairs resolve column ownership against the session
+    * catalog (r15) — the micro tables are loaded as catalog tables, so
+    * the battery exercises the same schema-resolution path a real
+    * schema does.
     */
   def analyzeRepaired(spark: SparkSession, sql: String)
       : org.apache.spark.sql.DataFrame =
@@ -454,7 +444,7 @@ object UnitMiner {
           Some(padDerivedAliases(spark, cur))
         else if (msg.contains("INVALID_EXTRACT_BASE_FIELD_TYPE"))
           Some(renameShadowAliases(cur))
-        else graft.plans.CorrelationRepair.correlationRepairs(msg, cur))
+        else graft.plans.CorrelationRepair.correlationRepairs(spark)(msg, cur))
 
   // ------------------------------------------------------- environment
 

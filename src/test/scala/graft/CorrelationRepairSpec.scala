@@ -74,4 +74,109 @@ class CorrelationRepairSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Option(e.getMessage).exists(_.contains("no_such_col")))
     } finally spark.conf.unset(ConfKey)
   }
+
+  // ------------------------------------------------------------- r15:
+  // catalog-resolved column classification — the repair works on REAL
+  // schemas, declines on genuinely ambiguous ones, and the flatten
+  // enforces scalar uniqueness at runtime.
+
+  private def withRepair[T](f: => T): T = {
+    spark.conf.set(ConfKey, "true")
+    try f finally spark.conf.unset(ConfKey)
+  }
+
+  test("r15: the two-level flatten heals on TPC-H-named tables — column " +
+    "ownership resolved from the catalog, not a naming convention") {
+    spark.sql("""CREATE OR REPLACE TEMP VIEW nation AS
+      |SELECT id AS n_nationkey, concat('N', id) AS n_name,
+      |       id AS n_regionkey FROM range(4)""".stripMargin)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW region AS
+      |SELECT id AS r_regionkey, concat('R', id) AS r_name
+      |FROM range(4)""".stripMargin)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW customer AS
+      |SELECT id + 1 AS c_custkey, id AS c_nationkey FROM range(4)
+      |""".stripMargin)
+    val sql = "select n_nationkey from nation where n_nationkey >= (" +
+      "select max(c_nationkey) from customer " +
+      "where c_custkey <= n_nationkey + 1 and c_nationkey = " +
+      "(select r_regionkey from region where r_regionkey = n_regionkey " +
+      "and r_regionkey >= 0))"
+    // without the conf: the raw two-level analyzer rejection
+    spark.conf.unset(ConfKey)
+    val raw = intercept[Exception](SqlRunner.exec(spark, sql))
+    assert(Option(raw.getMessage).exists(_.contains("UNRESOLVED_COLUMN")))
+    // with it: customer k+1 lives in nation k, region k exists, so the
+    // middle max equals k for every nation — all 4 rows survive
+    val rows = withRepair(SqlRunner.exec(spark, sql))
+      .collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(0L, 1L, 2L, 3L), s"got ${rows.toSeq}")
+  }
+
+  test("r15: ambiguous bare columns (two in-scope tables share the " +
+    "name) decline the rewrite — the original error stands") {
+    spark.sql("CREATE OR REPLACE TEMP VIEW s1 AS " +
+      "SELECT id AS k, id AS a FROM range(3)")
+    spark.sql("CREATE OR REPLACE TEMP VIEW s2 AS " +
+      "SELECT id AS k, id AS b FROM range(3)")
+    // `k` is owned by BOTH s1 and s2: neither the flatten's key-equality
+    // classification nor the hoist's correlated-conjunct guard may
+    // claim it, so the statement keeps its analyzer error even with the
+    // conf on.
+    val sql = "select a from s1 where a = (select b from s2 so where " +
+      "b = (select b from s2 where k = a and b >= 0) and b < 100)"
+    val e = withRepair(intercept[Exception](SqlRunner.exec(spark, sql)))
+    assert(Option(e.getMessage).exists(_.contains("UNRESOLVED_COLUMN")),
+      s"expected the raw analyzer error, got: ${e.getMessage}")
+  }
+
+  test("r15: the flatten preserves scalar semantics — an inner key " +
+    "matching >1 row raises the scalar subquery error, never silent " +
+    "duplication (the r14 advisory)") {
+    spark.sql("CREATE OR REPLACE TEMP VIEW t_out AS " +
+      "SELECT id AS o1 FROM range(2)")
+    spark.sql("CREATE OR REPLACE TEMP VIEW t_mid AS " +
+      "SELECT id AS m1, 5 + id AS m2 FROM range(1)")
+    // two t_dup rows share d1 = 0 via `id div 2` — NOT `id * 0`, which
+    // constant-folds the key to a literal, erases the equi correlation
+    // condition, and steers the LeftSingle join into a nested-loop
+    // build-side edge unrelated to what this test pins
+    spark.sql("CREATE OR REPLACE TEMP VIEW t_dup AS " +
+      "SELECT id div 2 AS d1, 5 + 2 * id AS d2 FROM range(2)")
+    val sql = "select o1 from t_out where o1 = (select m1 from t_mid " +
+      "where m2 = (select d2 from t_dup where d1 = o1 and d2 > -100) " +
+      "and m1 >= 0)"
+    val e = withRepair(intercept[Exception](
+      SqlRunner.exec(spark, sql).collect()))
+    assert(Option(e.getMessage).exists(
+      _.contains("scalar subquery returned more than one row")),
+      s"expected the scalar >1-row error, got: ${e.getMessage}")
+    // control: with unique inner keys the same shape returns the row
+    spark.sql("CREATE OR REPLACE TEMP VIEW t_dup AS " +
+      "SELECT id AS d1, 5 + id AS d2 FROM range(2)")
+    val ok = withRepair(SqlRunner.exec(spark, sql).collect())
+    assert(ok.map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("r15 canary: the analyzer error classes the dispatch keys on " +
+    "are still what Spark emits for the two trigger shapes") {
+    // CorrelationRepair.correlationRepairs dispatches on these message
+    // substrings; a Spark upgrade that renames either class would
+    // silently disable the repair (failing SQL keeps its original
+    // error — safe, but the capability vanishes). This pins the
+    // contract so the rename fails loudly here instead.
+    val e1 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql(twoLevel).schema)
+    assert(e1.getCondition != null &&
+      e1.getCondition.startsWith("UNRESOLVED_COLUMN"),
+      s"two-level rejection class drifted: ${e1.getCondition}")
+    assert(e1.getMessage.contains("UNRESOLVED_COLUMN"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("select a1, 5+(select b2 from b where b1=a1) " +
+        "from a group by 1").schema)
+    assert(e2.getCondition ==
+      "SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_AGGREGATE_FUNCTION",
+      s"grouped-scalar rejection class drifted: ${e2.getCondition}")
+    assert(e2.getMessage.contains(
+      "SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_AGGREGATE_FUNCTION"))
+  }
 }
