@@ -190,12 +190,24 @@ class ContainmentJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
           } yield math.max(math.min(gL.toDouble, rows(i)),
             math.min(gR.toDouble, rows(j)))
           grouped.orElse {
-            val per = keys.map { case (ka, kb, _) => pairDivisor(
-              c.items(i), ka, rows(i), c.items(j), kb, rows(j)) }
-            if (per.forall(_.isDefined)) Some(per.flatten.product) else None
+            // No registered tuple-ndv: approximate each SIDE's tuple
+            // ndv as the product of its per-key ndvs, capped at the
+            // item's rows BEFORE taking the cross-side max — capping
+            // per key and multiplying afterwards can still exceed the
+            // row count (10 rows, two keys of ndv 10 → divisor 100),
+            // re-opening the very bound the cap enforces (r15 review).
+            val per = keys.map { case (ka, kb, _) =>
+              pairNdvs(c.items(i), ka, c.items(j), kb) }
+            if (per.forall(_.isDefined)) {
+              val ps = per.flatten
+              Some(math.max(
+                math.min(ps.map(_._1).product, rows(i)),
+                math.min(ps.map(_._2).product, rows(j))))
+            } else None
           }
-        } else pairDivisor(c.items(i), keys.head._1, rows(i),
-          c.items(j), keys.head._2, rows(j))
+        } else pairNdvs(c.items(i), keys.head._1, c.items(j), keys.head._2)
+          .map { case (dL, dR) =>
+            math.max(math.min(dL, rows(i)), math.min(dR, rows(j))) }
       divisor.map(d => Edge(i, j, math.max(1.0, d), keys.map(_._3)))
     }
     if (out.forall(_.isDefined)) Some(out.flatten) else None
@@ -212,15 +224,19 @@ class ContainmentJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
     } else None
   }
 
-  private def pairDivisor(li: LogicalPlan, la: Attribute, rowsL: Double,
-                          ri: LogicalPlan, ra: Attribute, rowsR: Double)
-      : Option[Double] =
+  /** Raw base-table ndv per side of one key pair — the caller applies
+    * the min(ndv, item rows) caps (per side for a single key; on the
+    * per-side PRODUCTS for a composite edge).
+    */
+  private def pairNdvs(li: LogicalPlan, la: Attribute,
+                       ri: LogicalPlan, ra: Attribute)
+      : Option[(Double, Double)] =
     for {
       (tL, cL) <- baseColumn(li, la)
       (tR, cR) <- baseColumn(ri, ra)
       dL <- columnNdv(tL, cL)
       dR <- columnNdv(tR, cR)
-    } yield math.max(math.min(dL, rowsL), math.min(dR, rowsR))
+    } yield (dL, dR)
 
   // ----------------------------------------------------------------- DP
 

@@ -123,6 +123,27 @@ object CorrelationRepair {
     "outer", "cross", "union", "all", "except", "intersect", "asc",
     "desc", "interval", "date", "cast", "div")
 
+  /** (paren depth, inside-string) immediately before `pos` — the state
+    * every structural scanner must agree on: single-quoted literals are
+    * CONTENT, so an `and`/`or`/keyword/paren inside one neither splits
+    * a conjunct nor moves the depth (the r15 review: the tokenizers
+    * skipped quotes but the split/keyword scanners did not, so a value
+    * like 'ASIA and EUROPE' mis-split the inner WHERE and silently
+    * declined — or mis-routed — the repair).
+    */
+  private def scanState(t: String, pos: Int): (Int, Boolean) = {
+    var bal = 0; var i = 0; var inQ = false
+    while (i < pos && i < t.length) {
+      val c = t.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else if (c == '\'') inQ = true
+      else if (c == '(') bal += 1
+      else if (c == ')') bal -= 1
+      i += 1
+    }
+    (bal, inQ)
+  }
+
   /** Bare (unqualified, non-call) identifier tokens of a SQL fragment,
     * lowercased: single-quoted strings are skipped, tokens adjacent to
     * `.` are qualified references, a token whose next non-space char is
@@ -252,15 +273,19 @@ object CorrelationRepair {
       var bal = 0; var i = open
       while (i < s.length) {
         val c = s.charAt(i)
-        if (c == '(') bal += 1 else if (c == ')') { bal -= 1
-          if (bal == 0) return i }
+        if (c == '\'') { i += 1
+          while (i < s.length && s.charAt(i) != '\'') i += 1 }
+        else if (c == '(') bal += 1
+        else if (c == ')') { bal -= 1; if (bal == 0) return i }
         i += 1
       }
       -1
     }
     val SubOpen = """(?i)\(\s*select\b""".r
     def subSpans(s: String): Seq[(Int, Int)] =
-      SubOpen.findAllMatchIn(s).map(m => (m.start, matching(s, m.start)))
+      SubOpen.findAllMatchIn(s)
+        .filter(m => !scanState(s, m.start)._2) // not inside a literal
+        .map(m => (m.start, matching(s, m.start)))
         .filter(_._2 > 0).toSeq
     def topSplitAnd(s: String): Seq[String] = {
       val parts = Seq.newBuilder[String]
@@ -268,7 +293,9 @@ object CorrelationRepair {
       val And = """(?i)\band\b""".r
       while (i < s.length) {
         val c = s.charAt(i)
-        if (c == '(') bal += 1 else if (c == ')') bal -= 1
+        if (c == '\'') { i += 1
+          while (i < s.length && s.charAt(i) != '\'') i += 1 }
+        else if (c == '(') bal += 1 else if (c == ')') bal -= 1
         else if (bal == 0 && (c == 'a' || c == 'A') &&
           And.findPrefixOf(s.substring(i)).isDefined &&
           (i == 0 || !s.charAt(i - 1).isLetterOrDigit)) {
@@ -283,7 +310,9 @@ object CorrelationRepair {
       var bal = 0; var i = 0
       while (i < s.length) {
         val c = s.charAt(i)
-        if (c == '(') bal += 1 else if (c == ')') bal -= 1
+        if (c == '\'') { i += 1
+          while (i < s.length && s.charAt(i) != '\'') i += 1 }
+        else if (c == '(') bal += 1 else if (c == ')') bal -= 1
         else if (bal == 0 && (c == 'o' || c == 'O') &&
           s.regionMatches(true, i, "or", 0, 2) &&
           (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
@@ -293,12 +322,14 @@ object CorrelationRepair {
       }
       false
     }
-    // keyword position at paren-depth 0, or -1
+    // keyword position at paren-depth 0 outside literals, or -1
     def topKeyword(s: String, kw: String): Int = {
       var bal = 0; var i = 0
       while (i < s.length) {
         val c = s.charAt(i)
-        if (c == '(') bal += 1 else if (c == ')') bal -= 1
+        if (c == '\'') { i += 1
+          while (i < s.length && s.charAt(i) != '\'') i += 1 }
+        else if (c == '(') bal += 1 else if (c == ')') bal -= 1
         else if (bal == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
           (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
           (i + kw.length >= s.length ||
@@ -431,13 +462,24 @@ object CorrelationRepair {
                 val derived = s"(select $sel from $tbl" +
                   (if (local.nonEmpty) s" where ${local.mkString(" and ")}"
                    else "") + s" group by ${keys.mkString(", ")}) $q"
-                val guardCond = (free :+ s"$q.${q}_c > 1")
+                val joinEqs = moved.map { case (k, ex) =>
+                  s"$q.${q}_$k = $ex" }
+                // The error guard must re-state EVERYTHING that gates
+                // row membership — the key equalities AND the free
+                // conjuncts — because the CASE can be evaluated for
+                // (middle row, derived group) pairs the appended join
+                // conjuncts later reject (decorrelation pulls the key
+                // equalities up as join conditions, leaving this
+                // comparison to run over ALL groups): a duplicate-key
+                // group no binding matches must NOT raise. For the
+                // matched group the equalities are true and the guard
+                // reduces to free + count, the reference's semantics.
+                val guardCond = (joinEqs ++ free :+ s"$q.${q}_c > 1")
                   .mkString("(", ") and (", ")")
                 val guarded = s"(case when $guardCond then raise_error(" +
                   "'scalar subquery returned more than one row') " +
                   s"else $q.${q}_v end)"
-                val joinConjs = moved.map { case (k, ex) =>
-                  s"$q.${q}_$k = $ex" } ++ free
+                val joinConjs = joinEqs ++ free
                 wherePart = before.substring(0, cm.start) +
                   s"${cm.group(1)} ${cm.group(2)} $guarded" +
                   wherePart.substring(e + 1) +
@@ -507,17 +549,18 @@ object CorrelationRepair {
       var bal = 0; var i = open
       while (i < t.length) {
         val c = t.charAt(i)
-        if (c == '(') bal += 1
+        if (c == '\'') { i += 1
+          while (i < t.length && t.charAt(i) != '\'') i += 1 }
+        else if (c == '(') bal += 1
         else if (c == ')') { bal -= 1; if (bal == 0) return i }
         i += 1
       }
       -1
     }
     def depth0(t: String, kw: String): Int =
-      ("(?i)\\b" + kw + "\\b").r.findAllMatchIn(t).find { m =>
-        val pre = t.substring(0, m.start)
-        pre.count(_ == '(') == pre.count(_ == ')')
-      }.map(_.start).getOrElse(-1)
+      ("(?i)\\b" + kw + "\\b").r.findAllMatchIn(t)
+        .find(m => scanState(t, m.start) == ((0, false)))
+        .map(_.start).getOrElse(-1)
     if (!s.toLowerCase.startsWith("select ")) return sql
     val fromAt = depth0(s, "from")
     val whereAt = depth0(s, "where")
@@ -533,6 +576,7 @@ object CorrelationRepair {
     val outerT = tbl.toLowerCase
     val w = s.substring(whereAt + "where".length)
     val spans = """(?i)\(\s*select\b""".r.findAllMatchIn(w)
+      .filter(m => !scanState(w, m.start)._2) // not inside a literal
       .map(m => (m.start, matching(w, m.start))).filter(_._2 > 0).toSeq
     // innermost span strictly inside another span
     val candidate = spans.find { case (a, b) =>
@@ -545,9 +589,13 @@ object CorrelationRepair {
         val enclosing = spans.filter { case (oa, ob) => oa < a && b < ob }
           .maxBy(_._1)
         val midText = w.substring(enclosing._1, enclosing._2 + 1)
+        // FULL from-clause extraction (comma lists + JOINs), shared with
+        // the schema resolver — the old `\bfrom\s+(\w+)` saw only the
+        // first table of a FROM list, so a middle block scanning the
+        // outer table past a comma defeated the capture guard (the r15
+        // review).
         def tablesOf(block: String): Set[String] =
-          """(?i)\bfrom\s+(\w+)""".r.findAllMatchIn(block)
-            .map(_.group(1).toLowerCase).toSet
+          StatementSchema.fromCandidates(block).map(_.toLowerCase).toSet
         val innerTables = tablesOf(inner)
         val midTables = tablesOf(
           midText.substring(0, a - enclosing._1) +
@@ -579,8 +627,7 @@ object CorrelationRepair {
           val and = "(?i)\\band\\b".r
           val hits = and.findAllMatchIn(conjText).toSeq
           hits.foreach { m =>
-            val pre = conjText.substring(0, m.start)
-            if (pre.count(_ == '(') == pre.count(_ == ')')) {
+            if (scanState(conjText, m.start) == ((0, false))) {
               out += conjText.substring(last, m.start); last = m.end
             }
           }
@@ -635,13 +682,10 @@ object CorrelationRepair {
     */
   def liftGroupedScalarSubquery(sql: String): String = {
     val s = sql.trim.stripSuffix(";")
-    def depth0Find(text: String, kw: String): Int = {
-      val re = ("(?i)\\b" + kw + "\\b").r
-      re.findAllMatchIn(text).find { m =>
-        val pre = text.substring(0, m.start)
-        pre.count(_ == '(') == pre.count(_ == ')')
-      }.map(_.start).getOrElse(-1)
-    }
+    def depth0Find(text: String, kw: String): Int =
+      ("(?i)\\b" + kw + "\\b").r.findAllMatchIn(text)
+        .find(m => scanState(text, m.start) == ((0, false)))
+        .map(_.start).getOrElse(-1)
     if (!s.toLowerCase.startsWith("select ")) return sql
     val fromAt = depth0Find(s, "from")
     if (fromAt < 0) return sql
@@ -655,9 +699,11 @@ object CorrelationRepair {
           .exists(depth0Find(keysTail, _) >= 0)) return sql
     def topSplit(text: String): Seq[String] = {
       val out = Seq.newBuilder[String]
-      var bal = 0; var last = 0
+      var bal = 0; var last = 0; var inQ = false
       text.zipWithIndex.foreach { case (c, i) =>
-        if (c == '(') bal += 1 else if (c == ')') bal -= 1
+        if (inQ) { if (c == '\'') inQ = false }
+        else if (c == '\'') inQ = true
+        else if (c == '(') bal += 1 else if (c == ')') bal -= 1
         else if (c == ',' && bal == 0) { out += text.substring(last, i); last = i + 1 }
       }
       out += text.substring(last)

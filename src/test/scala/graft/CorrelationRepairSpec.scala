@@ -155,6 +155,43 @@ class CorrelationRepairSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT id AS d1, 5 + id AS d2 FROM range(2)")
     val ok = withRepair(SqlRunner.exec(spark, sql).collect())
     assert(ok.map(_.getLong(0)).toSeq == Seq(0L))
+    // and the mirror case (the r15 review's CONFIRMED finding): a
+    // duplicate-key group that NO binding matches must not raise —
+    // the error guard must re-state the key equalities, because the
+    // CASE can evaluate against groups the join conjuncts later
+    // reject. Bindings 2,3 match zero t_dup rows → empty, no error.
+    spark.sql("CREATE OR REPLACE TEMP VIEW t_dup AS " +
+      "SELECT id div 2 AS d1, 5 + 2 * id AS d2 FROM range(2)")
+    spark.sql("CREATE OR REPLACE TEMP VIEW t_out AS " +
+      "SELECT id + 2 AS o1 FROM range(2)")
+    val unmatched = withRepair(SqlRunner.exec(spark, sql).collect())
+    assert(unmatched.isEmpty,
+      s"expected empty (no binding matches), got ${unmatched.toSeq}")
+  }
+
+  test("r15: structural scanners treat quoted text as content — a " +
+    "literal containing ' and '/' or ' neither mis-splits conjuncts " +
+    "nor mis-routes the repair") {
+    spark.sql("""CREATE OR REPLACE TEMP VIEW nation AS
+      |SELECT id AS n_nationkey, concat('N', id) AS n_name,
+      |       id AS n_regionkey FROM range(4)""".stripMargin)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW region AS
+      |SELECT id AS r_regionkey, concat('R', id) AS r_name
+      |FROM range(4)""".stripMargin)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW customer AS
+      |SELECT id + 1 AS c_custkey, id AS c_nationkey FROM range(4)
+      |""".stripMargin)
+    // the inner-local literal contains both ' and ' and ' or ' plus an
+    // unbalanced '(' — pre-r15-review the conjunct splitter broke the
+    // literal apart and the repair silently declined
+    val sql = "select n_nationkey from nation where n_nationkey >= (" +
+      "select max(c_nationkey) from customer " +
+      "where c_custkey <= n_nationkey + 1 and c_nationkey = " +
+      "(select r_regionkey from region where r_regionkey = n_regionkey " +
+      "and r_name <> 'ASIA and (EUROPE or AFRICA'))"
+    val rows = withRepair(SqlRunner.exec(spark, sql))
+      .collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(0L, 1L, 2L, 3L), s"got ${rows.toSeq}")
   }
 
   test("r15 canary: the analyzer error classes the dispatch keys on " +
