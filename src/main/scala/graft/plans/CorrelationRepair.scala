@@ -84,7 +84,7 @@ object CorrelationRepair {
       * its alias and is skipped; a `(` ends the list — the derived
       * table's own FROM matches the regex separately).
       */
-    private[plans] def fromCandidates(sql: String): Seq[String] = {
+    private[graft] def fromCandidates(sql: String): Seq[String] = {
       val out = Seq.newBuilder[String]
       FromJoin.findAllMatchIn(sql).foreach { m =>
         out += m.group(1)
@@ -131,7 +131,7 @@ object CorrelationRepair {
     * like 'ASIA and EUROPE' mis-split the inner WHERE and silently
     * declined — or mis-routed — the repair).
     */
-  private def scanState(t: String, pos: Int): (Int, Boolean) = {
+  private[graft] def scanState(t: String, pos: Int): (Int, Boolean) = {
     var bal = 0; var i = 0; var inQ = false
     while (i < pos && i < t.length) {
       val c = t.charAt(i)
@@ -149,7 +149,7 @@ object CorrelationRepair {
     * `.` are qualified references, a token whose next non-space char is
     * `(` is a function call, keywords are dropped.
     */
-  private[plans] def bareCols(s: String): Seq[String] = {
+  private[graft] def bareCols(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var i = 0
     while (i < s.length) {
