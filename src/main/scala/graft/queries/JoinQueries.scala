@@ -300,6 +300,25 @@ object JoinQueries {
       "(select r_regionkey from region where r_regionkey = n_regionkey " +
       "and r_name <> ''))")
 
+  /** The flatten's FREE-conjunct path on real tables (r15 review
+    * hardening): the inner block carries a conjunct with NO inner-table
+    * reference at all (`n_name <> 'NATION_2'` — outer-owned), which is
+    * constant per correlation binding. It must move to the middle WHERE
+    * verbatim AND gate the >1-row error guard next to the key
+    * equalities — this is exactly the interplay where the in-round
+    * review found the spurious-raise bug, so it gets a DuckDB-
+    * adjudicated pin (the oracle binds the original multi-level text
+    * natively; the free conjunct visibly changes the result — nation 2
+    * drops vs [[subqTwoLevelFlattenTpch]]).
+    */
+  val subqTwoLevelFlattenFree: QueryDef = repairedTpchDef(
+    "subq_two_level_flatten_free",
+    "select n_nationkey, n_name from nation where n_nationkey >= (" +
+      "select max(c_nationkey) from customer " +
+      "where c_custkey <= n_nationkey + 3 and c_nationkey = " +
+      "(select r_regionkey from region where r_regionkey = n_regionkey " +
+      "and n_name <> 'NATION_2' and r_name <> ''))")
+
   /** Two-level correlation under a DISJUNCTIVE middle WHERE on real
     * tables (the inner skips the middle block — outer references only)
     * → CorrelationRepair.hoistTwoLevelScalar (grouped left join).
@@ -362,5 +381,6 @@ object JoinQueries {
     subqNotInNull, subqNotIn, subqMarkOr, subqNested, subqFromDerived,
     subqTwoLevelFlatten, subqTwoLevelHoist, subqGroupedScalar,
     subqTwoLevelFlattenTpch, subqTwoLevelHoistTpch, subqGroupedScalarTpch,
+    subqTwoLevelFlattenFree,
     cteBasic, cteMultiRef, cteNested)
 }
