@@ -4,7 +4,10 @@ import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+import org.apache.spark.sql.catalyst.plans.logical
+import org.apache.spark.sql.execution.{ExecSubqueryExpression, FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
 import org.apache.spark.sql.execution.joins._
 
@@ -95,17 +98,88 @@ object JobenchPlan {
     * SORTED (so build/probe orientation is erased), unary operators
     * vanish. Two plans with the same canonical string join the same
     * sub-results in the same tree, regardless of orientation.
+    *
+    * Subquery fragments hosted in a node's EXPRESSIONS (an uncorrelated
+    * scalar subquery surviving optimization, a non-decorrelated IN/
+    * EXISTS list) combine with the node exactly like a join child —
+    * `(self, frag…)` sorted — mirroring [[referenceShape]]'s treatment
+    * of qpmodel's `<ScalarSubqueryExpr>`/`<InSubqueryExpr>` plan
+    * attachments, so "probe the scan against a subquery result" and
+    * "join against the subquery result" canonicalize identically: the
+    * tree measures WHICH relation sets combine in what order, not the
+    * evaluation mechanism. (At the audited `sparkPlan` stage the
+    * fragments are still catalyst [[SubqueryExpression]]s holding
+    * LOGICAL plans — [[canonicalLogical]] reduces those; dynamic-
+    * pruning subqueries are optimization artifacts, not query
+    * structure, and are excluded.)
     */
-  def canonical(plan: SparkPlan): String = plan match {
-    case s: FileSourceScanExec =>
-      s.tableIdentifier.map(_.table).getOrElse("?")
-    case _: BroadcastHashJoinExec | _: SortMergeJoinExec |
-         _: ShuffledHashJoinExec | _: BroadcastNestedLoopJoinExec |
-         _: CartesianProductExec =>
-      plan.children.map(canonical).sorted.mkString("(", ",", ")")
-    case _ if plan.children.size == 1 => canonical(plan.children.head)
-    case _ => plan.children.map(canonical).sorted.mkString("(", ",", ")")
+  def canonical(plan: SparkPlan): String =
+    canonicalP(plan, scala.collection.mutable.Set.empty)
+
+  private def canonicalP(plan: SparkPlan,
+      seen: scala.collection.mutable.Set[Long]): String = {
+    val self = plan match {
+      case s: FileSourceScanExec =>
+        s.tableIdentifier.map(_.table).getOrElse("?")
+      case _: BroadcastHashJoinExec | _: SortMergeJoinExec |
+           _: ShuffledHashJoinExec | _: BroadcastNestedLoopJoinExec |
+           _: CartesianProductExec =>
+        plan.children.map(canonicalP(_, seen)).sorted.mkString("(", ",", ")")
+      case _ if plan.children.size == 1 => canonicalP(plan.children.head, seen)
+      case _ =>
+        plan.children.map(canonicalP(_, seen)).sorted.mkString("(", ",", ")")
+    }
+    withFragments(self, hostedFragments(plan.expressions, seen))
   }
+
+  /** The same canonical reduction over a LOGICAL plan — used for the
+    * subquery fragments expression-hosted in a physical plan, which at
+    * the pre-preparation `sparkPlan` stage still carry their optimized
+    * logical subtrees.
+    */
+  def canonicalLogical(p: logical.LogicalPlan): String =
+    canonicalL(p, scala.collection.mutable.Set.empty)
+
+  private def canonicalL(p: logical.LogicalPlan,
+      seen: scala.collection.mutable.Set[Long]): String = {
+    val self = p match {
+      case r: LogicalRelation =>
+        r.catalogTable.map(_.identifier.table).getOrElse("?")
+      case j: logical.Join =>
+        j.children.map(canonicalL(_, seen)).sorted.mkString("(", ",", ")")
+      case _ if p.children.size == 1 => canonicalL(p.children.head, seen)
+      case _ =>
+        p.children.map(canonicalL(_, seen)).sorted.mkString("(", ",", ")")
+    }
+    withFragments(self, hostedFragments(p.expressions, seen))
+  }
+
+  /** Each distinct subquery (by exprId) attaches exactly ONCE, at its
+    * DEEPEST host — the recursion canonicalizes children before the
+    * parent's expressions, so a predicate Spark repeats at two levels
+    * (a scan's dataFilters plus the FilterExec that actually evaluates
+    * it) reads as the single probe it is, at the scan, which is also
+    * where qpmodel hosts its subquery expressions.
+    */
+  private def hostedFragments(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      seen: scala.collection.mutable.Set[Long]): Seq[String] =
+    exprs.flatMap(_.collect {
+      case s: SubqueryExpression
+          if !s.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.DynamicPruning] &&
+            seen.add(s.exprId.id) =>
+        canonicalLogical(s.plan)
+      case s: ExecSubqueryExpression
+          if !s.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.DynamicPruning] &&
+            seen.add(s.exprId.id) =>
+        canonical(s.plan)
+    })
+
+  private def withFragments(self: String, frags: Seq[String]): String =
+    if (frags.isEmpty) self
+    else (self +: frags).sorted.mkString("(", ",", ")")
 
   /** Physically plan one query and reduce the plan to its audit. */
   def audit(spark: SparkSession, name: String, sql: String,
@@ -172,41 +246,76 @@ object JobenchPlan {
 
   /** Reference memo optimizer's join tree in the same canonical form as
     * [[canonical]], parsed from its expected plan text: `Physic*` nodes
-    * indent 4 spaces per level under `-> `, scans name their table,
+    * indent 4 spaces per level under `-> `, scans name their table
+    * (aliases like `lineitem as lineitem__1` reduce to the base table),
     * joins have two `Physic` children, everything else is unary.
+    *
+    * qpmodel additionally prints NON-decorrelated subquery plans nested
+    * inside the hosting node's expression block — a
+    * `<ScalarSubqueryExpr>`/`<InSubqueryExpr>` marker line one level
+    * under the host, with the fragment's plan one level under that
+    * (`Explain.cs` via `UnitTest.cs:541-575` goldens, e.g.
+    * `expect/tpch1/q16.txt:45-49`: scan partsupp hosting the NOT-IN
+    * supplier scan). The markers parse as unary pseudo-nodes whose
+    * fragment combines with the HOST like a join child, `(host, frag)`
+    * sorted — the same reduction [[canonical]] applies to our
+    * expression-hosted subqueries, so both engines' "probe against a
+    * subquery result" reads as the combination it is. (Before r15 the
+    * parser dropped the deeper-indented fragment AND every node after
+    * it, so six tpch1 goldens compared as truncated or empty trees.)
     */
   def referenceShape(expectDir: String, name: String): Option[String] = {
     val p = Paths.get(expectDir, name + ".txt")
     if (!Files.exists(p)) return None
+    parseReferenceShape(Files.readAllLines(p).asScala.toList)
+  }
+
+  /** Parse the plan-text lines (see [[referenceShape]]); exposed for
+    * the spec's fixture-free cases.
+    */
+  def parseReferenceShape(lines: List[String]): Option[String] = {
     val node = raw"^(\s*)(?:-> )?(Physic\w+)\s*(\w+)?".r
-    val nodes = Files.readAllLines(p).asScala.flatMap { line =>
-      node.findFirstMatchIn(line).filter(_.group(2) != null).map { m =>
+    val marker = raw"^(\s*)<\w*SubqueryExpr>".r
+    // (depth, table-if-scan, isSubqueryMarker)
+    val nodes = lines.flatMap { line =>
+      node.findFirstMatchIn(line).map { m =>
         val depth = m.group(1).length / 4
         val kind = m.group(2)
         val table = if (kind == "PhysicScanTable") Option(m.group(3)) else None
-        (depth, table)
-      }
-    }.toList
+        (depth, table, false)
+      }.orElse(marker.findFirstMatchIn(line).map { m =>
+        (m.group(1).length / 4, None: Option[String], true)
+      })
+    }
     if (nodes.isEmpty) return None
 
-    // Recursive descent over the (depth, table) list: children of the
-    // node at position i are the maximal following run at depth+1.
-    def build(items: List[(Int, Option[String])]): (String, List[(Int, Option[String])]) = {
-      val (depth, table) = items.head
+    // Recursive descent: children of the node at position i are the
+    // maximal following run at depth+1 (subquery markers included —
+    // they indent exactly like children). A marker child is the
+    // host's expression-hosted fragment: it combines with the host's
+    // own canonical form instead of participating as a plan child.
+    def build(items: List[(Int, Option[String], Boolean)])
+        : ((String, Boolean), List[(Int, Option[String], Boolean)]) = {
+      val (depth, table, isMarker) = items.head
       var rest = items.tail
-      var kids = List.empty[String]
+      var kids = List.empty[(String, Boolean)]
       while (rest.nonEmpty && rest.head._1 == depth + 1) {
         val (c, r) = build(rest)
         kids = c :: kids
         rest = r
       }
-      val canon = table.getOrElse {
-        if (kids.size >= 2) kids.sorted.mkString("(", ",", ")")
-        else kids.headOption.getOrElse("?")
+      val (markerKids, planKids) = kids.partition(_._2)
+      val base = table.getOrElse {
+        if (planKids.size >= 2)
+          planKids.map(_._1).sorted.mkString("(", ",", ")")
+        else planKids.headOption.map(_._1).getOrElse("?")
       }
-      (canon, rest)
+      val canon =
+        if (markerKids.isEmpty) base
+        else (base :: markerKids.map(_._1)).sorted.mkString("(", ",", ")")
+      ((canon, isMarker), rest)
     }
-    Some(build(nodes)._1)
+    Some(build(nodes)._1._1)
   }
 
   /** Session for plan-only work: graft conf, tiny core count (nothing
