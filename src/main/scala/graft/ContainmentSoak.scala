@@ -34,14 +34,8 @@ object ContainmentSoak {
 
   private val ConfKey = "spark.graft.containmentReorder"
 
-  private def withMode[T](spark: SparkSession, mode: String)(f: => T): T = {
-    val old = spark.conf.getOption(ConfKey)
-    spark.conf.set(ConfKey, mode)
-    try f finally old match {
-      case Some(v) => spark.conf.set(ConfKey, v)
-      case None => spark.conf.unset(ConfKey)
-    }
-  }
+  private def withMode[T](spark: SparkSession, mode: String)(f: => T): T =
+    GraftSession.withConf(spark, ConfKey, mode)(f)
 
   /** Leaf tables of the DEEPEST join in the optimized plan — which
     * pair the chosen order joins first.

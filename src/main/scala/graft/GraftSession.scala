@@ -17,6 +17,21 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Run `f` with one session conf temporarily set, restoring the
+    * prior value (or unsetting an absent one) afterwards — the
+    * save/set/restore pattern every off-vs-apply A/B harness needs
+    * (reorder specs, soaks, the JOBENCH double-planning audit).
+    */
+  def withConf[T](spark: SparkSession, key: String, value: String)
+                 (f: => T): T = {
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try f finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Apply graft engine configuration to any builder. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")

@@ -145,10 +145,8 @@ object JobenchPlan {
     val self = p match {
       case r: LogicalRelation =>
         r.catalogTable.map(_.identifier.table).getOrElse("?")
-      case j: logical.Join =>
-        j.children.map(canonicalL(_, seen)).sorted.mkString("(", ",", ")")
       case _ if p.children.size == 1 => canonicalL(p.children.head, seen)
-      case _ =>
+      case _ => // joins and any other multi-child node: sorted children
         p.children.map(canonicalL(_, seen)).sorted.mkString("(", ",", ")")
     }
     withFragments(self, hostedFragments(p.expressions, seen))
@@ -159,23 +157,29 @@ object JobenchPlan {
     * parent's expressions, so a predicate Spark repeats at two levels
     * (a scan's dataFilters plus the FilterExec that actually evaluates
     * it) reads as the single probe it is, at the scan, which is also
-    * where qpmodel hosts its subquery expressions.
+    * where qpmodel hosts its subquery expressions. Descent STOPS at
+    * any [[org.apache.spark.sql.catalyst.expressions.DynamicPruning]]
+    * node, which covers both stages: the logical
+    * DynamicPruningSubquery at `sparkPlan`, and at `executedPlan` the
+    * DynamicPruningExpression WRAPPER (its InSubqueryExec child is a
+    * plain ExecSubqueryExpression, so a membership test on the
+    * subquery itself would let DPP artifacts through).
     */
   private def hostedFragments(
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-      seen: scala.collection.mutable.Set[Long]): Seq[String] =
-    exprs.flatMap(_.collect {
-      case s: SubqueryExpression
-          if !s.isInstanceOf[
-            org.apache.spark.sql.catalyst.expressions.DynamicPruning] &&
-            seen.add(s.exprId.id) =>
-        canonicalLogical(s.plan)
-      case s: ExecSubqueryExpression
-          if !s.isInstanceOf[
-            org.apache.spark.sql.catalyst.expressions.DynamicPruning] &&
-            seen.add(s.exprId.id) =>
-        canonical(s.plan)
-    })
+      seen: scala.collection.mutable.Set[Long]): Seq[String] = {
+    def frags(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[String] = e match {
+      case _: org.apache.spark.sql.catalyst.expressions.DynamicPruning =>
+        Nil
+      case s: SubqueryExpression =>
+        if (seen.add(s.exprId.id)) Seq(canonicalLogical(s.plan)) else Nil
+      case s: ExecSubqueryExpression =>
+        if (seen.add(s.exprId.id)) Seq(canonical(s.plan)) else Nil
+      case other => other.children.flatMap(frags)
+    }
+    exprs.flatMap(frags)
+  }
 
   private def withFragments(self: String, frags: Seq[String]): String =
     if (frags.isEmpty) self
@@ -340,15 +344,8 @@ object JobenchPlan {
     // ndv reach the rule through the same catalog colStats path ANALYZE
     // writes (columnNdv falls back to colStats.distinctCount), so this
     // is the densest real join-order corpus the steering faces.
-    val confKey = "spark.graft.containmentReorder"
-    def withMode[T](mode: String)(f: => T): T = {
-      val old = spark.conf.getOption(confKey)
-      spark.conf.set(confKey, mode)
-      try f finally old match {
-        case Some(v) => spark.conf.set(confKey, v)
-        case None => spark.conf.unset(confKey)
-      }
-    }
+    def withMode[T](mode: String)(f: => T): T =
+      GraftSession.withConf(spark, "spark.graft.containmentReorder", mode)(f)
     try sqlFiles(sqlDir).map { case (name, sql) =>
       val ref = referenceShape(expectDir, name)
       val off = withMode("off")(audit(spark, name, sql, ref))

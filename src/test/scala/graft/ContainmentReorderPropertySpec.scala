@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -32,12 +31,13 @@ class ContainmentReorderPropertySpec extends AnyFunSuite
 
   // Four tables, sizes 3000/1000/300/80. k1 is a quasi-key; k2/k3 are
   // semi-keys with moduli >= size/5 so any generated edge keeps join
-  // fanout small (worst hop ~5x). In crp_a and crp_b, (k2, k3) are
-  // CORRELATED (k3 derives from k2): per-key containment prices a
-  // composite (k2, k3) edge from the ndv product while the registered
-  // column-group tuple-ndv knows better — the same misestimate family
-  // the deterministic spec pins, here to make the DP disagree with CBO
-  // often enough that the property exercises real rewrites.
+  // fanout small (worst hop ~5x). In every table, (k2, k3) are
+  // CORRELATED (k3 derives from k2) with the column-group tuple-ndv
+  // registered: per-key containment prices a composite (k2, k3) edge
+  // from the ndv product while the registered group knows better — the
+  // same misestimate family the deterministic spec pins, here to make
+  // the DP disagree with CBO often enough that the property exercises
+  // real rewrites.
   private val tables = Map(
     "crp_a" -> (3000, 2999, 601),
     "crp_b" -> (1000, 997, 211),
@@ -126,17 +126,10 @@ class ContainmentReorderPropertySpec extends AnyFunSuite
   }
 
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
-    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    TestSpark.samples(g, n)
 
-  private def withMode[T](mode: String)(f: => T): T = {
-    val key = "spark.graft.containmentReorder"
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, mode)
-    try f finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+  private def withMode[T](mode: String)(f: => T): T =
+    GraftSession.withConf(spark, "spark.graft.containmentReorder", mode)(f)
 
   test("off and apply return identical aggregates over 30 random " +
     "connected join queries; the rule fires on a nonzero subset") {

@@ -67,15 +67,8 @@ class ContainmentReorderSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.lastOption.getOrElse(Nil) // deepest join = last in preorder collect
   }
 
-  private def withMode[T](mode: String)(f: => T): T = {
-    val key = "spark.graft.containmentReorder"
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, mode)
-    try f finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+  private def withMode[T](mode: String)(f: => T): T =
+    GraftSession.withConf(spark, "spark.graft.containmentReorder", mode)(f)
 
   test("the over-estimated pair join is promoted: containment joins dim " +
     "first where Spark's min-per-key estimate deferred it behind t3") {

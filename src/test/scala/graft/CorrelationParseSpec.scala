@@ -1,7 +1,6 @@
 package graft
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.plans.CorrelationRepair
@@ -20,7 +19,7 @@ import graft.plans.CorrelationRepair
 class CorrelationParseSpec extends AnyFunSuite {
 
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
-    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    TestSpark.samples(g, n)
 
   private val keyword = Set(
     "and", "or", "not", "where", "select", "from", "as", "case", "when",

@@ -1,7 +1,6 @@
 package graft
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.vec
@@ -16,7 +15,7 @@ class ExprPropertySpec extends AnyFunSuite {
   import TestSpark._
 
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
-    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    TestSpark.samples(g, n)
 
   private val smallInts = Gen.listOfN(8, Gen.chooseNum(-1000, 1000))
 

@@ -3,7 +3,6 @@ package graft
 import java.sql.Timestamp
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Graph, Temporal}
@@ -18,7 +17,7 @@ class GraphPropertySpec extends AnyFunSuite {
   import TestSpark._
 
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
-    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    TestSpark.samples(g, n)
 
   // Random undirected graphs: up to 12 nodes, each unordered pair
   // present i.i.d. — dense enough to guarantee triangles at n=12.

@@ -2,7 +2,6 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.{col, expr}
@@ -34,7 +33,7 @@ class NativeExprPropertySpec extends AnyFunSuite {
   // bridge isn't in the offline dependency cache) — same pattern as
   // ExprPropertySpec.
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
-    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    TestSpark.samples(g, n)
 
   private def forAll[A](g: Gen[A], n: Int = 200)(body: A => Unit): Unit =
     samples(g, n).foreach(body)

@@ -1,7 +1,6 @@
 package graft
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 /** pack_varint / packed_intersect: the delta-varint adjacency codec
@@ -12,7 +11,7 @@ class PackedAdjacencySpec extends AnyFunSuite {
   import TestSpark._
 
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
-    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    TestSpark.samples(g, n)
 
   test("codec property: intersect(pack(a), pack(b)) == sorted set " +
     "intersection, including negatives, empties, and wide gaps") {

@@ -45,6 +45,14 @@ object TestSpark {
   def rows(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
 
+  /** Seed-pinned ScalaCheck sampling — deterministic corpora for the
+    * property suites (seeds 1..n, one sample each; a failing seed
+    * reproduces exactly).
+    */
+  def samples[A](g: org.scalacheck.Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(org.scalacheck.Gen.Parameters.default,
+      org.scalacheck.rng.Seed(i.toLong)))
+
   /** The executed physical plan string (forces execution so AQE has
     * finalized its plan before inspection). AQE's toString includes the
     * pre-adaptive "Initial Plan" section — strip it so assertions see

@@ -13,8 +13,10 @@ import org.scalatest.BeforeAndAfterAll
   *   - every query plans, every leaf carries the injected sf1 stats,
   *     every broadcast build is under threshold;
   *   - the queries whose canonical join TREE matches the reference's
-  *     memo plan exactly stay matching (the subquery-free shapes where
-  *     the two cost models agree);
+  *     memo plan exactly stay matching — the shapes where the two cost
+  *     models agree, including (r15) the subquery-bearing q11/q16/q22
+  *     whose expression-hosted fragments canonicalize as a combination
+  *     with their host on both engines;
   *   - the two estimators' root-cardinality agreement (gmean q-error
   *     under identical statistics) stays bounded.
   */
