@@ -63,6 +63,21 @@ import graft.catalog.ExtendedStats
   * so parents see an identical schema. `spark.graft.containmentReorder`
   * = off | log | apply (default apply; log prices and reports the
   * disagreement without rewriting).
+  *
+  * Scope: INNER clusters only — and that is a closed adjudication, not
+  * a deferral. A semi/anti join inside the plan becomes an opaque ITEM
+  * (its CBO rowCount prices it, so the cluster AROUND it still
+  * reorders); the join itself is never moved. The freedom a memo
+  * optimizer has that this rule doesn't — interleaving the semi/anti
+  * probe elsewhere in the order (the reference reorders them,
+  * `JoinOrder.cs:364,439`) — is worthless under Cout: Spark's
+  * PushDownLeftSemiAntiJoin has already pushed each semi/anti onto the
+  * item providing its keys before this rule runs, and applying a
+  * reducer (selectivity f ≤ 1) as early as possible minimizes every
+  * downstream intermediate, so the pushed-down placement is always
+  * Cout-optimal. Deferring a semi probe can only win under a cost
+  * model that prices build/probe work per join — the documented
+  * cost-model difference with the reference, not a search-space gap.
   */
 class ContainmentJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
 
