@@ -371,7 +371,10 @@ object JobenchPlan {
       val mb = f"${a.maxBroadcastBytes / 1024.0}%.1f KB"
       val order = if (a.refShape.isEmpty) "no-ref"
         else if (a.shapeMatches) "=ref" else "diverges"
-      val cont = if (a.containmentReordered) "reordered" else "=cbo"
+      // "?" when the off pass produced no shape (it errored): claiming
+      // "=cbo" would report an agreement that was never compared
+      val cont = if (a.cboShape.isEmpty || a.ourShape.isEmpty) "?"
+        else if (a.containmentReordered) "reordered" else "=cbo"
       val row = a.err match {
         case Some(e) => s"| ${a.name} | ERROR | $e | | | | | |"
         case None =>

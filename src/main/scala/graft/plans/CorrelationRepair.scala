@@ -80,24 +80,38 @@ object CorrelationRepair {
     private val Ident = """^\s*,\s*([A-Za-z_][\w.]*)""".r
 
     /** FROM/JOIN table-name candidates, including `from a, b c` comma
-      * lists (first token of each comma item; a following bare token is
-      * its alias and is skipped; a `(` ends the list — the derived
-      * table's own FROM matches the regex separately).
+      * lists (first token of each comma item; a following bare token —
+      * or `AS alias` pair — is skipped; a `(` ends the list — the
+      * derived table's own FROM matches the regex separately). String
+      * literals are masked before scanning: a value like
+      * `'copied from nation'` must not mint a phantom table, which
+      * would both poison the ambiguity test and false-trigger the
+      * hoist's middle-scans-outer-table capture guard (r15 review).
       */
     private[graft] def fromCandidates(sql: String): Seq[String] = {
+      val t = maskLiterals(sql)
+      val stop = Set("where", "group", "order", "having", "limit",
+        "join", "inner", "left", "right", "full", "cross", "on",
+        "union", "except", "intersect")
+      val Tok = """^\s+([A-Za-z_]\w*)""".r
       val out = Seq.newBuilder[String]
-      FromJoin.findAllMatchIn(sql).foreach { m =>
+      FromJoin.findAllMatchIn(t).foreach { m =>
         out += m.group(1)
-        // comma continuation after the item (and optional alias)
-        var rest = sql.substring(m.end)
+        // comma continuation after the item (and optional alias /
+        // `AS alias` pair)
+        var rest = t.substring(m.end)
         var more = true
         while (more) {
-          // skip one optional alias token before the comma
-          val afterAlias = """^\s+([A-Za-z_]\w*)""".r.findFirstMatchIn(rest)
-            .filter(a => !Set("where", "group", "order", "having", "limit",
-              "join", "inner", "left", "right", "full", "cross", "on",
-              "union", "except", "intersect")(a.group(1).toLowerCase))
-            .map(a => rest.substring(a.end)).getOrElse(rest)
+          val afterAlias = Tok.findFirstMatchIn(rest) match {
+            case Some(a) if a.group(1).equalsIgnoreCase("as") =>
+              // explicit `AS alias`: consume the keyword AND the alias
+              val r1 = rest.substring(a.end)
+              Tok.findFirstMatchIn(r1).map(b => r1.substring(b.end))
+                .getOrElse(r1)
+            case Some(a) if !stop(a.group(1).toLowerCase) =>
+              rest.substring(a.end)
+            case _ => rest
+          }
           Ident.findFirstMatchIn(afterAlias) match {
             case Some(i) => out += i.group(1); rest = afterAlias.substring(i.end)
             case None => more = false
@@ -105,6 +119,21 @@ object CorrelationRepair {
         }
       }
       out.result().distinct
+    }
+
+    /** `sql` with the CONTENT of single-quoted literals blanked to
+      * spaces (quotes kept, indices preserved) — lets regex scanners
+      * run without matching keywords inside values.
+      */
+    private[graft] def maskLiterals(sql: String): String = {
+      val a = sql.toCharArray
+      var i = 0; var inQ = false
+      while (i < a.length) {
+        if (inQ) { if (a(i) == '\'') inQ = false else a(i) = ' ' }
+        else if (a(i) == '\'') inQ = true
+        i += 1
+      }
+      new String(a)
     }
 
     def of(spark: SparkSession, sql: String): StatementSchema =
@@ -170,6 +199,39 @@ object CorrelationRepair {
         val call = j < s.length && s.charAt(j) == '('
         if (!prevDot && !nextDot && !call && !SqlKeywords(tok))
           out += tok
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** Qualifier tokens of `A.B` identifier references outside string
+    * literals, lowercased (the `A` of each qualified reference): the
+    * piece [[bareCols]] deliberately drops, needed where a conjunct's
+    * relationship to a specific TABLE must be decided — a conjunct
+    * like `customer.c_acctbal > 0` carries no bare tokens at all, so a
+    * bare-token-only test reads it as reference-free (the r15 review:
+    * flattenTwoLevel classified exactly that shape as FREE and moved
+    * an inner-local filter out of the derived table). Decimal
+    * constants (`0.5`) don't qualify (the token before the dot must
+    * start a letter/underscore identifier) and dots inside literals
+    * are skipped.
+    */
+  private[graft] def qualifiers(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { // skip string literal
+        i += 1
+        while (i < s.length && s.charAt(i) != '\'') i += 1
+        i += 1
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < s.length &&
+          (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        if (i < s.length && s.charAt(i) == '.' &&
+            (start == 0 || s.charAt(start - 1) != '.'))
+          out += s.substring(start, i).toLowerCase
       } else i += 1
     }
     out.result()
@@ -390,6 +452,23 @@ object CorrelationRepair {
       val head = mid.substring(0, fromAt)
       var fromPart = mid.substring(fromAt + 4, whereAt)
       var wherePart = mid.substring(whereAt + 5)
+      // Split off any trailing top-level clause FIRST: the rewrite
+      // appends join/free conjuncts to the end of `wherePart`, so a
+      // middle block ending in GROUP BY/ORDER/LIMIT would get them
+      // merged into that clause (`group by m1 and (...)`) instead of
+      // the WHERE — wrong results for a boolean group key, lost repair
+      // otherwise (r15 review). Subquery spans inside the trailing
+      // clause (a HAVING) are simply out of flatten scope.
+      val TrailKw =
+        "(?i)\\b(group|having|order|limit|union|except|intersect)\\b".r
+      val trailing = TrailKw.findAllMatchIn(wherePart)
+        .find(m => scanState(wherePart, m.start) == ((0, false)))
+        .map(_.start) match {
+        case Some(t) =>
+          val tail = wherePart.substring(t); wherePart = wherePart.substring(0, t)
+          tail
+        case None => ""
+      }
       if (hasTopOr(wherePart)) return None
       var changed = false
       // innermost scalar subqueries inside the middle WHERE, right-to-left
@@ -417,28 +496,47 @@ object CorrelationRepair {
             case class LocalC(text: String) extends Conj
             case class FreeC(text: String) extends Conj
             case class KeyEq(key: String, ex: String) extends Conj
+            val tblL = tbl.toLowerCase
             val classified: Seq[Option[Conj]] = conjs.map { c =>
+              // Inner-table-QUALIFIED references (customer.c_acctbal
+              // where customer IS the inner table) carry no bare
+              // tokens, so every test below must consult the
+              // qualifiers too — a bare-only test classified such a
+              // conjunct FREE and moved an inner-local filter out of
+              // the derived table (r15 review: silent wrong results
+              // when the middle scans the same table).
+              val qs = qualifiers(c)
               lazy val noInnerRefs = bareCols(c).forall { t =>
                 val o = schema.owners(t)
-                o.nonEmpty && !o.contains(tbl.toLowerCase)
+                o.nonEmpty && !o.contains(tblL)
               }
-              if (!c.contains(".") && ownership(c, tbl).contains(true))
+              if (qs.contains(tblL)) {
+                // references the inner table by name: LOCAL only when
+                // everything else in the conjunct is inner too
+                if (qs.forall(_ == tblL) &&
+                    (bareCols(c).isEmpty || ownership(c, tbl).contains(true)))
+                  Some(LocalC(c))
+                else None // inner refs mixed with other scopes: decline
+              }
+              else if (qs.isEmpty && ownership(c, tbl).contains(true))
                 Some(LocalC(c))
               else if (noInnerRefs) Some(FreeC(c))
               else eqSides(c).flatMap { case (l, r) =>
                 val keyEx =
                   if (l.matches("\\w+") &&
-                    schema.owners(l) == Set(tbl.toLowerCase)) Some((l, r))
+                    schema.owners(l) == Set(tblL)) Some((l, r))
                   else if (r.matches("\\w+") &&
-                    schema.owners(r) == Set(tbl.toLowerCase)) Some((r, l))
+                    schema.owners(r) == Set(tblL)) Some((r, l))
                   else None
-                // the expression side must be free of inner-table and
-                // unresolvable bare identifiers (qualified refs are
-                // middle/outer scope and fine as text)
+                // the expression side must be free of inner-table
+                // references (bare OR qualified) and unresolvable bare
+                // identifiers (other qualified refs are middle/outer
+                // scope and fine as text)
                 keyEx.filter { case (_, ex) =>
+                  qualifiers(ex).forall(_ != tblL) &&
                   bareCols(ex).forall { t =>
                     val o = schema.owners(t)
-                    o.nonEmpty && !o.contains(tbl.toLowerCase)
+                    o.nonEmpty && !o.contains(tblL)
                   }
                 }.map { case (k, ex) => KeyEq(k.toLowerCase, ex) }
               }
@@ -491,7 +589,7 @@ object CorrelationRepair {
           case _ => ()
         }
       }
-      if (changed) Some(s"${head}from $fromPart where $wherePart")
+      if (changed) Some(s"${head}from $fromPart where $wherePart$trailing")
       else None
     }
 

@@ -228,13 +228,9 @@ object JoinQueries {
     QueryDef(name, (s, dir) => {
       graft.catalog.Tables.registerAll(s, dir)
       MicroViewsSql.foreach(s.sql(_))
-      val key = graft.plans.CorrelationRepair.ConfKey
-      val old = s.conf.getOption(key)
-      s.conf.set(key, "true")
-      try graft.SqlRunner.exec(s, sql)
-      finally old match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
+      graft.GraftSession.withConf(s,
+        graft.plans.CorrelationRepair.ConfKey, "true") {
+        graft.SqlRunner.exec(s, sql)
       }
     }, Some(MicroCte + sql), sqlText = Some(sql))
 
@@ -278,13 +274,9 @@ object JoinQueries {
   private def repairedTpchDef(name: String, sql: String): QueryDef =
     QueryDef(name, (s, dir) => {
       graft.catalog.Tables.registerAll(s, dir)
-      val key = graft.plans.CorrelationRepair.ConfKey
-      val old = s.conf.getOption(key)
-      s.conf.set(key, "true")
-      try graft.SqlRunner.exec(s, sql)
-      finally old match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
+      graft.GraftSession.withConf(s,
+        graft.plans.CorrelationRepair.ConfKey, "true") {
+        graft.SqlRunner.exec(s, sql)
       }
     }, Some(sql), sqlText = Some(sql))
 
@@ -340,16 +332,12 @@ object JoinQueries {
     "subq_grouped_scalar_tpch",
     (s, dir) => {
       graft.catalog.Tables.registerAll(s, dir)
-      val key = graft.plans.CorrelationRepair.ConfKey
-      val old = s.conf.getOption(key)
-      s.conf.set(key, "true")
-      try graft.SqlRunner.exec(s,
-        "select c_nationkey, 5+(select n_regionkey from nation " +
-          "where n_nationkey = c_nationkey) from customer group by 1")
-        .toDF("c_nationkey", "r5")
-      finally old match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
+      graft.GraftSession.withConf(s,
+        graft.plans.CorrelationRepair.ConfKey, "true") {
+        graft.SqlRunner.exec(s,
+          "select c_nationkey, 5+(select n_regionkey from nation " +
+            "where n_nationkey = c_nationkey) from customer group by 1")
+          .toDF("c_nationkey", "r5")
       }
     },
     Some("SELECT c_nationkey, 5+(SELECT n_regionkey FROM nation " +
@@ -359,15 +347,11 @@ object JoinQueries {
     (s, dir) => {
       graft.catalog.Tables.registerAll(s, dir)
       MicroViewsSql.foreach(s.sql(_))
-      val key = graft.plans.CorrelationRepair.ConfKey
-      val old = s.conf.getOption(key)
-      s.conf.set(key, "true")
-      try graft.SqlRunner.exec(s,
-        "select a1, 5+(select b2 from b where b1=a1) from a group by 1")
-        .toDF("a1", "b2p5")
-      finally old match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
+      graft.GraftSession.withConf(s,
+        graft.plans.CorrelationRepair.ConfKey, "true") {
+        graft.SqlRunner.exec(s,
+          "select a1, 5+(select b2 from b where b1=a1) from a group by 1")
+          .toDF("a1", "b2p5")
       }
     },
     Some(MicroCte +

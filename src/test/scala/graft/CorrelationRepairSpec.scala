@@ -194,6 +194,89 @@ class CorrelationRepairSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == Seq(0L, 1L, 2L, 3L), s"got ${rows.toSeq}")
   }
 
+  test("r15 review: an inner-table-QUALIFIED local filter stays inside " +
+    "the derived table (it carries no bare tokens, so a bare-only test " +
+    "read it as FREE and moved it out)") {
+    spark.sql("""CREATE OR REPLACE TEMP VIEW nation AS
+      |SELECT id AS n_nationkey, id AS n_regionkey FROM range(4)
+      |""".stripMargin)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW customer AS
+      |SELECT id AS c_custkey, id % 4 AS c_nationkey, id div 4 AS c_flag
+      |FROM range(8)""".stripMargin)
+    // middle and inner BOTH scan customer unaliased; the inner's
+    // `customer.c_flag = 0` must keep filtering the INNER aggregation
+    // (per nation k the flag-0 customer is exactly {k}); moved to the
+    // middle it instead gates middle rows while the derived table
+    // aggregates over BOTH flag groups (count 2 -> spurious scalar
+    // error / wrong max).
+    val sql = "select n_nationkey from nation where n_nationkey >= (" +
+      "select max(c_custkey) from customer " +
+      "where c_custkey <= n_nationkey + 10 and c_custkey = " +
+      "(select c_custkey from customer " +
+      "where customer.c_flag = 0 and c_nationkey = n_regionkey))"
+    val rows = withRepair(SqlRunner.exec(spark, sql))
+      .collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(0L, 1L, 2L, 3L), s"got ${rows.toSeq}")
+  }
+
+  test("r15 review: a middle block ending in GROUP BY keeps the " +
+    "appended join conjuncts in its WHERE, not inside the trailing " +
+    "clause") {
+    // TEXT-level assertion: Spark itself cannot analyze the healed
+    // grouped-correlated middle either way (a correlated scalar
+    // subquery may not GROUP BY non-correlated columns, so the repair
+    // driver surfaces the original error downstream) — but the
+    // flatten's OUTPUT must still be well-formed SQL: the join/free
+    // conjuncts land before the GROUP BY, never appended after it
+    // (`group by bo.b4 div 100 and (...)` made the join predicate part
+    // of the group key expression).
+    import graft.plans.CorrelationRepair
+    val sql = "select a1 from a where a1 = (select max(b1) from b bo " +
+      "where b2 = (select b2 from b where b3 = a3 and b3 > 1) " +
+      "and b2 < 30 group by bo.b4 div 100)"
+    val schema = CorrelationRepair.StatementSchema.of(spark, sql)
+    val flat = CorrelationRepair.flattenTwoLevel(sql, schema)
+    assert(flat != sql, "flatten did not fire on the grouped middle")
+    val gbAt = flat.indexOf("group by bo.b4")
+    assert(gbAt >= 0, s"middle GROUP BY lost: $flat")
+    assert(!flat.substring(gbAt).contains("__q1"),
+      s"appended conjuncts leaked past the GROUP BY: $flat")
+    assert(flat.substring(0, gbAt).contains("__q1_b3 = a3"),
+      s"join conjunct missing from the WHERE: $flat")
+  }
+
+  test("r15 review: a dot inside a string literal does not disqualify " +
+    "an inner-local conjunct") {
+    spark.sql("""CREATE OR REPLACE TEMP VIEW nation AS
+      |SELECT id AS n_nationkey, concat('N', id) AS n_name,
+      |       id AS n_regionkey FROM range(4)""".stripMargin)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW region AS
+      |SELECT id AS r_regionkey, concat('R', id) AS r_name
+      |FROM range(4)""".stripMargin)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW customer AS
+      |SELECT id + 1 AS c_custkey, id AS c_nationkey FROM range(4)
+      |""".stripMargin)
+    val sql = "select n_nationkey from nation where n_nationkey >= (" +
+      "select max(c_nationkey) from customer " +
+      "where c_custkey <= n_nationkey + 1 and c_nationkey = " +
+      "(select r_regionkey from region where r_regionkey = n_regionkey " +
+      "and r_name not like '%.%'))"
+    val rows = withRepair(SqlRunner.exec(spark, sql))
+      .collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(0L, 1L, 2L, 3L), s"got ${rows.toSeq}")
+  }
+
+  test("r15 review: fromCandidates handles AS aliases in comma lists " +
+    "and masks string literals") {
+    import graft.plans.CorrelationRepair.StatementSchema.fromCandidates
+    assert(fromCandidates(
+      "select * from nation as n, region r, customer where n.x = 1")
+      == Seq("nation", "region", "customer"))
+    assert(fromCandidates(
+      "select * from nation where note = 'copied from region, customer'")
+      == Seq("nation"))
+  }
+
   test("r15 canary: the analyzer error classes the dispatch keys on " +
     "are still what Spark emits for the two trigger shapes") {
     // CorrelationRepair.correlationRepairs dispatches on these message
