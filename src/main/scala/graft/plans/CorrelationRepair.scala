@@ -108,6 +108,13 @@ object CorrelationRepair {
               val r1 = rest.substring(a.end)
               Tok.findFirstMatchIn(r1).map(b => r1.substring(b.end))
                 .getOrElse(r1)
+            case Some(a) if a.group(1).equalsIgnoreCase("on") =>
+              // JOIN … ON <cond>: the joined item's condition runs to
+              // the next depth-0 comma, which CONTINUES the comma list
+              // (`from t1 join t2 on t1.k = t2.k, t3` — stopping at
+              // `on` lost t3, r15 review); a clause keyword or an
+              // unbalanced ')' ends the list instead.
+              skipOnCondition(rest.substring(a.end))
             case Some(a) if !stop(a.group(1).toLowerCase) =>
               rest.substring(a.end)
             case _ => rest
@@ -119,6 +126,34 @@ object CorrelationRepair {
         }
       }
       out.result().distinct
+    }
+
+    /** Tail of `r` (pre-masked text) from the depth-0 comma that
+      * continues a FROM comma list past a JOIN's ON condition; ""
+      * when a clause keyword or the enclosing block's ')' ends the
+      * list first (so `order by c1, c2` never reads as table items).
+      */
+    private def skipOnCondition(r: String): String = {
+      val clauseEnd = Set("where", "group", "order", "having", "limit",
+        "union", "except", "intersect", "join", "inner", "left",
+        "right", "full", "cross")
+      var bal = 0; var k = 0
+      while (k < r.length) {
+        val ch = r.charAt(k)
+        if (ch == '(') bal += 1
+        else if (ch == ')') { bal -= 1; if (bal < 0) return "" }
+        else if (bal == 0) {
+          if (ch == ',') return r.substring(k)
+          if (ch.isLetter || ch == '_') {
+            val st = k
+            while (k + 1 < r.length && (r.charAt(k + 1).isLetterOrDigit ||
+              r.charAt(k + 1) == '_')) k += 1
+            if (clauseEnd(r.substring(st, k + 1).toLowerCase)) return ""
+          }
+        }
+        k += 1
+      }
+      ""
     }
 
     /** `sql` with the CONTENT of single-quoted literals blanked to
@@ -237,6 +272,133 @@ object CorrelationRepair {
     out.result()
   }
 
+  // ------------------------------------------------------- structural
+  // scanners shared by the three rewrites. ONE copy each (the r15
+  // whole-round review found the per-function copies had already
+  // diverged: the lift's paren scanner missed the quote-awareness fix,
+  // the hoist re-implemented equality splitting with a first-'='
+  // regex that mangled `<=`). All literal-aware; word boundaries
+  // include `_` (a column named `flag_or` is not the OR keyword —
+  // `isLetterOrDigit` boundaries split identifiers with `_and`/`_or`
+  // segments).
+
+  private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  /** Index of the ')' matching the '(' at `open`, literal-aware; -1. */
+  private[graft] def matchingParen(s: String, open: Int): Int = {
+    var bal = 0; var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { i += 1
+        while (i < s.length && s.charAt(i) != '\'') i += 1 }
+      else if (c == '(') bal += 1
+      else if (c == ')') { bal -= 1; if (bal == 0) return i }
+      i += 1
+    }
+    -1
+  }
+
+  private val SubOpen = """(?i)\(\s*select\b""".r
+
+  /** (start, end-inclusive) spans of `(select …)` at any depth,
+    * literal-aware.
+    */
+  private[graft] def subSpans(s: String): Seq[(Int, Int)] =
+    SubOpen.findAllMatchIn(s)
+      .filter(m => !scanState(s, m.start)._2) // not inside a literal
+      .map(m => (m.start, matchingParen(s, m.start)))
+      .filter(_._2 > 0).toSeq
+
+  /** Depth-0 conjunct split on AND. */
+  private[graft] def topSplitAnd(s: String): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    var bal = 0; var last = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { i += 1
+        while (i < s.length && s.charAt(i) != '\'') i += 1 }
+      else if (c == '(') bal += 1 else if (c == ')') bal -= 1
+      else if (bal == 0 && (c == 'a' || c == 'A') &&
+        s.regionMatches(true, i, "and", 0, 3) &&
+        (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+        (i + 3 >= s.length || !isWordChar(s.charAt(i + 3)))) {
+        parts += s.substring(last, i); last = i + 3; i += 2
+      }
+      i += 1
+    }
+    parts += s.substring(last)
+    parts.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private[graft] def hasTopOr(s: String): Boolean = {
+    var bal = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { i += 1
+        while (i < s.length && s.charAt(i) != '\'') i += 1 }
+      else if (c == '(') bal += 1 else if (c == ')') bal -= 1
+      else if (bal == 0 && (c == 'o' || c == 'O') &&
+        s.regionMatches(true, i, "or", 0, 2) &&
+        (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+        (i + 2 >= s.length || !isWordChar(s.charAt(i + 2))))
+        return true
+      i += 1
+    }
+    false
+  }
+
+  /** First position of word `kw` at paren-depth 0 outside literals;
+    * -1.
+    */
+  private[graft] def topKeyword(s: String, kw: String): Int = {
+    var bal = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { i += 1
+        while (i < s.length && s.charAt(i) != '\'') i += 1 }
+      else if (c == '(') bal += 1 else if (c == ')') bal -= 1
+      else if (bal == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
+        (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+        (i + kw.length >= s.length ||
+          !isWordChar(s.charAt(i + kw.length))))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** A WHERE-tail that is not pure predicate: the inner/middle text
+    * carries a trailing top-level clause the conjunct model cannot
+    * represent (a swallowed `limit 1` otherwise lands verbatim inside
+    * a generated conjunct — r15 review).
+    */
+  private[graft] def hasTrailingClause(s: String): Boolean =
+    Seq("group", "having", "order", "limit", "union", "except",
+      "intersect").exists(topKeyword(s, _) >= 0)
+
+  /** Single depth-0 plain '=' (not <=, >=, <>, !=, ==):
+    * Some(lhs, rhs).
+    */
+  private[graft] def eqSides(c: String): Option[(String, String)] = {
+    var bal = 0; var at = -1; var i = 0
+    while (i < c.length) {
+      val ch = c.charAt(i)
+      if (ch == '(') bal += 1 else if (ch == ')') bal -= 1
+      else if (ch == '\'') { i += 1
+        while (i < c.length && c.charAt(i) != '\'') i += 1 }
+      else if (ch == '=' && bal == 0) {
+        val prev = if (i > 0) c.charAt(i - 1) else ' '
+        val next = if (i + 1 < c.length) c.charAt(i + 1) else ' '
+        if ("<>!=".contains(prev) || next == '=') return None
+        if (at >= 0) return None // two separate equalities in one conjunct
+        at = i
+      }
+      i += 1
+    }
+    if (at < 0) None else Some((c.substring(0, at).trim,
+      c.substring(at + 1).trim))
+  }
+
   /** The correlation repairs keyed by analyzer error: conjunctive
     * contexts flatten; the disjunctive shape the flatten must refuse
     * hoists instead (sound under OR); grouped scalar subqueries lift.
@@ -331,100 +493,9 @@ object CorrelationRepair {
     * under OR — and fall through to [[hoistTwoLevelScalar]].
     */
   def flattenTwoLevel(sql: String, schema: StatementSchema): String = {
-    def matching(s: String, open: Int): Int = {
-      var bal = 0; var i = open
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '\'') { i += 1
-          while (i < s.length && s.charAt(i) != '\'') i += 1 }
-        else if (c == '(') bal += 1
-        else if (c == ')') { bal -= 1; if (bal == 0) return i }
-        i += 1
-      }
-      -1
-    }
-    val SubOpen = """(?i)\(\s*select\b""".r
-    def subSpans(s: String): Seq[(Int, Int)] =
-      SubOpen.findAllMatchIn(s)
-        .filter(m => !scanState(s, m.start)._2) // not inside a literal
-        .map(m => (m.start, matching(s, m.start)))
-        .filter(_._2 > 0).toSeq
-    def topSplitAnd(s: String): Seq[String] = {
-      val parts = Seq.newBuilder[String]
-      var bal = 0; var last = 0; var i = 0
-      val And = """(?i)\band\b""".r
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '\'') { i += 1
-          while (i < s.length && s.charAt(i) != '\'') i += 1 }
-        else if (c == '(') bal += 1 else if (c == ')') bal -= 1
-        else if (bal == 0 && (c == 'a' || c == 'A') &&
-          And.findPrefixOf(s.substring(i)).isDefined &&
-          (i == 0 || !s.charAt(i - 1).isLetterOrDigit)) {
-          parts += s.substring(last, i); last = i + 3; i += 2
-        }
-        i += 1
-      }
-      parts += s.substring(last)
-      parts.result().map(_.trim).filter(_.nonEmpty)
-    }
-    def hasTopOr(s: String): Boolean = {
-      var bal = 0; var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '\'') { i += 1
-          while (i < s.length && s.charAt(i) != '\'') i += 1 }
-        else if (c == '(') bal += 1 else if (c == ')') bal -= 1
-        else if (bal == 0 && (c == 'o' || c == 'O') &&
-          s.regionMatches(true, i, "or", 0, 2) &&
-          (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
-          (i + 2 >= s.length || !s.charAt(i + 2).isLetterOrDigit))
-          return true
-        i += 1
-      }
-      false
-    }
-    // keyword position at paren-depth 0 outside literals, or -1
-    def topKeyword(s: String, kw: String): Int = {
-      var bal = 0; var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '\'') { i += 1
-          while (i < s.length && s.charAt(i) != '\'') i += 1 }
-        else if (c == '(') bal += 1 else if (c == ')') bal -= 1
-        else if (bal == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
-          (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
-          (i + kw.length >= s.length ||
-            !s.charAt(i + kw.length).isLetterOrDigit))
-          return i
-        i += 1
-      }
-      -1
-    }
     val InnerShape =
       """(?is)^\(\s*select\s+([^,()]+?)\s+from\s+(\w+)\s+where\s+(.+)\)$""".r
     var fresh = 0
-
-    // single depth-0 plain '=' (not <=, >=, <>, !=, ==): Some(lhs, rhs)
-    def eqSides(c: String): Option[(String, String)] = {
-      var bal = 0; var at = -1; var i = 0
-      while (i < c.length) {
-        val ch = c.charAt(i)
-        if (ch == '(') bal += 1 else if (ch == ')') bal -= 1
-        else if (ch == '\'') { i += 1
-          while (i < c.length && c.charAt(i) != '\'') i += 1 }
-        else if (ch == '=' && bal == 0) {
-          val prev = if (i > 0) c.charAt(i - 1) else ' '
-          val next = if (i + 1 < c.length) c.charAt(i + 1) else ' '
-          if ("<>!=".contains(prev) || next == '=') return None
-          if (at >= 0) return None // two separate equalities in one conjunct
-          at = i
-        }
-        i += 1
-      }
-      if (at < 0) None else Some((c.substring(0, at).trim,
-        c.substring(at + 1).trim))
-    }
 
     /** Ownership of a fragment's bare identifiers relative to the inner
       * table: Some(true) all inner-owned, Some(false) none inner-owned,
@@ -479,6 +550,14 @@ object CorrelationRepair {
         wherePart.substring(s, e + 1) match {
           case InnerShape(selExpr, tbl, preds)
               if !hasTopOr(preds) && schema.has(tbl) &&
+                // a trailing LIMIT/GROUP BY/ORDER in the inner would be
+                // swallowed into the last conjunct and land verbatim in
+                // the generated text (r15 review); DISTINCT would make
+                // count(*) count pre-distinct rows and raise a spurious
+                // scalar error where the original deduplicates — both
+                // decline (original analyzer error stands)
+                !hasTrailingClause(preds) &&
+                !selExpr.trim.toLowerCase.startsWith("distinct") &&
                 ownership(selExpr, tbl).contains(true) =>
             val conjs = topSplitAnd(preds)
             // Three conjunct classes (anything else declines the span):
@@ -630,7 +709,14 @@ object CorrelationRepair {
     * locals group by key) on key = f(outer)`, with scalar semantics
     * preserved exactly: no match → NULL (left join), >1 match →
     * runtime error (CASE + raise_error, the same error the subquery
-    * form raises).
+    * form raises). One disclosed boundary: the error is EAGER per
+    * outer row — a duplicate-key inner group raises even when the
+    * middle block is empty and a lazy nested-loop evaluator would
+    * never have evaluated the inner at all. This matches how Spark
+    * itself treats subquery evaluation order (subqueries run before
+    * the consuming operator decides row-by-row relevance); exact
+    * laziness would require runtime machinery out of scope for a text
+    * rewrite.
     *
     * Guards (all catalog-resolved via `schema` since r15): single
     * resolved-table outer FROM, no outer GROUP BY/ORDER/LIMIT,
@@ -643,28 +729,12 @@ object CorrelationRepair {
     */
   def hoistTwoLevelScalar(sql: String, schema: StatementSchema): String = {
     val s = sql.trim.stripSuffix(";")
-    def matching(t: String, open: Int): Int = {
-      var bal = 0; var i = open
-      while (i < t.length) {
-        val c = t.charAt(i)
-        if (c == '\'') { i += 1
-          while (i < t.length && t.charAt(i) != '\'') i += 1 }
-        else if (c == '(') bal += 1
-        else if (c == ')') { bal -= 1; if (bal == 0) return i }
-        i += 1
-      }
-      -1
-    }
-    def depth0(t: String, kw: String): Int =
-      ("(?i)\\b" + kw + "\\b").r.findAllMatchIn(t)
-        .find(m => scanState(t, m.start) == ((0, false)))
-        .map(_.start).getOrElse(-1)
     if (!s.toLowerCase.startsWith("select ")) return sql
-    val fromAt = depth0(s, "from")
-    val whereAt = depth0(s, "where")
+    val fromAt = topKeyword(s, "from")
+    val whereAt = topKeyword(s, "where")
     if (fromAt < 0 || whereAt < fromAt) return sql
-    if (Seq("group\\s+by", "order\\s+by", "limit")
-          .exists(depth0(s, _) >= 0)) return sql
+    if (Seq("group", "order", "limit")
+          .exists(topKeyword(s, _) >= 0)) return sql
     val selList = s.substring("select ".length, fromAt).trim
     val fromT = s.substring(fromAt + "from".length, whereAt).trim
     if (!fromT.matches("\\w+(\\s+\\w+)?")) return sql
@@ -673,9 +743,7 @@ object CorrelationRepair {
     if (!schema.has(tbl)) return sql
     val outerT = tbl.toLowerCase
     val w = s.substring(whereAt + "where".length)
-    val spans = """(?i)\(\s*select\b""".r.findAllMatchIn(w)
-      .filter(m => !scanState(w, m.start)._2) // not inside a literal
-      .map(m => (m.start, matching(w, m.start))).filter(_._2 > 0).toSeq
+    val spans = subSpans(w)
     // innermost span strictly inside another span
     val candidate = spans.find { case (a, b) =>
       spans.exists { case (oa, ob) => oa < a && b < ob } &&
@@ -717,35 +785,37 @@ object CorrelationRepair {
           case _ => return sql
         }
         if (e.contains("(") || e.contains(",")) return sql // plain expr only
+        // DISTINCT would make count(*) count pre-distinct rows (a
+        // spurious >1-row error where the original deduplicates); a
+        // disjunctive inner WHERE cannot be split into conjuncts (the
+        // AND-split of `k = outer and x=1 or y=2` silently
+        // re-associates the OR); a trailing LIMIT/GROUP/ORDER would be
+        // swallowed into the last conjunct verbatim. All decline —
+        // the original analyzer error stands (r15 review).
+        if (e.toLowerCase.startsWith("distinct")) return sql
+        if (hasTopOr(conjText) || hasTrailingClause(conjText)) return sql
         if (!bareCols(e).forall(t =>
           schema.owners(t) == Set(t2.toLowerCase))) return sql
-        val conjuncts = {
-          val out = Seq.newBuilder[String]
-          var last = 0
-          val and = "(?i)\\band\\b".r
-          val hits = and.findAllMatchIn(conjText).toSeq
-          hits.foreach { m =>
-            if (scanState(conjText, m.start) == ((0, false))) {
-              out += conjText.substring(last, m.start); last = m.end
-            }
-          }
-          out += conjText.substring(last)
-          out.result().map(_.trim).filter(_.nonEmpty)
-        }
+        val conjuncts = topSplitAnd(conjText)
         def ownersOf(x: String): Set[String] =
           bareCols(x).flatMap(schema.owners).toSet
         val (corrConj, localConj) =
           conjuncts.partition(c => (ownersOf(c) -- innerTables).nonEmpty)
-        val Eq = """(?s)^(.+?)=(.+)$""".r
+        // eqSides (not a first-'=' regex): compound operators <=, >=,
+        // !=, <> must not split at their '=' (r15 review — the regex
+        // produced `on __s.__k = (a3 <)`-class garbage)
         val (key, corrExpr) = corrConj match {
-          case Seq(Eq(l, r))
-              if ownersOf(l) == Set(t2.toLowerCase) &&
-                l.trim.matches("\\w+") && ownersOf(r) == corr =>
-            (l.trim, r.trim)
-          case Seq(Eq(l, r))
-              if ownersOf(r) == Set(t2.toLowerCase) &&
-                r.trim.matches("\\w+") && ownersOf(l) == corr =>
-            (r.trim, l.trim)
+          case Seq(c0) => eqSides(c0) match {
+            case Some((l, r))
+                if ownersOf(l) == Set(t2.toLowerCase) &&
+                  l.matches("\\w+") && ownersOf(r) == corr =>
+              (l, r)
+            case Some((l, r))
+                if ownersOf(r) == Set(t2.toLowerCase) &&
+                  r.matches("\\w+") && ownersOf(l) == corr =>
+              (r, l)
+            case _ => return sql
+          }
           case _ => return sql
         }
         val localWhere =
@@ -780,21 +850,17 @@ object CorrelationRepair {
     */
   def liftGroupedScalarSubquery(sql: String): String = {
     val s = sql.trim.stripSuffix(";")
-    def depth0Find(text: String, kw: String): Int =
-      ("(?i)\\b" + kw + "\\b").r.findAllMatchIn(text)
-        .find(m => scanState(text, m.start) == ((0, false)))
-        .map(_.start).getOrElse(-1)
     if (!s.toLowerCase.startsWith("select ")) return sql
-    val fromAt = depth0Find(s, "from")
+    val fromAt = topKeyword(s, "from")
     if (fromAt < 0) return sql
     val selList = s.substring("select ".length, fromAt).trim
     val rest = s.substring(fromAt + "from".length)
-    val gbAt = depth0Find(rest, "group\\s+by")
+    val gbAt = topKeyword(rest, "group")
     if (gbAt < 0) return sql
     val fromWhere = rest.substring(0, gbAt).trim
     val keysTail = rest.substring(gbAt).replaceFirst("(?i)group\\s+by", "")
-    if (Seq("having", "order\\s+by", "limit")
-          .exists(depth0Find(keysTail, _) >= 0)) return sql
+    if (Seq("having", "order", "limit")
+          .exists(topKeyword(keysTail, _) >= 0)) return sql
     def topSplit(text: String): Seq[String] = {
       val out = Seq.newBuilder[String]
       var bal = 0; var last = 0; var inQ = false
@@ -818,21 +884,20 @@ object CorrelationRepair {
     // keys must be plain columns; the select list outside subquery
     // spans may reference only them and no aggregate function
     if (!keys.forall(_.matches("\\w+"))) return sql
+    // strip subquery spans via the shared literal-aware scanner (the
+    // per-function indexOf/paren loop here was the one structural
+    // scanner in the file that matched `(select` and counted parens
+    // INSIDE string literals — r15 review)
     val noSubs = {
       var cur = selList
-      var open = cur.toLowerCase.indexOf("(select")
-      while (open >= 0) {
-        var bal = 0; var i = open; var close = -1
-        while (i < cur.length && close < 0) {
-          val c = cur.charAt(i)
-          if (c == '(') bal += 1
-          else if (c == ')') { bal -= 1; if (bal == 0) close = i }
-          i += 1
-        }
-        if (close < 0) return sql
+      var span = subSpans(cur).headOption
+      while (span.isDefined) {
+        val (open, close) = span.get
         cur = cur.substring(0, open) + cur.substring(close + 1)
-        open = cur.toLowerCase.indexOf("(select")
+        span = subSpans(cur).headOption
       }
+      if (SubOpen.findFirstMatchIn(cur)
+            .exists(m => !scanState(cur, m.start)._2)) return sql // unclosed
       cur
     }
     val keyCols = keys.map(_.toLowerCase).toSet

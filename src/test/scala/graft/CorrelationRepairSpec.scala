@@ -277,6 +277,63 @@ class CorrelationRepairSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Seq("nation"))
   }
 
+  test("r15 review: a disjunctive INNER where declines the hoist — " +
+    "the AND-split of `k = outer and x or y` would re-associate the " +
+    "OR and silently change which rows the scalar sees") {
+    // flatten already refuses (hasTopOr on the inner preds); the hoist
+    // must too, so the statement keeps its original analyzer error.
+    val sql = "select a1 from a where a1 = (select b1 from b bo " +
+      "where b2 = (select b2 from b where b3 = a3 and b3 > 1 or b4 = 99)" +
+      " or bo.b4 = 77)"
+    val e = withRepair(intercept[Exception](SqlRunner.exec(spark, sql)))
+    assert(Option(e.getMessage).exists(_.contains("UNRESOLVED_COLUMN")),
+      s"expected the original analyzer error, got: ${e.getMessage}")
+  }
+
+  test("r15 review: a DISTINCT inner select declines both rewrites — " +
+    "count(*) counts pre-distinct rows, so the >1-row guard would " +
+    "raise where the original deduplicates to one value") {
+    val flat = "select a1 from a where a1 = (select b1 from b bo " +
+      "where b2 = (select distinct b2 from b where b3 = a3 and b3 > 1)" +
+      " and b2 < 30)"
+    val e1 = withRepair(intercept[Exception](SqlRunner.exec(spark, flat)))
+    assert(Option(e1.getMessage).exists(_.contains("UNRESOLVED_COLUMN")))
+    val hoist = "select a1 from a where a1 = (select b1 from b bo " +
+      "where b2 = (select distinct b2 from b where b3 = a3 and b3 > 1)" +
+      " or bo.b4 = 77)"
+    val e2 = withRepair(intercept[Exception](SqlRunner.exec(spark, hoist)))
+    assert(Option(e2.getMessage).exists(_.contains("UNRESOLVED_COLUMN")))
+  }
+
+  test("r15 review: an inner trailing LIMIT declines cleanly — " +
+    "swallowed into the last conjunct it landed verbatim inside the " +
+    "generated guard text") {
+    val sql = "select a1 from a where a1 = (select b1 from b bo " +
+      "where b2 = (select b2 from b where b3 = a3 limit 1) and b2 < 30)"
+    val e = withRepair(intercept[Exception](SqlRunner.exec(spark, sql)))
+    assert(Option(e.getMessage).exists(_.contains("UNRESOLVED_COLUMN")))
+  }
+
+  test("r15 review: word boundaries include underscore — a column " +
+    "named flag_or is not the OR keyword, col_and is not AND") {
+    import graft.plans.CorrelationRepair
+    assert(!CorrelationRepair.hasTopOr("m1 = 2 and flag_or = 1"))
+    assert(CorrelationRepair.topSplitAnd("col_and = 5 and x = 2")
+      == Seq("col_and = 5", "x = 2"))
+    assert(CorrelationRepair.hasTopOr("m1 = 2 or m2 = 1"))
+  }
+
+  test("r15 review: fromCandidates continues a comma list past a " +
+    "JOIN's ON condition, and stops at clause keywords") {
+    import graft.plans.CorrelationRepair.StatementSchema.fromCandidates
+    assert(fromCandidates(
+      "select * from t1 join t2 on t1.k = t2.k, t3 where x = 1")
+      == Seq("t1", "t2", "t3"))
+    assert(fromCandidates(
+      "select * from t1 join t2 on t1.k = t2.k where p order by c1, c2")
+      == Seq("t1", "t2"))
+  }
+
   test("r15 canary: the analyzer error classes the dispatch keys on " +
     "are still what Spark emits for the two trigger shapes") {
     // CorrelationRepair.correlationRepairs dispatches on these message
