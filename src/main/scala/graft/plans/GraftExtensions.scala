@@ -22,6 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Replicated-table distribution parity (see ReplicatedTableHints).
     ext.injectOptimizerRule(_ => new ReplicatedTableHints)
 
+    // Scale-0 double ROUND -> primitive RoundQ (see FastRound): removes
+    // the per-row BigDecimal from every qsum/dsum aggregate and from the
+    // embedding quantizer, bit-identically.
+    ext.injectOptimizerRule(_ => new FastRound)
+
     // Post-reorder optimizer rules (ContainmentJoinReorder,
     // ColumnGroupCertifiedBroadcast) must run AFTER CostBasedJoinReorder,
     // and the only batch there is `User Provided Optimizers` fed from
