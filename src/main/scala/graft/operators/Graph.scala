@@ -60,7 +60,7 @@ object Graph {
     * from [[coOccurrenceEdges]]. Returns a 1-row (triangles: long) frame.
     */
   def triangleCount(edges: DataFrame): DataFrame =
-    edgeTriangles(edges.localCheckpoint())
+    edgeTriangles(edges.localCheckpoint(eager = false))
       .select(size(col("tri_nbrs")).as("n"))
       .agg(coalesce(sum(col("n").cast("long")), lit(0L)).as("triangles"))
 
@@ -73,7 +73,11 @@ object Graph {
     // Callers pass a CHECKPOINTED edge list (localCheckpoint at each
     // public entry point): the edge list feeds the degree pass AND the
     // orientation join, and the oriented list feeds the adjacency build
-    // AND the probe side. Earlier rounds leaned on ReuseExchange to
+    // AND the probe side. LAZY since optimization r15: eager=true paid a
+    // dedicated materialization job (plus one extra pass over the rows)
+    // per checkpoint; eager=false persists the same blocks during the
+    // first consuming stage — measured 2.53 -> 1.89 s min-of-7 at sf0.1
+    // for graph_triangles, plan and results identical. Earlier rounds leaned on ReuseExchange to
     // dedup that physical work; the r12 re-measure (sf0.1, 1.2M-edge
     // co-occurrence graph) found the checkpointed form at wall-clock
     // PARITY while collapsing the executed plan from 92 exchanges /
@@ -106,7 +110,7 @@ object Graph {
         .otherwise(col("oa")("node")).as("v"))
       // consumed twice (adjacency build + probe stream); same
       // guaranteed-once rationale as the edge checkpoint above
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // Adjacency ENCODING (r14): the wedge exchange ships every probing
     // edge a copy of its endpoint's out-adjacency — Σ out-deg² values,
     // the family's inherent shuffle volume and the 100× single-box wall
@@ -151,7 +155,7 @@ object Graph {
     * Returns (node, n_tri > 0).
     */
   def perNodeTriangles(edges: DataFrame): DataFrame =
-    perNodeTrianglesOn(edges.localCheckpoint())
+    perNodeTrianglesOn(edges.localCheckpoint(eager = false))
 
   /** [[perNodeTriangles]] over an already-checkpointed edge list —
     * lets [[clusteringCoeffTopK]] share ONE checkpoint across the
@@ -182,7 +186,7 @@ object Graph {
   def clusteringCoeffTopK(edges: DataFrame, k: Int): DataFrame = {
     // one checkpoint shared by the degree pass and the whole triangle
     // pipeline — the co-occurrence edge list is computed exactly once
-    val e = edges.localCheckpoint()
+    val e = edges.localCheckpoint(eager = false)
     val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     deg.filter(col("deg") > 1)

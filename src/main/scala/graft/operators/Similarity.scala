@@ -210,8 +210,13 @@ object Similarity {
       .agg(sort_array(collect_list(struct(col("cid"), col("cw")))).as("cws"))
       .agg(sort_array(collect_list(struct(col("j"), col("cws")))).as("cb"))
 
+  // cache() (optimization r15): every caller feeds the one-row codebook
+  // to TWO consumers (corpus encode + per-query LUT) — uncached, the
+  // whole seed-window/nest chain executed twice per query. m×ks×subDim
+  // numbers: the same within-query model hand-off as ivfKmeansTopK's
+  // centArr (Bench clears the cache between passes).
   private def pqCodebook(qc: DataFrame, m: Int, ks: Int, subDim: Int): DataFrame =
-    pqNest(pqSeedsFlat(qc, m, ks, subDim))
+    pqNest(pqSeedsFlat(qc, m, ks, subDim)).cache()
 
   /** Product-quantization top-k (asymmetric distance computation): encode
     * the corpus once as `m` one-byte-ish codes (argmin L2 to the subspace
@@ -396,10 +401,15 @@ object Similarity {
     // non-residual variant (0.17 vs 0.27 on the sf0.001 gate data).
     val asg1 = coarseAssign(qc, seedArr)
     val sums = (1 to dim).map(d => sum(element_at(col("qe"), d)).as(s"s$d"))
+    // cache() (optimization r15): centFlat (numCentroids rows) feeds BOTH
+    // centArr and the residual's broadcast join — uncached, the entire
+    // Lloyd chain (corpus assignment + 64-column aggregate) executed
+    // twice (the r15 before-plan shows the duplicated subtree).
     val centFlat = asg1.groupBy("cid")
       .agg(count(lit(1)).as("n"), sums: _*)
       .select(col("cid"), array((1 to dim).map(d =>
         floor(col(s"s$d") / col("n")).cast("double")): _*).as("ce"))
+      .cache()
     val centArr = centFlat
       .agg(sort_array(collect_list(struct(col("cid"), col("ce")))).as("cents"))
       .cache()
@@ -463,7 +473,10 @@ object Similarity {
     // fattest column in the lake.
     val qc = corpus.select(col("vec_id"), vec.quantize(col("embedding")).as("qe"))
       .localCheckpoint(eager = false)
-    val flat0 = pqSeedsFlat(qc, m, ks, subDim)
+    // cache(): flat0 (≤ m×ks rows) feeds the seed codebook AND the
+    // empty-cluster fallback join — uncached, the seed window chain ran
+    // twice (two-consumer rationale of pqCodebook).
+    val flat0 = pqSeedsFlat(qc, m, ks, subDim).cache()
     val cb0 = pqNest(flat0)
     // Assign every (vector, subspace) to its nearest seed codeword.
     val asg = qc.crossJoin(broadcast(cb0))
@@ -489,7 +502,9 @@ object Similarity {
       .join(cent.as("c"), Seq("j", "cid"), "left")
       .select(col("j"), col("cid"),
         coalesce(col("c.cw"), col("s.cw")).as("cw"))
-    pqAdc(qc, queries, pqNest(flat1), k, m, subDim)
+    // cache(): the trained one-row codebook feeds pqAdc's encode AND LUT
+    // (same two-consumer rationale as pqCodebook).
+    pqAdc(qc, queries, pqNest(flat1).cache(), k, m, subDim)
   }
 
   /** PQ shortlist + exact re-rank — the production ANN serving shape:
@@ -693,6 +708,7 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sums: _*)
       .select(col("cid"), array((1 to dim).map(d =>
         floor(col(s"s$d") / col("n")).cast("double")): _*).as("ce"))
+      .cache()
     val centArr = centFlat
       .agg(sort_array(collect_list(struct(col("cid"), col("ce")))).as("cents"))
       .cache()
