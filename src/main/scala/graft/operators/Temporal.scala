@@ -160,9 +160,16 @@ object Temporal {
     */
   def resampleFfill(events: DataFrame, key: String, time: String,
                     value: String, intervalSql: String): DataFrame = {
+    // Lazy localCheckpoint (optimization r15): the bucket aggregate feeds
+    // BOTH the per-key span (grid) and the fill join — uncached, the
+    // whole scan+groupBy chain executed twice (same two-consumer
+    // materialization rationale as the LSH helpers; the checkpoint
+    // payload is the already-reduced bucket frame, far smaller than the
+    // event stream at any scale).
     val bucketed = events
       .groupBy(col(key), date_trunc(intervalSql, col(time)).as("h"))
       .agg(max(col(value)).as("v_obs"))
+      .localCheckpoint(eager = false)
     val grid = bucketed
       .groupBy(col(key)).agg(min("h").as("lo"), max("h").as("hi"))
       .select(col(key), explode(expr(
