@@ -160,16 +160,15 @@ object Temporal {
     */
   def resampleFfill(events: DataFrame, key: String, time: String,
                     value: String, intervalSql: String): DataFrame = {
-    // Lazy localCheckpoint (optimization r15): the bucket aggregate feeds
-    // BOTH the per-key span (grid) and the fill join — uncached, the
-    // whole scan+groupBy chain executed twice (same two-consumer
-    // materialization rationale as the LSH helpers; the checkpoint
-    // payload is the already-reduced bucket frame, far smaller than the
-    // event stream at any scale).
+    // Two consumers (grid span + fill join) read this aggregate; the r15
+    // optimization pass A/B'd a lazy localCheckpoint here and measured it
+    // NEUTRAL-to-negative at both sf0.1 and 10x (min-of-4 at 10x: 4.98 s
+    // recompute vs 5.42 s checkpointed) — the re-aggregation is cheap and
+    // parallel while the checkpoint pays serialize+store+read of a frame
+    // that is not much smaller than its input. Recompute deliberately.
     val bucketed = events
       .groupBy(col(key), date_trunc(intervalSql, col(time)).as("h"))
       .agg(max(col(value)).as("v_obs"))
-      .localCheckpoint(eager = false)
     val grid = bucketed
       .groupBy(col(key)).agg(min("h").as("lo"), max("h").as("hi"))
       .select(col(key), explode(expr(
