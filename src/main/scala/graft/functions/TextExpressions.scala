@@ -1,0 +1,263 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.GraftBridge.{column, expression}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native fused text kernels for the dedup/retrieval hot loops.
+  *
+  * Each replaces a composable higher-order-function form (`transform` /
+  * `filter` / `aggregate` lambdas) that Spark executes INTERPRETED
+  * (HigherOrderFunction is CodegenFallback): per-element virtual calls,
+  * boxed lambda variables, and an intermediate array per step. The
+  * kernels below compute bit-identical results in one compiled pass —
+  * same byte-level string semantics (UTF8String concat / md5 of UTF-8
+  * bytes), same first-occurrence `array_distinct` order, same element
+  * order — so every DuckDB oracle is unchanged. Same discipline as
+  * [[MinHashSignature]] / [[SimHashFingerprint]] (see those scaladocs
+  * for the reference analogy).
+  */
+object TextKernels {
+
+  /** Distinct `n`-word shingles of `ws`, space-joined, first-occurrence
+    * order — bit-identical to
+    * `array_distinct(transform(sequence(0, size(ws)-n),
+    *    i -> concat(ws[i], ' ', ..., ws[i+n-1])))`
+    * for arrays with at least `n` non-null elements; shorter arrays
+    * yield an empty result (callers filter `size(ws) >= n` first, which
+    * also guards the composable form's descending-`sequence` hazard).
+    */
+  def shingles(arr: ArrayData, n: Int): ArrayData = {
+    val sz = arr.numElements()
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i <= sz - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      out.add(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** md5 hex of each `n`-word gram of `ws` (space-joined), positionally —
+    * bit-identical to
+    * `transform(sequence(1, size(ws)-n+1), i -> md5(concat_ws(' ', slice(ws, i, n))))`
+    * for arrays with >= n elements, and to that form's `CASE size(ws) >= n`
+    * empty-array guard otherwise. `distinct = true` applies the
+    * first-occurrence `array_distinct` on top (the [[Dedup.wordGrams]]
+    * shape).
+    */
+  def gramMd5s(arr: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val sz = arr.numElements()
+    val sep = UTF8String.fromString(" ")
+    if (sz < n) return new GenericArrayData(new Array[Any](0))
+    if (distinct) {
+      val out = new java.util.LinkedHashSet[UTF8String]()
+      var i = 0
+      while (i <= sz - n) {
+        out.add(md5Gram(arr, i, n, sep))
+        i += 1
+      }
+      new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+    } else {
+      val out = new Array[Any](sz - n + 1)
+      var i = 0
+      while (i <= sz - n) {
+        out(i) = md5Gram(arr, i, n, sep)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  private def md5Gram(arr: ArrayData, i: Int, n: Int,
+                      sep: UTF8String): UTF8String = {
+    val parts = new Array[UTF8String](n)
+    var j = 0
+    while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+    UTF8String.fromString(org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(UTF8String.concatWs(sep, parts: _*).getBytes))
+  }
+
+  /** Count of elements of `ws` equal to any of `terms` — bit-identical to
+    * `size(filter(ws, w -> w IN (terms...)))` over non-null elements
+    * (null elements match nothing in both forms).
+    */
+  def countIn(arr: ArrayData, terms: Array[UTF8String]): Int = {
+    val sz = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < sz) {
+      if (!arr.isNullAt(i)) {
+        val w = arr.getUTF8String(i)
+        var j = 0
+        var hit = false
+        while (!hit && j < terms.length) {
+          if (terms(j).equals(w)) hit = true
+          j += 1
+        }
+        if (hit) c += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** Per-term occurrence counts: element k is bit-identical to
+    * `size(filter(ws, w -> w = terms(k)))` — the BM25 tf vector in ONE
+    * pass over `ws` instead of one interpreted filter per term.
+    */
+  def termCounts(arr: ArrayData, terms: Array[UTF8String]): ArrayData = {
+    val counts = new Array[Int](terms.length)
+    val sz = arr.numElements()
+    var i = 0
+    while (i < sz) {
+      if (!arr.isNullAt(i)) {
+        val w = arr.getUTF8String(i)
+        var j = 0
+        while (j < terms.length) {
+          if (terms(j).equals(w)) counts(j) += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts.map(Int.box).asInstanceOf[Array[Any]])
+  }
+}
+
+/** See [[TextKernels.shingles]]. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"word_shingles needs n >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.shingles(input.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  def apply(col: Column, n: Int): Column = column(WordShingles(expression(col), n))
+}
+
+/** See [[TextKernels.gramMd5s]]. */
+case class GramMd5s(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, s"gram_md5s needs n >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"gram_md5s expects array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "gram_md5s"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.gramMd5s(input.asInstanceOf[ArrayData], n, distinct)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.gramMd5s($c, $n, $distinct)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramMd5s =
+    copy(child = newChild)
+}
+
+object GramMd5s {
+  def apply(col: Column, n: Int, distinct: Boolean): Column =
+    column(GramMd5s(expression(col), n, distinct))
+}
+
+/** See [[TextKernels.countIn]]. */
+case class CountIn(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+  require(terms.nonEmpty, "count_in needs at least one term")
+
+  @transient private lazy val utf8Terms: Array[UTF8String] =
+    terms.map(UTF8String.fromString).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"count_in expects array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "count_in"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.countIn(input.asInstanceOf[ArrayData], utf8Terms)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("countInTerms", utf8Terms,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.countIn($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountIn =
+    copy(child = newChild)
+}
+
+object CountIn {
+  def apply(col: Column, terms: Seq[String]): Column =
+    column(CountIn(expression(col), terms))
+}
+
+/** See [[TextKernels.termCounts]]. */
+case class TermCounts(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+  require(terms.nonEmpty, "term_counts needs at least one term")
+
+  @transient private lazy val utf8Terms: Array[UTF8String] =
+    terms.map(UTF8String.fromString).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"term_counts expects array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "term_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.termCounts(input.asInstanceOf[ArrayData], utf8Terms)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("termCountsTerms", utf8Terms,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.termCounts($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
+}
+
+object TermCounts {
+  def apply(col: Column, terms: Seq[String]): Column =
+    column(TermCounts(expression(col), terms))
+}

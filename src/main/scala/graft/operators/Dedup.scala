@@ -40,13 +40,18 @@ object Dedup {
 
   /** Word 3-gram shingle sets (order-sensitive, unlike raw word sets —
     * the testdata vocabulary is small, so word-set similarity saturates).
+    * Native fused WordShingles expression (optimization r16): the
+    * composable `array_distinct(transform(sequence(...), i -> concat(...)))`
+    * runs as interpreted higher-order lambdas per document — the dedup
+    * family's per-row hot loop; the kernel is bit-identical (same
+    * concat bytes, same first-occurrence distinct order, pinned in
+    * NativeTextParitySpec).
     */
   private def shingled(docs: DataFrame): DataFrame =
     Par.spread(docs).select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
-      .selectExpr("doc_id",
-        """array_distinct(transform(sequence(0, size(ws) - 3),
-          |  i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))) AS s""".stripMargin)
+      .select(col("doc_id"),
+        graft.functions.WordShingles(col("ws"), 3).as("s"))
 
   /** Drop rows of band buckets larger than `maxBucket` (count via one
     * window pass on the same (bidx, bval) key the candidate join shuffles
@@ -425,14 +430,6 @@ object Dedup {
               least(col("doc_a"), col("doc_b")).as("lo"))
       .filter(col("hi") =!= col("lo"))
       .distinct(), reliable)
-    // Exact old-vs-new comparison: count rows appearing in exactly one
-    // of the two (distinct) edge sets. One union + one aggregate job per
-    // round — same cost as a scalar signature, but collision-proof.
-    def changedEdges(a: DataFrame, b: DataFrame): Long =
-      a.select("hi", "lo").withColumn("__s", lit(1))
-        .unionByName(b.select("hi", "lo").withColumn("__s", lit(2)))
-        .groupBy("hi", "lo").agg(countDistinct("__s").as("__ns"))
-        .filter(col("__ns") === 1).count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -456,9 +453,29 @@ object Dedup {
         .filter(col("n") =!= col("m"))
         .select(col("n").as("hi"), col("m").as("lo"))
         .distinct()
-      val smallM = materialize(small, reliable)
-      converged = changedEdges(smallM, edges) == 0L
-      edges = smallM
+      // Convergence check FUSED into the round's materialization
+      // (optimization r16, guide §2.4 — fewer exchanges/jobs per
+      // iteration): both edge sets are distinct, so old == new iff the
+      // full outer join on (hi, lo) leaves no one-sided row. `small`
+      // ends in distinct(), i.e. it is ALREADY hash-partitioned on the
+      // join key, so the compare join rides the materialize job for one
+      // exchange of the (checkpointed) previous edges — where the
+      // previous separate union+groupBy+count job re-read BOTH edge
+      // sets and paid its own full-width exchange. The verdict
+      // aggregate then reads the checkpointed blocks with map-side
+      // partials only (no exchange), preserving the collision-proof
+      // exact-comparison contract.
+      val cmpM = materialize(small.withColumn("__new", lit(1))
+        .join(edges.select("hi", "lo").withColumn("__old", lit(1)),
+          Seq("hi", "lo"), "full"), reliable)
+      val verdict = cmpM.agg(
+        sum(when(col("__old").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("__new").isNull, 1L).otherwise(0L)).as("n_dropped"))
+        .head()
+      converged = (verdict.isNullAt(0) || verdict.getLong(0) == 0L) &&
+        (verdict.isNullAt(1) || verdict.getLong(1) == 0L)
+      // Next round's edges: the new set only, served from cmpM's blocks.
+      edges = cmpM.filter(col("__new") === 1).select("hi", "lo")
       iter += 1
     }
     // Fixed-point edges are (node, component-min) stars; the min node of
@@ -467,15 +484,18 @@ object Dedup {
       .select(col("lo").as("cluster_id"), col("n_docs"))
   }
 
-  /** Distinct md5'd word `n`-grams per document: (idAs, g). */
+  /** Distinct md5'd word `n`-grams per document: (idAs, g). Native fused
+    * GramMd5s expression (optimization r16) — one compiled md5+distinct
+    * pass instead of the interpreted transform/md5/array_distinct lambda
+    * chain, bit-identical (NativeTextParitySpec).
+    */
   private[operators] def wordGrams(df: DataFrame, idAs: String, n: Int): DataFrame =
     Par.spread(df)
       .select(col("doc_id").as(idAs), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= n)
-      .select(col(idAs), explode(expr(
-        s"""array_distinct(transform(sequence(0, size(ws) - $n),
-           |  i -> md5(concat_ws(' ', slice(ws, i + 1, $n)))))""".stripMargin))
-        .as("g"))
+      .select(col(idAs),
+        explode(graft.functions.GramMd5s(col("ws"), n, distinct = true))
+          .as("g"))
 
   /** Cross-corpus decontamination: training documents that share any
     * word n-gram with a holdout/eval set — the standard "is the test set
@@ -600,13 +620,14 @@ object Dedup {
     */
   def corpusOverlapSketch(docs: DataFrame, k: Int = 128,
                           gramLen: Int = 3): DataFrame = {
+    // Native GramMd5s (optimization r16): same positional gram hashes as
+    // the interpreted transform/md5 lambda, one compiled pass.
     val grams = Par.spread(docs)
       .selectExpr("doc_id % 2 AS side", "split(text, ' ') AS ws")
       .filter(s"size(ws) >= $gramLen")
-      .select(col("side"), explode(expr(
-        s"""transform(sequence(1, size(ws) - ${gramLen - 1}),
-           |  i -> md5(concat_ws(' ', slice(ws, i, $gramLen))))""".stripMargin))
-        .as("h"))
+      .select(col("side"),
+        explode(graft.functions.GramMd5s(col("ws"), gramLen,
+          distinct = false)).as("h"))
     val byGram = grams.groupBy("h").agg(
       max(when(col("side") === 0, 1).otherwise(0)).as("in_a"),
       max(when(col("side") === 1, 1).otherwise(0)).as("in_b"))

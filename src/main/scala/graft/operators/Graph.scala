@@ -12,6 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** The family's checkpoint laziness, conf-gated for A/B soaks
+    * (`spark.graft.graph.eagerCheckpoint`, default false = lazy).
+    * Lazy (optimization r15) skips the dedicated materialization job and
+    * the extra row pass per checkpoint — blocks persist during the first
+    * consuming stage; the guaranteed-once contract is identical either
+    * way. The r16 interleaved soak (OPTIMIZATION_r16.md) re-verified the
+    * r15 claim with a committed artifact; the gate stays so any host can
+    * reproduce the A/B with --conf, same pattern as
+    * spark.graft.graph.packedAdjacency.
+    */
+  private def ckpt(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = df.sparkSession.conf
+      .get("spark.graft.graph.eagerCheckpoint", "false").toBoolean)
+
   /** Undirected co-occurrence edge list: one (a < b) edge per pair of
     * distinct `item`s sharing a `group`. One shuffle on group to gather
     * co-members, one distinct on (a, b). Groups are order-sized (a
@@ -60,7 +74,7 @@ object Graph {
     * from [[coOccurrenceEdges]]. Returns a 1-row (triangles: long) frame.
     */
   def triangleCount(edges: DataFrame): DataFrame =
-    edgeTriangles(edges.localCheckpoint(eager = false))
+    edgeTriangles(ckpt(edges))
       .select(size(col("tri_nbrs")).as("n"))
       .agg(coalesce(sum(col("n").cast("long")), lit(0L)).as("triangles"))
 
@@ -103,14 +117,13 @@ object Graph {
     // Struct order decides the direction; the carried edge is plain
     // node ids (primitive-long adjacency arrays, codegen'd intersect —
     // struct payloads here were measured 3× slower and 4× fatter).
-    val oriented = withDeg.select(
+    val oriented = ckpt(withDeg.select(
       when(col("oa") < col("ob"), col("oa")("node"))
         .otherwise(col("ob")("node")).as("u"),
       when(col("oa") < col("ob"), col("ob")("node"))
-        .otherwise(col("oa")("node")).as("v"))
-      // consumed twice (adjacency build + probe stream); same
-      // guaranteed-once rationale as the edge checkpoint above
-      .localCheckpoint(eager = false)
+        .otherwise(col("oa")("node")).as("v")))
+    // (oriented is consumed twice — adjacency build + probe stream; same
+    // guaranteed-once rationale as the edge checkpoint above)
     // Adjacency ENCODING (r14): the wedge exchange ships every probing
     // edge a copy of its endpoint's out-adjacency — Σ out-deg² values,
     // the family's inherent shuffle volume and the 100× single-box wall
@@ -155,7 +168,7 @@ object Graph {
     * Returns (node, n_tri > 0).
     */
   def perNodeTriangles(edges: DataFrame): DataFrame =
-    perNodeTrianglesOn(edges.localCheckpoint(eager = false))
+    perNodeTrianglesOn(ckpt(edges))
 
   /** [[perNodeTriangles]] over an already-checkpointed edge list —
     * lets [[clusteringCoeffTopK]] share ONE checkpoint across the
@@ -186,7 +199,7 @@ object Graph {
   def clusteringCoeffTopK(edges: DataFrame, k: Int): DataFrame = {
     // one checkpoint shared by the degree pass and the whole triangle
     // pipeline — the co-occurrence edge list is computed exactly once
-    val e = edges.localCheckpoint(eager = false)
+    val e = ckpt(edges)
     val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     deg.filter(col("deg") > 1)

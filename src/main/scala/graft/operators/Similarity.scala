@@ -105,14 +105,18 @@ object Similarity {
     */
   /** Assign each row's quantized embedding `qe` to its nearest centroid
     * in the broadcast one-row `cents` array: argmax over (cos, -cid) ==
-    * ORDER BY cos DESC, cid ASC — the oracle's tie-break.
+    * ORDER BY cos DESC, cid ASC — the oracle's tie-break. Native fused
+    * CoarseAssignBest expression (optimization r16): the previous
+    * transform/array_max lambda ran interpreted per corpus row AND
+    * re-evaluated dot(qe, qe) per centroid; the kernel is bit-identical
+    * (same guarded cosine arithmetic, same lexicographic tie-break —
+    * NativeVecParitySpec) and stays in whole-stage codegen.
     */
   private def coarseAssign(df: DataFrame, cents: DataFrame): DataFrame =
     df.crossJoin(broadcast(cents))
-      .withColumn("__s", transform(col("cents"),
-        c => struct(cosQ(col("qe"), c("ce")).as("cs"), (-c("cid")).as("ncid"))))
-      .withColumn("cid", -array_max(col("__s")).getField("ncid"))
-      .drop("cents", "__s")
+      .withColumn("cid",
+        vec.coarseAssignBest(col("qe"), col("cents")).getField("cid"))
+      .drop("cents")
 
   def ivfKmeansTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                     numCentroids: Int = 8, nprobe: Int = 2,
@@ -260,15 +264,17 @@ object Similarity {
     * frame back to itself to recover it (each such join was a full
     * corpus-sized shuffle+sort pair at scale).
     */
-  private def pqEncode(qc: DataFrame, cb: DataFrame, subDim: Int): DataFrame =
+  private def pqEncode(qc: DataFrame, cb: DataFrame, subDim: Int): DataFrame = {
+    val _ = subDim // carried by each codeword's own length
+    // Native PqEncodeCodes (optimization r16): the nested
+    // transform/array_min/aggregate/zip_with lambda chain — m × ks ×
+    // subDim interpreted ops per corpus row, THE encode hot loop — as
+    // one compiled kernel, bit-identical (same left-to-right d2 sums,
+    // same (d2, cid) tie-break — NativeVecParitySpec).
     qc.crossJoin(broadcast(cb))
-      .withColumn("codes", expr(
-        s"""transform(cb, e ->
-           |  array_min(transform(e.cws, c -> struct(
-           |    aggregate(zip_with(slice(qe, e.j * $subDim + 1, $subDim), c.cw,
-           |      (a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v) AS d2,
-           |    c.cid AS cid))).cid)""".stripMargin))
+      .withColumn("codes", vec.pqEncode(col("qe"), col("cb")))
       .drop("qe", "cb")
+  }
 
   /** Per-query lookup tables against the broadcast codebook:
     * lut[j+1][cid+1] = dot(q_sub_j, codeword cid of subspace j).
@@ -422,7 +428,9 @@ object Similarity {
     val resid = coarseAssign(qc, centArr)
       .join(broadcast(centFlat), "cid")
       .select(col("vec_id"), col("cid"),
-        zip_with(col("qe"), col("ce"), (a, b) => a - b).as("qe"))
+        // native VecSub — the zip_with subtraction lambda ran
+        // interpreted per corpus row (optimization r16, bit-identical)
+        vec.sub(col("qe"), col("ce")).as("qe"))
       .localCheckpoint(eager = false)
     val cb = pqCodebook(resid.select("vec_id", "qe"), m, ks, subDim)
     // Probe selection as in ivfPqTopK (cos DESC, cid ASC), each probe
@@ -479,14 +487,16 @@ object Similarity {
     val flat0 = pqSeedsFlat(qc, m, ks, subDim).cache()
     val cb0 = pqNest(flat0)
     // Assign every (vector, subspace) to its nearest seed codeword.
+    // The argmin-L2 is the native PqEncodeCodes kernel (optimization
+    // r16 — see pqEncode); the remaining lambda only slices out the m
+    // subvectors (cb is j-sorted and j is dense, so element_at(codes,
+    // e.j + 1) is exactly the argmin the fused struct form computed).
     val asg = qc.crossJoin(broadcast(cb0))
+      .withColumn("codes", vec.pqEncode(col("qe"), col("cb")))
       .select(col("vec_id"), posexplode(expr(
         s"""transform(cb, e -> struct(
            |  slice(qe, e.j * $subDim + 1, $subDim) AS sv,
-           |  array_min(transform(e.cws, c -> struct(
-           |    aggregate(zip_with(slice(qe, e.j * $subDim + 1, $subDim), c.cw,
-           |      (a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v) AS d2,
-           |    c.cid AS cid))).cid AS cid))""".stripMargin)))
+           |  element_at(codes, e.j + 1) AS cid))""".stripMargin)))
       .select(col("pos").as("j"), col("col.cid").as("cid"), col("col.sv").as("sv"))
     // Lloyd step: floor per-dim mean back onto the integer grid.
     val cent = asg
@@ -625,12 +635,11 @@ object Similarity {
   def assignEmbeddings(df: DataFrame, cents: DataFrame): DataFrame =
     df.withColumn("qe", vec.quantize(col("embedding")))
       .crossJoin(broadcast(cents))
-      .withColumn("__s", transform(col("cents"),
-        c => struct(cosQ(col("qe"), c("ce")).as("cs"), (-c("cid")).as("ncid"))))
-      .withColumn("__m", array_max(col("__s")))
-      .withColumn("cid", -col("__m").getField("ncid"))
+      // native CoarseAssignBest — see coarseAssign's scaladoc
+      .withColumn("__m", vec.coarseAssignBest(col("qe"), col("cents")))
+      .withColumn("cid", col("__m").getField("cid"))
       .withColumn("cos_centroid", col("__m").getField("cs"))
-      .drop("cents", "__s", "__m", "qe")
+      .drop("cents", "__m", "qe")
 
   /** Incremental semantic dedup: match an INCOMING embedding batch
     * against an EXISTING corpus without ever pairing corpus × corpus —

@@ -17,15 +17,29 @@ object TextAnalysis {
   val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to")
   private def inList = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** `count_in(ws, 'the', ...)` — the native one-pass stopword counter
+    * (optimization r16), bit-identical to
+    * `size(filter(ws, w -> w IN (...)))` whose lambda ran interpreted
+    * per token on every corpus row (registered in GraftExtensions).
+    */
+  private def countStops = s"count_in(ws, $inList)"
+
   /** The shared word tokenizer of the retrieval/LM family (BM25, LM
     * scoring, inverted index): lowercased non-word-character split,
     * empties dropped. ONE definition so a tokenization change can never
     * silently diverge between operators — each paired DuckDB oracle
     * mirrors it as `list_filter(string_split_regex(lower(text), '\W+'),
     * x -> x <> '')`.
+    *
+    * `array_remove(..., '')` instead of `filter(ws, w -> w <> '')`
+    * (optimization r16): identical result on split output (elements are
+    * never null), but array_remove is a codegen'd builtin while the
+    * filter lambda runs interpreted per token on every corpus row of the
+    * retrieval/LM family.
     */
   private def wordTokens: org.apache.spark.sql.Column =
-    afilter(split(lower(col("text")), "\\W+"), w => w =!= "")
+    org.apache.spark.sql.functions.array_remove(
+      split(lower(col("text")), "\\W+"), "")
 
   /** Per-document quality statistics: token counts, type/token ratio,
     * average word length, stopword ratio.
@@ -39,7 +53,7 @@ object TextAnalysis {
         "size(array_distinct(ws)) AS n_types",
         "size(array_distinct(ws)) / size(ws) AS ttr",
         "length(replace(text, ' ', '')) / size(ws) AS avg_word_len",
-        s"size(filter(ws, w -> w IN ($inList))) / size(ws) AS stopword_ratio")
+        s"$countStops / size(ws) AS stopword_ratio")
 
   /** N-gram-heuristic language ID: score = stopword-marker hits; the
     * prediction falls back to 'und' when no markers fire. (The testdata
@@ -50,8 +64,8 @@ object TextAnalysis {
     docs.selectExpr("doc_id", "lang", "split(text, ' ') AS ws")
       .selectExpr(
         "doc_id", "lang",
-        s"size(filter(ws, w -> w IN ($inList))) AS s_en",
-        s"""CASE WHEN size(filter(ws, w -> w IN ($inList))) > 0
+        s"$countStops AS s_en",
+        s"""CASE WHEN $countStops > 0
            |THEN 'en' ELSE 'und' END AS pred_lang""".stripMargin)
 
   /** Token counting: whitespace tokens vs a BPE-ish regex tokenizer
@@ -164,14 +178,15 @@ object TextAnalysis {
   def scrubRepeatedPassages(docs: DataFrame, gramLen: Int = 8,
                             maxDocFreq: Int = 1): DataFrame = {
     val k = gramLen
-    val gramsOf = // 1-based positions; empty when the doc is short
-      s"""CASE WHEN size(ws) >= $k
-         |  THEN transform(sequence(1, size(ws) - ${k - 1}),
-         |         i -> md5(concat_ws(' ', slice(ws, i, $k))))
-         |  ELSE array() END""".stripMargin
+    // Native GramMd5s (optimization r16): the census' per-doc gram-hash
+    // chain (transform/md5/concat_ws lambdas, interpreted) in one
+    // compiled pass; short docs yield an empty array exactly like the
+    // previous CASE guard. Bit-identical (NativeTextParitySpec).
     val grams = Par.spread(docs)
       .selectExpr("doc_id", "split(text, ' ') AS ws")
-      .select(col("doc_id"), posexplode(expr(gramsOf)).as(Seq("p0", "g")))
+      .select(col("doc_id"),
+        posexplode(graft.functions.GramMd5s(col("ws"), k, distinct = false))
+          .as(Seq("p0", "g")))
     val hot = grams.select("g", "doc_id").distinct()
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
@@ -221,7 +236,7 @@ object TextAnalysis {
         "doc_id",
         "size(ws) AS nw",
         "size(array_distinct(ws)) / size(ws) AS ttr",
-        s"size(filter(ws, w -> w IN ($inList))) / size(ws) AS swr",
+        s"$countStops / size(ws) AS swr",
         "length(replace(text, ' ', '')) / size(ws) AS awl",
         """aggregate(array_sort(ws),
           |  struct(CAST('' AS STRING) AS prev, 0 AS run, 0 AS mx),
@@ -276,7 +291,8 @@ object TextAnalysis {
     val stats = base.agg(aggs.head, aggs.tail: _*)
     val avgdl = col("sumdl").cast("double") / col("n").cast("double")
     val perTerm = terms.zipWithIndex.map { case (t, i) =>
-      val tf = size(afilter(col("ws"), w => w === t)).cast("double")
+      val tf = org.apache.spark.sql.functions
+        .element_at(col("tc"), i + 1).cast("double")
       val idf = log(
         ((col("n") - col(s"df$i")).cast("double") + lit(0.5)) /
           (col(s"df$i").cast("double") + lit(0.5)) + lit(1.0))
@@ -284,7 +300,15 @@ object TextAnalysis {
         (tf + lit(k1) *
           (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
     }
-    base.crossJoin(broadcast(stats))
+    // Single-pass term scoring (optimization r16): the per-term tf was
+    // `size(filter(ws, w -> w = t))` — one interpreted lambda pass over
+    // every token per term per row. TermCounts computes ALL tfs in one
+    // compiled pass (bit-identical counts, NativeTextParitySpec), and
+    // the scored projection then needs only (doc_id, dl, tc) — the token
+    // array no longer flows into the scoring cross join.
+    base.select(col("doc_id"), col("dl"),
+        graft.functions.TermCounts(col("ws"), terms).as("tc"))
+      .crossJoin(broadcast(stats))
       .withColumn("score", perTerm.reduceLeft(_ + _))
       .select(col("doc_id"), col("dl"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))

@@ -7,7 +7,10 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.types.CalendarIntervalType
 import org.apache.spark.unsafe.types.CalendarInterval
 
-import graft.functions.{MinHashSignature, VecCosineQ, VecDot}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{CountIn, MinHashSignature, VecCosineQ, VecDot}
 
 /** Engine extension point, loaded via `spark.sql.extensions`.
   *
@@ -50,6 +53,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_cosine_q"),
       new ExpressionInfo(classOf[VecCosineQ].getName, "vec_cosine_q"),
       (children: Seq[Expression]) => VecCosineQ(children(0), children(1))))
+
+    // count_in(ws, 'a', 'b', ...): native one-pass membership counter —
+    // bit-identical to size(filter(ws, w -> w IN (...))) whose lambda
+    // runs interpreted (optimization r16). Terms must be string literals
+    // (they are a fixed model parameter, never data).
+    ext.injectFunction((
+      new FunctionIdentifier("count_in"),
+      new ExpressionInfo(classOf[CountIn].getName, "count_in"),
+      (c: Seq[Expression]) => CountIn(c.head, c.tail.map {
+        case Literal(s: UTF8String, StringType) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"count_in terms must be string literals, got $other")
+      })))
 
     // Catalyst's own runtime-filter machinery (SPARK-32268), surfaced as
     // user-callable functions: `bloom_agg(xxhash64(k) [, est_items

@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+import org.apache.spark.sql.functions.{array_remove, col, expr, lower, size, split}
+
+import graft.functions.{CountIn, GramMd5s, TermCounts, WordShingles}
+
+/** Bit-parity for the optimization-r16 native text kernels against the
+  * composable higher-order-function forms they replaced (the HOF forms
+  * are what every DuckDB oracle mirrors, so agreement here is agreement
+  * with the oracle). Comparisons run through real Spark projections —
+  * the CODEGEN path — over seed-pinned random corpora with adversarial
+  * shapes (repeated words/shingles for the distinct order, short docs
+  * for the empty-array guards, stopword-dense rows, punctuation runs
+  * for the tokenizer).
+  */
+class NativeTextParitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val word: Gen[String] = Gen.oneOf(
+    Gen.oneOf("the", "a", "and", "of", "to", "fox", "dog", "lazy", "brown"),
+    Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString),
+    Gen.oneOf("x", "yz", "qqq"))
+
+  private val doc: Gen[Seq[String]] = for {
+    n <- Gen.frequency((1, Gen.choose(0, 2)), (4, Gen.choose(3, 40)))
+    ws <- Gen.listOfN(n, word)
+    dup <- Gen.choose(0, 3) // planted repetition so shingles/grams collide
+  } yield ws ++ ws.take(dup) ++ ws.take(dup)
+
+  private def corpus(n: Int) =
+    TestSpark.samples(doc, n).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws, ws.mkString(" ")) }
+      .toDF("doc_id", "ws", "text")
+
+  test("WordShingles == array_distinct(transform(sequence, concat)) incl order") {
+    val df = corpus(300).filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        WordShingles(col("ws"), 3).as("nat"),
+        expr("""array_distinct(transform(sequence(0, size(ws) - 3),
+                |  i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2])))""".stripMargin)
+          .as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"doc ${r.getLong(0)}: ${r.getSeq[String](1)} != ${r.getSeq[String](2)}")
+    }
+  }
+
+  test("GramMd5s positional == CASE-guarded transform(md5(concat_ws(slice)))") {
+    for (k <- Seq(3, 8)) {
+      val df = corpus(300).select(col("doc_id"),
+        GramMd5s(col("ws"), k, distinct = false).as("nat"),
+        expr(s"""CASE WHEN size(ws) >= $k
+                |  THEN transform(sequence(1, size(ws) - ${k - 1}),
+                |         i -> md5(concat_ws(' ', slice(ws, i, $k))))
+                |  ELSE array() END""".stripMargin).as("hof"))
+      df.collect().foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"k=$k doc ${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("GramMd5s distinct == array_distinct(transform(md5(concat_ws(slice))))") {
+    val k = 4
+    val df = corpus(300).filter(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        GramMd5s(col("ws"), k, distinct = true).as("nat"),
+        expr(s"""array_distinct(transform(sequence(0, size(ws) - $k),
+                |  i -> md5(concat_ws(' ', slice(ws, i + 1, $k)))))""".stripMargin)
+          .as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("CountIn == size(filter(ws, w -> w IN (...))), Column and SQL forms") {
+    val stops = Seq("the", "a", "and", "of", "to")
+    val inList = stops.map(w => s"'$w'").mkString(", ")
+    val df = corpus(300).select(col("doc_id"),
+      CountIn(col("ws"), stops).as("nat"),
+      expr(s"count_in(ws, $inList)").as("natSql"),
+      expr(s"size(filter(ws, w -> w IN ($inList)))").as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getInt(1) == r.getInt(3) && r.getInt(2) == r.getInt(3),
+        s"doc ${r.getLong(0)}: ${r.getInt(1)}/${r.getInt(2)} != ${r.getInt(3)}")
+    }
+  }
+
+  test("TermCounts element k == size(filter(ws, w -> w = term_k))") {
+    val terms = Seq("fox", "the", "qqq", "nosuchword")
+    val hofs = terms.zipWithIndex.map { case (t, i) =>
+      expr(s"size(filter(ws, w -> w = '$t'))").as(s"h$i")
+    }
+    val df = corpus(300).select(
+      col("doc_id") +: TermCounts(col("ws"), terms).as("nat") +: hofs: _*)
+    df.collect().foreach { r =>
+      val nat = r.getSeq[Int](1)
+      terms.indices.foreach { i =>
+        assert(nat(i) == r.getInt(2 + i),
+          s"doc ${r.getLong(0)} term ${terms(i)}: ${nat(i)} != ${r.getInt(2 + i)}")
+      }
+    }
+  }
+
+  test("array_remove tokenizer == filter(w -> w <> '') on messy text") {
+    val messy: Gen[String] = for {
+      parts <- Gen.listOf(Gen.oneOf("Fox", "THE dog!", "a,b", "--", "  ",
+        "7seven", "e.g.", "", "tail"))
+    } yield parts.mkString(" ")
+    val df = TestSpark.samples(messy, 300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        array_remove(split(lower(col("text")), "\\W+"), "").as("nat"),
+        expr("filter(split(lower(text), '\\\\W+'), w -> w <> '')").as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"doc ${r.getLong(0)}")
+    }
+  }
+}
