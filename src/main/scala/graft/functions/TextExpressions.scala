@@ -87,6 +87,52 @@ object TextKernels {
       .md5Hex(UTF8String.concatWs(sep, parts: _*).getBytes))
   }
 
+  /** The scrub rewrite mask: words of `ws` at 1-based positions j NOT
+    * covered by any hot-gram start i in `hp` (j >= i && j < i + k), in
+    * order — bit-identical to
+    *   transform(filter(sequence(1, size(ws)),
+    *     j -> NOT exists(hp, i -> j >= i AND j < i + k)),
+    *     j -> element_at(ws, j))
+    * for non-null int positions. `hp` is the sorted hot-start list
+    * ([[TextAnalysis.scrubRepeatedPassages]] sort_array's it), so the
+    * cover test is a two-pointer merge — O(words + hots) instead of the
+    * interpreted O(words × hots) exists scan. Null `hp` elements cannot
+    * occur (collect_list skips nulls); the kernel asserts sortedness is
+    * not required for correctness by falling back to a scan when an
+    * out-of-order start is seen.
+    */
+  def scrubKept(ws: ArrayData, hp: ArrayData, k: Int): ArrayData = {
+    val n = ws.numElements()
+    val m = hp.numElements()
+    // detect unsorted input once; the sorted two-pointer is the fast path
+    var sorted = true
+    var x = 1
+    while (sorted && x < m) {
+      if (hp.getInt(x) < hp.getInt(x - 1)) sorted = false
+      x += 1
+    }
+    val out = new java.util.ArrayList[UTF8String](n)
+    var p = 0
+    var j = 1
+    while (j <= n) {
+      var covered = false
+      if (sorted) {
+        while (p < m && hp.getInt(p) + k <= j) p += 1
+        covered = p < m && hp.getInt(p) <= j
+      } else {
+        var i = 0
+        while (!covered && i < m) {
+          val s = hp.getInt(i)
+          if (j >= s && j < s + k) covered = true
+          i += 1
+        }
+      }
+      if (!covered) out.add(ws.getUTF8String(j - 1))
+      j += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
   /** Count of elements of `ws` equal to any of `terms` — bit-identical to
     * `size(filter(ws, w -> w IN (terms...)))` over non-null elements
     * (null elements match nothing in both forms).
@@ -189,6 +235,39 @@ case class GramMd5s(child: Expression, n: Int, distinct: Boolean)
 object GramMd5s {
   def apply(col: Column, n: Int, distinct: Boolean): Column =
     column(GramMd5s(expression(col), n, distinct))
+}
+
+/** See [[TextKernels.scrubKept]]. */
+case class ScrubKeptWords(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(k >= 1, s"scrub_kept needs k >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"scrub_kept expects (array<string>, array<int>), got (${l.sql}, ${r.sql})")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "scrub_kept"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.scrubKept(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.functions.TextKernels.scrubKept($x, $y, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ScrubKeptWords =
+    copy(left = newLeft, right = newRight)
+}
+
+object ScrubKeptWords {
+  def apply(ws: Column, hp: Column, k: Int): Column =
+    column(ScrubKeptWords(expression(ws), expression(hp), k))
 }
 
 /** See [[TextKernels.countIn]]. */

@@ -199,14 +199,19 @@ object TextAnalysis {
     Par.spread(docs)
       .selectExpr("doc_id", "split(text, ' ') AS ws")
       .join(hp, Seq("doc_id"), "left")
-      .withColumn("hp", coalesce(col("hp"), expr("array()")))
+      .withColumn("hp",
+        coalesce(col("hp"), org.apache.spark.sql.functions
+          .typedlit(Array.empty[Int])))
       // A word at position j is covered iff some hot start i has
-      // i <= j < i + k.
-      .withColumn("kept", expr(
-        s"filter(sequence(1, size(ws)), j -> NOT exists(hp, i -> j >= i AND j < i + $k))"))
+      // i <= j < i + k. Native ScrubKeptWords (optimization r16): the
+      // filter/exists/transform lambda chain ran interpreted
+      // O(words × hot-starts) per doc; the kernel two-pointers the
+      // sorted starts in one compiled O(words + hots) pass and emits
+      // the kept WORDS directly (bit-identical — NativeTextParitySpec).
+      .withColumn("kept",
+        graft.functions.ScrubKeptWords(col("ws"), col("hp"), k))
       .select(col("doc_id"),
-        expr("concat_ws(' ', transform(kept, j -> element_at(ws, j)))")
-          .as("clean_text"),
+        expr("concat_ws(' ', kept)").as("clean_text"),
         expr("size(ws)").as("n_words"),
         expr("size(ws) - size(kept)").as("n_dropped"))
   }

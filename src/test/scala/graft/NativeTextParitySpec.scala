@@ -106,6 +106,31 @@ class NativeTextParitySpec extends AnyFunSuite {
     }
   }
 
+  test("ScrubKeptWords == transform(filter(sequence, NOT exists), element_at)") {
+    val k = 8
+    // n >= 1: split(text, ' ') never yields an empty array (split of ""
+    // is [""]), and the composable form's sequence(1, 0) would go
+    // DESCENDING on one — an input the operator cannot produce.
+    val rowGen = for {
+      n <- Gen.choose(1, 60)
+      ws <- Gen.listOfN(n, word)
+      nh <- Gen.choose(0, 6)
+      hp0 <- Gen.listOfN(nh, Gen.choose(1, n))
+    } yield (ws, hp0.sorted) // operator sort_array's hp
+    val df = TestSpark.samples(rowGen, 300).zipWithIndex
+      .map { case ((ws, hp), i) => (i.toLong, ws, hp) }
+      .toDF("doc_id", "ws", "hp")
+      .select(col("doc_id"),
+        graft.functions.ScrubKeptWords(col("ws"), col("hp"), k).as("nat"),
+        expr(
+          s"""transform(filter(sequence(1, size(ws)),
+             |  j -> NOT exists(hp, i -> j >= i AND j < i + $k)),
+             |  j -> element_at(ws, j))""".stripMargin).as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("array_remove tokenizer == filter(w -> w <> '') on messy text") {
     val messy: Gen[String] = for {
       parts <- Gen.listOf(Gen.oneOf("Fox", "THE dog!", "a,b", "--", "  ",
