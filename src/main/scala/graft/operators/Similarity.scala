@@ -15,6 +15,17 @@ import graft.functions.{topk, vec}
   * the corpus is never shuffled for brute force, and the IVF/LSH variants
   * bound the candidate set per query/bucket so the join never goes
   * all-pairs at 100 TB.
+  *
+  * CACHE OWNERSHIP (r15 ADVICE): the trained-model hand-offs below
+  * (`pqCodebook`, `centFlat`/`centArr`, `flat0`, the trained codebook)
+  * are `cache()`d K-row/one-row frames that the RETURNED plan still
+  * references — nothing inside an entry point may unpersist them, so
+  * they live in the session's CacheManager until the caller drops them.
+  * A caller sweeping many corpora in one long-lived session owns the
+  * cleanup: `spark.catalog.clearCache()` between sweeps (what Bench does
+  * between passes), or unpersist after materializing the returned frame.
+  * The entries are model-sized (numCentroids × dim numbers), never
+  * corpus-sized, so the leak bound is bytes per call, not data.
   */
 object Similarity {
 

@@ -31,7 +31,10 @@ import graft.functions.RoundQ
   */
 class FastRound extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (conf.getConfString("spark.graft.sql.fastRound", "true") != "true") plan
+    // case-insensitive boolean parse (r15 ADVICE): "True"/"TRUE" must
+    // behave like Spark's boolean confs, not silently disable the rule
+    if (!java.lang.Boolean.parseBoolean(
+        conf.getConfString("spark.graft.sql.fastRound", "true"))) plan
     else plan.transformAllExpressions {
       case Round(child, Literal(scale: Int, _), _)
           if scale == 0 && child.dataType == DoubleType =>
