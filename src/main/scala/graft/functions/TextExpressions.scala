@@ -133,6 +133,77 @@ object TextKernels {
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** Distinct character `n`-grams of `text` (code-point indexed, like
+    * SQL substring), first-occurrence order — bit-identical to
+    * `array_distinct(transform(sequence(1, length(text)-n+1),
+    *    i -> substring(text, i, n)))`
+    * for texts of at least `n` characters. Shorter texts yield an EMPTY
+    * array: there the composable form's `sequence` goes descending and
+    * emits positionally-nonsensical grams that DuckDB's generate_series
+    * (empty on start > stop) never mirrors — the oracle corpus has no
+    * such text (gate green against the empty-on-short oracle), and the
+    * kernel pins the cross-engine-consistent semantics.
+    */
+  def charNgrams(text: UTF8String, n: Int): ArrayData = {
+    val len = text.numChars()
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    var i = 1
+    while (i <= len - n + 1) {
+      out.add(text.substringSQL(i, n))
+      i += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** Positional character difference count — bit-identical to
+    * `size(filter(sequence(1, bits), i -> substring(a, i, 1) != substring(b, i, 1)))`
+    * including the out-of-range case (substring past the end is the
+    * empty string; empty != empty is false, empty != char is true).
+    */
+  def hammingDiff(a: UTF8String, b: UTF8String, bits: Int): Int = {
+    val la = a.numChars()
+    val lb = b.numChars()
+    var c = 0
+    var i = 1
+    while (i <= bits) {
+      val inA = i <= la
+      val inB = i <= lb
+      val diff =
+        if (inA && inB) !a.substringSQL(i, 1).equals(b.substringSQL(i, 1))
+        else inA != inB // one side ran out: char vs empty
+      if (diff) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Longest run of equal adjacent elements — bit-identical to the
+    * Gopher-rule fold
+    *   aggregate(sorted, struct('' AS prev, 0 AS run, 0 AS mx),
+    *     (s, w) -> struct(w, CASE WHEN w = s.prev THEN s.run+1 ELSE 1 END,
+    *                      GREATEST(s.mx, ...)), s -> s.mx)
+    * over an already-sorted array (the callers pass array_sort(ws); the
+    * fold's prev = '' seed changes nothing: a first element equal to ''
+    * yields run 0+1 = 1 either way). Empty input -> 0, like the fold.
+    */
+  def maxRun(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    var mx = 0
+    var run = 0
+    var prev: UTF8String = null
+    var i = 0
+    while (i < n) {
+      // null elements mirror the fold: `w = prev` is NULL -> ELSE 1,
+      // and the next comparison against a null prev resets likewise
+      val w = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      run = if (w != null && prev != null && w.equals(prev)) run + 1 else 1
+      if (run > mx) mx = run
+      prev = w
+      i += 1
+    }
+    mx
+  }
+
   /** Count of elements of `ws` equal to any of `terms` — bit-identical to
     * `size(filter(ws, w -> w IN (terms...)))` over non-null elements
     * (null elements match nothing in both forms).
@@ -268,6 +339,90 @@ case class ScrubKeptWords(left: Expression, right: Expression, k: Int)
 object ScrubKeptWords {
   def apply(ws: Column, hp: Column, k: Int): Column =
     column(ScrubKeptWords(expression(ws), expression(hp), k))
+}
+
+/** See [[TextKernels.charNgrams]]. */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"char_ngrams needs n >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams expects string, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.charNgrams(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.charNgrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
+object CharNgrams {
+  def apply(col: Column, n: Int): Column = column(CharNgrams(expression(col), n))
+}
+
+/** See [[TextKernels.hammingDiff]]. */
+case class HammingDiff(left: Expression, right: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(bits >= 1, s"hamming_diff needs bits >= 1, got $bits")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"hamming_diff expects (string, string), got (${l.sql}, ${r.sql})")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hamming_diff"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.hammingDiff(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], bits)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.functions.TextKernels.hammingDiff($x, $y, $bits);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDiff =
+    copy(left = newLeft, right = newRight)
+}
+
+object HammingDiff {
+  def apply(a: Column, b: Column, bits: Int): Column =
+    column(HammingDiff(expression(a), expression(b), bits))
+}
+
+/** See [[TextKernels.maxRun]]. Registered in SQL as `max_run` so the
+  * selectExpr-built Gopher-rule operators can call it.
+  */
+case class MaxRun(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"max_run expects array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "max_run"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.maxRun(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.maxRun($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MaxRun =
+    copy(child = newChild)
 }
 
 /** See [[TextKernels.countIn]]. */

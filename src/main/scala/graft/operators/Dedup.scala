@@ -275,8 +275,11 @@ object Dedup {
         col("a.cidx") === col("b.cidx") && col("a.cval") === col("b.cval") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr(s"""size(filter(sequence(1, $bits),
-                |  i -> substring(a.fp, i, 1) != substring(b.fp, i, 1)))""".stripMargin)
+        // native HammingDiff (optimization r16): the per-candidate
+        // filter/substring lambda over all `bits` positions ran
+        // interpreted; bit-identical incl. past-the-end substring
+        // semantics (NativeTextParitySpec)
+        graft.functions.HammingDiff(col("a.fp"), col("b.fp"), bits)
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
@@ -583,9 +586,14 @@ object Dedup {
   def charNgramJaccard(docs: DataFrame, n: Int = 4): DataFrame = {
     val cand = minHashPairs(docs, threshold = 0.0)
       .select("doc_a", "doc_b")
-    val grams = docs.selectExpr("doc_id",
-      s"""array_distinct(transform(sequence(1, length(text) - ${n - 1}),
-         |  i -> substring(text, i, $n))) AS g""".stripMargin)
+    // Native CharNgrams (optimization r16): one compiled code-point pass
+    // instead of the interpreted transform/substring/array_distinct
+    // chain — hundreds of lambda substrings per doc. Texts shorter than
+    // n chars yield an empty gram set (the cross-engine-consistent
+    // semantics; the HOF form's descending-sequence edge never occurs
+    // on the corpus — see the kernel's scaladoc).
+    val grams = docs.select(col("doc_id"),
+      graft.functions.CharNgrams(col("text"), n).as("g"))
     // Same shuffle_hash rationale as minHashPairs' verification join.
     cand.hint("shuffle_hash")
       .join(grams.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")

@@ -105,16 +105,11 @@ object TextAnalysis {
       .selectExpr(
         "doc_id",
         "size(ws) AS n_words",
-        """aggregate(array_sort(ws),
-          |  struct(CAST('' AS STRING) AS prev, 0 AS run, 0 AS mx),
-          |  (s, w) -> struct(
-          |    w AS prev,
-          |    CASE WHEN w = s.prev THEN s.run + 1 ELSE 1 END AS run,
-          |    GREATEST(s.mx,
-          |      CASE WHEN w = s.prev THEN s.run + 1 ELSE 1 END) AS mx),
-          |  s -> s.mx) AS top_word_n""".stripMargin,
-        """size(array_distinct(transform(sequence(0, size(ws) - 2),
-          |  i -> concat(ws[i], ' ', ws[i + 1])))) AS distinct_2grams""".stripMargin)
+        // native max_run == the aggregate() run-length fold it replaces
+        // (optimization r16, bit parity in NativeTextParitySpec); the
+        // 2-gram census is the native WordShingles kernel (n = 2)
+        "max_run(array_sort(ws)) AS top_word_n",
+        "size(word_shingles(ws, 2)) AS distinct_2grams")
       .selectExpr(
         "doc_id", "n_words", "top_word_n",
         "top_word_n / n_words AS top_word_frac",
@@ -243,14 +238,8 @@ object TextAnalysis {
         "size(array_distinct(ws)) / size(ws) AS ttr",
         s"$countStops / size(ws) AS swr",
         "length(replace(text, ' ', '')) / size(ws) AS awl",
-        """aggregate(array_sort(ws),
-          |  struct(CAST('' AS STRING) AS prev, 0 AS run, 0 AS mx),
-          |  (s, w) -> struct(
-          |    w AS prev,
-          |    CASE WHEN w = s.prev THEN s.run + 1 ELSE 1 END AS run,
-          |    GREATEST(s.mx,
-          |      CASE WHEN w = s.prev THEN s.run + 1 ELSE 1 END) AS mx),
-          |  s -> s.mx) / size(ws) AS twf""".stripMargin)
+        // native max_run == the aggregate() fold (optimization r16)
+        "max_run(array_sort(ws)) / size(ws) AS twf")
       .selectExpr("doc_id",
         "-2.5 + 0.5 * ln(nw) + 2.0 * ttr + 1.5 * swr + 0.1 * (awl - 5.0) - 3.0 * twf AS z")
       .selectExpr("doc_id",

@@ -10,7 +10,7 @@ import org.apache.spark.unsafe.types.CalendarInterval
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CountIn, MinHashSignature, VecCosineQ, VecDot}
+import graft.functions.{CountIn, MaxRun, MinHashSignature, VecCosineQ, VecDot}
 
 /** Engine extension point, loaded via `spark.sql.extensions`.
   *
@@ -66,6 +66,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"count_in terms must be string literals, got $other")
       })))
+
+    // word_shingles(ws, n): native distinct space-joined word n-grams —
+    // bit-identical to array_distinct(transform(sequence, concat(...)))
+    // (optimization r16). n must be an int literal (a shape parameter).
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[graft.functions.WordShingles].getName,
+        "word_shingles"),
+      (c: Seq[Expression]) => graft.functions.WordShingles(c.head, c(1) match {
+        case Literal(n: Int, _) => n
+        case other => throw new IllegalArgumentException(
+          s"word_shingles n must be an int literal, got $other")
+      })))
+
+    // max_run(sorted array<string>): native longest-equal-run counter —
+    // bit-identical to the Gopher-rule aggregate() fold it replaces
+    // (optimization r16).
+    ext.injectFunction((
+      new FunctionIdentifier("max_run"),
+      new ExpressionInfo(classOf[MaxRun].getName, "max_run"),
+      (c: Seq[Expression]) => MaxRun(c.head)))
 
     // Catalyst's own runtime-filter machinery (SPARK-32268), surfaced as
     // user-callable functions: `bloom_agg(xxhash64(k) [, est_items

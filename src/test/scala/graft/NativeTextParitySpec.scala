@@ -131,6 +131,78 @@ class NativeTextParitySpec extends AnyFunSuite {
     }
   }
 
+  test("CharNgrams == array_distinct(transform(sequence, substring)) for len >= n") {
+    val n = 4
+    val textGen: Gen[String] = for {
+      len <- Gen.choose(4, 120)
+      cs <- Gen.listOfN(len, Gen.oneOf(Gen.alphaLowerChar, Gen.const(' '),
+        Gen.const('é'))) // multi-byte char pins code-point indexing
+    } yield cs.mkString
+    val df = TestSpark.samples(textGen, 300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.CharNgrams(col("text"), n).as("nat"),
+        expr(s"""array_distinct(transform(sequence(1, length(text) - ${n - 1}),
+                |  i -> substring(text, i, $n)))""".stripMargin).as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("CharNgrams on texts shorter than n yields the empty gram set") {
+    val df = Seq((1L, "abc"), (2L, ""), (3L, "é")).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.CharNgrams(col("text"), 4).as("g"))
+    df.collect().foreach(r => assert(r.getSeq[String](1).isEmpty))
+  }
+
+  test("HammingDiff == size(filter(sequence, substring != substring)) incl short strings") {
+    val bits = 32
+    val fpGen: Gen[String] = for {
+      len <- Gen.oneOf(Gen.const(bits), Gen.choose(0, bits + 4))
+      cs <- Gen.listOfN(len, Gen.oneOf('0', '1'))
+    } yield cs.mkString
+    val df = TestSpark.samples(Gen.zip(fpGen, fpGen), 300).zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("id", "fa", "fb")
+      .select(col("id"),
+        graft.functions.HammingDiff(col("fa"), col("fb"), bits).as("nat"),
+        expr(s"""size(filter(sequence(1, $bits),
+                |  i -> substring(fa, i, 1) != substring(fb, i, 1)))""".stripMargin)
+          .as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getInt(1) == r.getInt(2),
+        s"row ${r.getLong(0)}: ${r.getInt(1)} != ${r.getInt(2)}")
+    }
+  }
+
+  test("max_run == the Gopher aggregate() run-length fold") {
+    val df = corpus(300)
+      .select(col("doc_id"),
+        expr("max_run(array_sort(ws))").as("nat"),
+        expr("""aggregate(array_sort(ws),
+          |  struct(CAST('' AS STRING) AS prev, 0 AS run, 0 AS mx),
+          |  (s, w) -> struct(
+          |    w AS prev,
+          |    CASE WHEN w = s.prev THEN s.run + 1 ELSE 1 END AS run,
+          |    GREATEST(s.mx,
+          |      CASE WHEN w = s.prev THEN s.run + 1 ELSE 1 END) AS mx),
+          |  s -> s.mx)""".stripMargin).as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getInt(1) == r.getInt(2),
+        s"doc ${r.getLong(0)}: ${r.getInt(1)} != ${r.getInt(2)}")
+    }
+  }
+
+  test("word_shingles(ws, 2) size == the repetition 2-gram distinct count") {
+    val df = corpus(300).filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        expr("size(word_shingles(ws, 2))").as("nat"),
+        expr("""size(array_distinct(transform(sequence(0, size(ws) - 2),
+          |  i -> concat(ws[i], ' ', ws[i + 1]))))""".stripMargin).as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("array_remove tokenizer == filter(w -> w <> '') on messy text") {
     val messy: Gen[String] = for {
       parts <- Gen.listOf(Gen.oneOf("Fox", "THE dog!", "a,b", "--", "  ",
